@@ -1,0 +1,97 @@
+"""Per-partition checkpoint manifests (SURVEY.md §4 "Checkpoint / resume").
+
+Each committed output partition gets ``manifest/part-{pid:05d}.json`` written
+atomically (tmp + ``os.replace``) *after* its data file commits, recording
+lineage (input hash-partition → output fragment) and counters (pages OCR'd,
+exif tags written, errors/retries) — the engine's version of the reference's
+coarse "skip files whose output exists" resume, upgraded to O(partitions)
+fragment-level pruning so exact resume stays cheap at 10^12 docs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# Fixed key so hash partitioning is deterministic across processes and runs —
+# resume depends on doc → partition assignment being a pure function.
+_HASH_KEY = "ocrautomator-ray"  # exactly 16 bytes, required by pandas siphash
+
+
+def partition_ids(doc_ids: pa.Array | pa.ChunkedArray, num_partitions: int) -> np.ndarray:
+    """Vectorized deterministic hash-partition assignment: siphash(doc_id) % P."""
+    s = pd.Series(doc_ids.to_pandas() if hasattr(doc_ids, "to_pandas") else doc_ids)
+    h = pd.util.hash_pandas_object(s, index=False, hash_key=_HASH_KEY, categorize=False)
+    return (h.to_numpy() % np.uint64(num_partitions)).astype(np.int32)
+
+
+def manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest")
+
+
+def data_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "data")
+
+
+def part_data_path(out_dir: str, part_id: int) -> str:
+    return os.path.join(data_dir(out_dir), f"part-{part_id:05d}.parquet")
+
+
+def part_manifest_path(out_dir: str, part_id: int) -> str:
+    return os.path.join(manifest_dir(out_dir), f"part-{part_id:05d}.json")
+
+
+def write_part_manifest(out_dir: str, part_id: int, manifest: dict) -> None:
+    """Atomic commit: write tmp in the same directory, then rename."""
+    d = manifest_dir(out_dir)
+    os.makedirs(d, exist_ok=True)
+    final = part_manifest_path(out_dir, part_id)
+    tmp = f"{final}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final)
+
+
+def load_manifests(out_dir: str) -> dict[int, dict]:
+    d = manifest_dir(out_dir)
+    if not os.path.isdir(d):
+        return {}
+    out: dict[int, dict] = {}
+    for name in sorted(os.listdir(d)):
+        if name.startswith("part-") and name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                m = json.load(f)
+            out[int(m["part_id"])] = m
+    return out
+
+
+def completed_parts(out_dir: str, num_partitions: int) -> set[int]:
+    """Partitions safe to skip on resume.
+
+    A partition counts as complete only if its manifest says committed, it was
+    produced under the same partitioning (P must match — a different P maps
+    docs differently), and its data file still exists.
+    """
+    done = set()
+    for pid, m in load_manifests(out_dir).items():
+        if (
+            m.get("status") == "committed"
+            and m.get("lineage", {}).get("num_partitions") == num_partitions
+            and os.path.exists(part_data_path(out_dir, pid))
+        ):
+            done.add(pid)
+    return done
+
+
+def merge_counters(manifests: dict[int, dict]) -> dict[str, int]:
+    total: dict[str, int] = {}
+    for m in manifests.values():
+        for k, v in m.get("counters", {}).items():
+            total[k] = total.get(k, 0) + int(v)
+    return total

@@ -1,0 +1,79 @@
+"""End-to-end pipeline vs single-threaded oracle (SURVEY.md §5.1-§5.4).
+
+The correctness contract: span-sequence equality (kind, text, media_ref,
+offset) per doc_id, for every fixture profile, under input-order shuffling.
+"""
+
+import pyarrow as pa
+import pytest
+
+from ocrautomator_ray import synth
+
+from .util import run_and_compare, spans_from_output
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_unit_profile(tmp_path):
+    res = run_and_compare(synth.gen_table("unit"), str(tmp_path / "o"))
+    c = res["counters"]
+    assert c["errors"] == 1          # u-poison
+    assert c["dup_rows_dropped"] == 1  # u-dup identical copy
+    assert c["pages_ocrd"] >= 1000   # u-fat
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sf_test_profile(tmp_path):
+    t = synth.gen_table("sf-test", rows=300)
+    run_and_compare(t, str(tmp_path / "o"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shuffle_invariance(tmp_path):
+    """Input row order must not change any output (ordering comes from data)."""
+    t = synth.gen_table("sf-test", rows=120)
+    perm = list(reversed(range(t.num_rows)))
+    shuffled = t.take(pa.array(perm))
+    run_and_compare(shuffled, str(tmp_path / "o"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_single_partition_and_many_partitions(tmp_path):
+    t = synth.gen_table("sf-test", rows=60)
+    run_and_compare(t, str(tmp_path / "p1"), num_partitions=1)
+    run_and_compare(t, str(tmp_path / "p32"), num_partitions=32)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_repartition_path(tmp_path):
+    t = synth.gen_table("sf-test", rows=60)
+    run_and_compare(t, str(tmp_path / "o"), ocr_repartition=8)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_counters_match_oracle(tmp_path):
+    from ocrautomator_ray import oracle
+
+    t = synth.gen_table("sf-test", rows=200)
+    res = run_and_compare(t, str(tmp_path / "o"))
+    exp = oracle.oracle_table(t).counters
+    c = res["counters"]
+    assert c["docs"] == exp.docs
+    assert c["pages_ocrd"] == exp.pages_ocrd
+    assert c["exif_tags_written"] == exp.exif_tags_written
+    assert c["errors"] == exp.errors
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duplicate_doc_ids_with_different_content(tmp_path):
+    """Min-dup_key arbitration is deterministic regardless of row order."""
+    rows = [
+        {"doc_id": "d", "spans": [
+            {"kind": "text", "text": "content version alpha", "media_ref": "", "offset": 0}]},
+        {"doc_id": "d", "spans": [
+            {"kind": "text", "text": "content version beta", "media_ref": "", "offset": 0}]},
+    ]
+    t = synth.rows_to_table(rows)
+    run_and_compare(t, str(tmp_path / "a"))
+    t_rev = t.take(pa.array([1, 0]))
+    run_and_compare(t_rev, str(tmp_path / "b"))
+    assert spans_from_output(str(tmp_path / "a")) == spans_from_output(str(tmp_path / "b"))
