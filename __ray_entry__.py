@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Nothing here (or in the library) calls ``ray.init``/``ray.shutdown`` — the
+caller owns the session.
 """
 
 from __future__ import annotations
@@ -18,27 +13,44 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from ocrautomator_ray.functions import ann as _ann
+from ocrautomator_ray.functions import dedup as _dedup
+from ocrautomator_ray.functions import relational as _relational
+from ocrautomator_ray.functions import text as _text
+from ocrautomator_ray.pipelines.extract import run_flagship
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship extraction pipeline over /root/testdata/sf0.001.
+
+    Synthesizes the interleaved DOC_SCHEMA table from documents.parquet,
+    runs read → explode → ExtractActor pool → reassemble/commit, and returns
+    the flattened span table (doc_id, kind, text, media_ref, offset).
+    """
+    return run_flagship("/root/testdata/sf0.001")
+
+
+def _flagship_query(sf_dir: str) -> Any:
+    return run_flagship(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {}
+    q.update(_relational.QUERIES)
+    q.update(_text.QUERIES)
+    q.update(_dedup.QUERIES)
+    q.update(_ann.QUERIES)
+    q["extract_pipeline"] = _flagship_query
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+    sql.update(_relational.SQL)
+    sql.update(_text.SQL)
+    sql.update(_dedup.SQL)
+    sql.update(_ann.SQL)
+    # Rows-only (non-SQL-expressible): lang_id, doc_fingerprint,
+    # minhash_lsh_dups, simhash_dups, embedding_neardup, lsh_ann_topk,
+    # extract_pipeline — each has a pytest oracle instead (tests/).
+    return sql

@@ -1,0 +1,185 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All stages are ``map_batches`` over Arrow with vectorized kernels
+(``pyarrow.compute`` regex counters; numpy rolling hashes). ``token_stats``
+and ``quality_score`` carry exact DuckDB SQL oracles (both engines run RE2,
+and ratios are single IEEE divisions, so values match bit-for-bit);
+``lang_id`` and ``doc_fingerprint`` are heuristic/stateful and get rows-only
+driver checks plus their own pytest oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+TOKEN_RE = r"[A-Za-z0-9_]+"
+
+
+def token_stats(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(t["text"], TOKEN_RE), pa.int64()
+                ),
+                "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def quality_score(sf_dir: str) -> rd.Dataset:
+    """Shallow quality features: char-class counts + alpha ratio.
+
+    The ratio is one double division of two exact ints — bit-identical in
+    numpy and DuckDB — so it is safe under the driver's value-hash compare.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        alpha = pc.cast(pc.count_substring_regex(t["text"], "[a-z]"), pa.int64())
+        digit = pc.cast(pc.count_substring_regex(t["text"], "[0-9]"), pa.int64())
+        space = pc.cast(pc.count_substring_regex(t["text"], " "), pa.int64())
+        ratio = pc.divide(pc.cast(alpha, pa.float64()), pc.cast(n, pa.float64()))
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_chars2": n, "alpha_cnt": alpha,
+             "digit_cnt": digit, "space_cnt": space, "alpha_ratio": ratio}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_QUALITY_SCORE = """
+SELECT doc_id,
+       length(text) AS n_chars2,
+       length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha_cnt,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_cnt,
+       length(text) - length(replace(text, ' ', '')) AS space_cnt,
+       CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS alpha_ratio
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# lang_id — stopword-profile n-gram heuristic (stateful actor: profiles
+# compiled once per actor). Rows-only driver check; accuracy pinned in pytest
+# on hand-written sentences (the driver corpus's lang labels are synthetic).
+# --------------------------------------------------------------------------
+
+LANG_PROFILES: dict[str, frozenset[str]] = {
+    "de": frozenset("der die das und ist nicht ich ein zu mit für auf sie es von".split()),
+    "en": frozenset("the and is not i a to with for on it of in that was".split()),
+    "es": frozenset("el la los las y es no un una para con por que de en".split()),
+    "fr": frozenset("le la les et est pas je un une pour avec sur que de ne".split()),
+    "zh": frozenset("的 是 不 我 一 在 有 人 了 中 大 为 上 个 国".split()),
+}
+
+
+class LangIdActor:
+    """Stateful language-ID stage: profiles + tokenizer compiled in __init__."""
+
+    def __init__(self) -> None:
+        import re
+
+        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.langs = sorted(LANG_PROFILES)  # deterministic tie-break order
+        self.profiles = [LANG_PROFILES[lang] for lang in self.langs]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(self.word_re)
+        preds, scores = [], []
+        for words in toks:
+            ws = words or []
+            hits = [sum(w in prof for w in ws) for prof in self.profiles]
+            best = int(np.argmax(hits))  # first max wins → deterministic
+            preds.append(self.langs[best] if hits[best] > 0 else "und")
+            scores.append(hits[best] / max(1, len(ws)))
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].values, "pred_lang": preds, "stop_hit_ratio": scores}
+        )
+
+
+def lang_id(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(LangIdActor, batch_format="pandas", concurrency=2)
+
+
+# --------------------------------------------------------------------------
+# doc_fingerprint — winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+# SIGMOD 2003): k-gram rolling hashes, per-window minima, dedup. Aggregates
+# (count + xor) are order-independent so results are deterministic under any
+# distribution. Rows-only driver check + pytest oracle.
+# --------------------------------------------------------------------------
+
+FP_K = 8     # k-gram length (chars)
+FP_W = 4     # winnowing window
+
+
+def _winnow_one(data: bytes) -> np.ndarray:
+    if len(data) < FP_K:
+        return np.empty(0, dtype=np.uint64)
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(arr) - FP_K + 1
+    # polynomial rolling hash over k-gram windows, fully vectorized
+    h = np.zeros(n, dtype=np.uint64)
+    base = np.uint64(1099511628211)
+    for j in range(FP_K):
+        h = h * base + arr[j : j + n]
+    if n < FP_W:
+        mins = np.array([h.min()], dtype=np.uint64)
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(h, FP_W)
+        mins = win.min(axis=1)
+    return np.unique(mins)
+
+
+def doc_fingerprint(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_fp = np.empty(len(texts), dtype=np.int64)
+        fp_xor = np.empty(len(texts), dtype=np.uint64)
+        for i, s in enumerate(texts):
+            fps = _winnow_one((s or "").encode())
+            n_fp[i] = len(fps)
+            fp_xor[i] = np.bitwise_xor.reduce(fps) if len(fps) else np.uint64(0)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_fingerprints": pa.array(n_fp),
+             "fp_xor": pa.array(fp_xor.view(np.int64))}
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES = {
+    "token_stats": token_stats,
+    "quality_score": quality_score,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+SQL = {
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_score": SQL_QUALITY_SCORE,
+}

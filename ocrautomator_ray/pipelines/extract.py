@@ -100,3 +100,50 @@ def read_output(out_dir: str) -> rd.Dataset:
     from ocrautomator_ray.state.manifest import data_dir
 
     return rd.read_parquet(data_dir(out_dir))
+
+
+def flatten_spans(ds: rd.Dataset) -> rd.Dataset:
+    """DOC_SCHEMA dataset → one row per span (doc_id, kind, text, media_ref,
+    offset), fully vectorized (list_flatten + list_parent_indices)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def flat(t: pa.Table) -> pa.Table:
+        spans = t["spans"].combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        vals = pc.list_flatten(spans)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(parent),
+                "kind": vals.field("kind"),
+                "text": vals.field("text"),
+                "media_ref": vals.field("media_ref"),
+                "offset": vals.field("offset"),
+            }
+        )
+
+    return ds.map_batches(flat, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def run_flagship(sf_dir: str, scratch_root: str = "/tmp/ocrautomator_ray",
+                 fresh: bool = True, **cfg_kwargs) -> rd.Dataset:
+    """The flagship pipeline over a doc table derived from the driver's
+    documents.parquet: synthesize DOC_SCHEMA rows deterministically, run the
+    full extraction pipeline, return the flattened span table."""
+    import hashlib
+    import os
+    import shutil
+
+    from ocrautomator_ray.synth import docs_from_documents_parquet
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out_dir = os.path.join(scratch_root, f"flagship-{tag}")
+    if fresh and os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    docs = docs_from_documents_parquet(sf_dir)
+    cfg_kwargs.setdefault("num_partitions", 16)
+    cfg_kwargs.setdefault("work_factor", 2)
+    cfg = PipelineConfig(out_dir=out_dir, input_desc=f"{sf_dir}/documents.parquet",
+                         **cfg_kwargs)
+    run_extraction(rd.from_arrow(docs), cfg)
+    return flatten_spans(read_output(out_dir))

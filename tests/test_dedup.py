@@ -1,0 +1,124 @@
+"""Brute-force oracles for the non-SQL dedup/similarity ops at sf0.001."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from ocrautomator_ray.functions import dedup as D
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+@pytest.fixture(scope="module")
+def embeddings():
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    return ids, E / np.linalg.norm(E, axis=1, keepdims=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_precision_and_high_jaccard_recall(docs):
+    got = D.minhash_lsh_dups(SF).to_pandas()
+    shingles = {d: D.word_shingles(t) for d, t in docs.items()}
+    # precision: every reported pair really has jaccard >= threshold
+    for a, b, j in got.itertuples(index=False):
+        true_j = D.jaccard(shingles[a], shingles[b])
+        assert true_j == j and true_j >= D.MINHASH_THRESHOLD
+    # recall on strong dups: every pair with true jaccard >= 0.9 must be found
+    ids = sorted(docs)
+    strong = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if D.jaccard(shingles[a], shingles[b]) >= 0.9:
+                strong.add((a, b))
+    found = set(zip(got["doc_a"], got["doc_b"]))
+    missing = strong - found
+    assert not missing, f"missed strong near-dups: {sorted(missing)[:5]}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_exact_recall(docs):
+    got = D.simhash_dups(SF).to_pandas()
+    sigs = {d: int(D.simhash64(t)) for d, t in docs.items()}
+    ids = sorted(docs)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(sigs[a] ^ sigs[b]).count("1") <= D.SIMHASH_MAX_HAMMING:
+                expected.add((a, b))
+    found = set(zip(got["doc_a"], got["doc_b"]))
+    # 4×16-bit banding guarantees exact recall for hamming <= 3 (pigeonhole)
+    assert found == expected
+    for a, b, h in got.itertuples(index=False):
+        assert bin(sigs[a] ^ sigs[b]).count("1") == h
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_neardup_exact(embeddings):
+    ids, En = embeddings
+    got = D.embedding_neardup(SF).to_pandas()
+    S = En @ En.T
+    ia, ib = np.nonzero(np.triu(S >= D.COSINE_THRESHOLD, k=1))
+    expected = set(zip(ids[ia].tolist(), ids[ib].tolist()))
+    found = set(zip(got["vec_a"], got["vec_b"]))
+    assert found == expected
+    # no pair sits razor-close to the threshold (guards float-order effects)
+    offdiag = S[np.triu_indices_from(S, k=1)]
+    margin = np.abs(offdiag - D.COSINE_THRESHOLD).min()
+    assert margin > 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_ann_recall_vs_exact():
+    from ocrautomator_ray.functions import ann as A
+
+    exact = A.ann_topk(SF).to_pandas()
+    approx = A.lsh_ann_topk(SF).to_pandas()
+    exact_sets = exact.groupby("qid")["vec_id"].apply(set)
+    approx_sets = approx.groupby("qid")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    # random 64-dim data is the adversarial case for LSH — the neighbors sit
+    # at cos≈0.3-0.45; hamming-2 multi-probe buys usable-but-imperfect recall
+    assert np.mean(recalls) >= 0.4, recalls
+
+
+def test_winnow_fingerprint_properties():
+    from ocrautomator_ray.functions.text import _winnow_one
+
+    a = _winnow_one(b"the quick brown fox jumps over the lazy dog")
+    b = _winnow_one(b"the quick brown fox jumps over the lazy dog")
+    assert np.array_equal(a, b) and len(a) > 0
+    # containment: fingerprints of a substring mostly survive in the superstring
+    sup = _winnow_one(b"PREFIX the quick brown fox jumps over the lazy dog SUFFIX")
+    overlap = np.intersect1d(a, sup).size / len(a)
+    assert overlap >= 0.5
+    assert len(_winnow_one(b"short")) == 0  # below k-gram length
+
+
+def test_lang_id_on_real_sentences():
+    from ocrautomator_ray.functions.text import LangIdActor
+
+    actor = LangIdActor()
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "the cat is on the mat and it is not happy",
+            "der Hund ist nicht da und ich bin ein Mensch mit Zeit",
+            "el perro no es un gato y la casa es para los dos",
+            "le chien est pour le chat et je ne suis pas une personne",
+            "我 是 一 个 人 在 中 国 的 大 学",
+        ],
+    })
+    out = actor(df)
+    assert out["pred_lang"].tolist() == ["en", "de", "es", "fr", "zh"]

@@ -1,0 +1,27 @@
+"""Driver-contract smoke: entry() and the flagship pipeline query."""
+
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entry_runs_and_has_stable_schema():
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    assert list(sorted(df.columns)) == ["doc_id", "kind", "media_ref", "offset", "text"]
+    assert df.shape[0] > 0
+    assert set(df["kind"].unique()) <= {"text", "exif"}
+    # flagship spans are contiguous per doc
+    g = df.sort_values(["doc_id", "offset"]).groupby("doc_id")["offset"]
+    assert (g.min() == 0).all()
+    assert (g.max() + 1 == g.count()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entry_is_deterministic_across_runs():
+    import __ray_entry__ as e
+
+    a = e.entry().to_pandas().sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    b = e.entry().to_pandas().sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    assert a.equals(b)

@@ -1,0 +1,85 @@
+"""Driver-contract conformance: every queries() entry runs; every oracle_sql()
+entry matches DuckDB exactly (column names, row count, values) — mimicking the
+driver's order-insensitive compare at sf0.001."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+@pytest.fixture(scope="module")
+def contract():
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
+               "dedup_first_docs", "customers_without_orders", "revenue_by_nation",
+               "top_orders", "event_type_counts", "hourly_user_activity",
+               "token_stats", "quality_score", "chargram_jaccard_dups", "ann_topk"]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", SQL_ORACLED)
+def test_sql_oracled_query(name, ddb, contract):
+    queries, sql = contract
+    assert name in queries and name in sql
+    got = _norm(_to_pandas(queries[name](SF)))
+    exp = _norm(ddb.sql(sql[name]).df())
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert got.shape == exp.shape
+    for c in got.columns:
+        if got[c].dtype.kind == "f":
+            assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy()), c
+        else:
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+ROWS_ONLY = ["lang_id", "doc_fingerprint", "minhash_lsh_dups", "simhash_dups",
+             "embedding_neardup", "lsh_ann_topk"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rows_only_queries_run(contract):
+    queries, sql = contract
+    for name in ROWS_ONLY:
+        assert name in queries and name not in sql
+        df = _to_pandas(queries[name](SF))
+        assert df.shape[0] >= 0 and df.shape[1] >= 2, name
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_every_query_has_sql_or_is_listed(contract):
+    queries, sql = contract
+    unac = set(queries) - set(sql) - set(ROWS_ONLY) - {"extract_pipeline"}
+    assert not unac, f"queries without oracle or rows-only listing: {unac}"
