@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY.md §6 / M7).
+
+Default mode: runs the headline extraction pipeline plus a set of operator
+benchmarks over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and
+prints ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` mode: runs the same benchmark twice in fresh processes at
+num_cpus=8 and num_cpus=32 on byte-identical input and reports both
+throughputs plus scaling efficiency — the sandbox stand-in for the N-node vs
+4N-node ``ray job submit`` criterion (BASELINE.json:14; no real multi-node
+cluster exists here).
+
+The headline input is the deterministic FIXTURES.md `bench` profile sized
+from the sf documents table (12 docs per documents-row), cached as parquet
+under /tmp so both scaling runs read identical bytes. The synthetic decoder's
+``work_factor`` is calibrated so per-page decode ≈ 4 ms — the same order as
+real OCR inference, keeping actor-pool economics honest.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+WORK_FACTOR = int(os.environ.get("BENCH_WORK_FACTOR", "1536"))  # ~8 ms/page
+DOCS_PER_ROW = int(os.environ.get("BENCH_DOCS_PER_ROW", "12"))
+SCRATCH = "/tmp/ocrautomator_bench"
+
+
+def _bench_input(sf_dir: str) -> str:
+    """Deterministic bench doc table, cached on disk (shared by both scaling
+    runs so input bytes are identical)."""
+    import duckdb
+
+    n_rows = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    n_docs = n_rows * DOCS_PER_ROW
+    path = os.path.join(SCRATCH, f"bench-{n_docs}-seed42")
+    if not os.path.exists(path):
+        # A DIRECTORY of shard files, like any real at-scale input: the read
+        # parallelizes across fragments instead of one monolithic read task.
+        import pyarrow.parquet as pq
+
+        from ocrautomator_ray.synth import gen_table
+
+        os.makedirs(SCRATCH, exist_ok=True)
+        tmp = path + f".tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        table = gen_table("bench", seed=42, rows=n_docs)
+        shard = 2048
+        for i, start in enumerate(range(0, table.num_rows, shard)):
+            pq.write_table(table.slice(start, shard),
+                           os.path.join(tmp, f"shard-{i:04d}.parquet"),
+                           row_group_size=1024)
+        os.replace(tmp, path)
+    return path
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from ocrautomator_ray.pipelines.extract import PipelineConfig, run_extraction
+    from ocrautomator_ray.functions import ann, dedup, relational, text
+
+    bench_path = _bench_input(SF_DIR)
+    # warm OS page cache (untimed) so we measure compute + shuffle, not disk
+    rd.read_parquet(bench_path).count()
+
+    # warm the worker pool (untimed): a mini pipeline run spawns + imports the
+    # Ray worker processes once, so the timed run measures steady-state
+    # throughput rather than interpreter start-up — the cluster analogue is a
+    # long-lived job processing far more than 60s of data
+    warm_dir = os.path.join(SCRATCH, f"warm-{NUM_CPUS}-{os.getpid()}")
+    run_extraction(
+        rd.read_parquet(bench_path, override_num_blocks=64).limit(2000),
+        PipelineConfig(out_dir=warm_dir, num_partitions=8, resume=False,
+                       concurrency=max(2, (NUM_CPUS * 3) // 4), work_factor=1,
+                       input_desc="warmup"),
+    )
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
+    queries: dict[str, float] = {}
+    stats: dict[str, float] = {}
+
+    # ---- headline: full extraction pipeline over the bench doc table ----
+    out_dir = os.path.join(SCRATCH, f"out-{NUM_CPUS}-{os.getpid()}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = PipelineConfig(
+        out_dir=out_dir,
+        num_partitions=64,
+        resume=False,
+        explode_batch_size=256,
+        ocr_batch_size=64,
+        # fixed pool (no autoscale ramp), sized to ~3/4 of the node so the
+        # feeders (read, explode) and the exchange aggregators keep CPUs
+        concurrency=max(2, (NUM_CPUS * 3) // 4),
+        num_cpus_per_actor=1.0,
+        work_factor=WORK_FACTOR,
+        input_desc=bench_path,
+    )
+    t0 = time.perf_counter()
+    res = run_extraction(
+        rd.read_parquet(bench_path, override_num_blocks=12 * NUM_CPUS), cfg
+    )
+    headline = time.perf_counter() - t0
+    queries["extract_bench"] = round(headline, 3)
+    c = res["counters"]
+    stats["docs"] = c.get("docs", 0)
+    stats["pages_ocrd"] = c.get("pages_ocrd", 0)
+    stats["docs_per_sec"] = round(stats["docs"] / headline, 1)
+    stats["pages_per_sec"] = round(stats["pages_ocrd"] / headline, 1)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # ---- operator benchmarks over the driver tables ----
+    def timed(name, fn, consume="to_pandas"):
+        t0 = time.perf_counter()
+        ds = fn(SF_DIR)
+        if consume == "count":
+            ds.count()
+        else:
+            ds.to_pandas()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    timed("q1_pricing_summary", relational.q1_pricing_summary)
+    timed("filter_project", relational.filter_project, consume="count")
+    timed("dedup_first_docs", relational.dedup_first_docs, consume="count")
+    timed("hourly_user_activity", relational.hourly_user_activity, consume="count")
+    timed("token_stats", text.token_stats, consume="count")
+    timed("doc_fingerprint", text.doc_fingerprint, consume="count")
+    timed("minhash_lsh_dups", dedup.minhash_lsh_dups, consume="count")
+    timed("ann_topk", ann.ann_topk)
+
+    ray.shutdown()
+
+    return {
+        "metric": "extraction pipeline wall time (bench profile, "
+                  f"work_factor={WORK_FACTOR})",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **stats,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job at two parallelism levels in fresh processes (8 vs 32 CPUs)."""
+    results = {}
+    for n in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        results[n] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = results[8]["value"], results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "throughput scaling efficiency, num_cpus 8 -> 32 "
+                  "(sandbox stand-in for N vs 4N nodes)",
+        "sec_8": t8,
+        "sec_32": t32,
+        "pages_per_sec_8": results[8].get("pages_per_sec"),
+        "pages_per_sec_32": results[32].get("pages_per_sec"),
+        "docs_per_sec_8": results[8].get("docs_per_sec"),
+        "docs_per_sec_32": results[32].get("docs_per_sec"),
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        payload = run_scaling()
+    else:
+        # keep stdout to exactly one JSON line: anything the libraries print
+        # goes to stderr
+        real_stdout = sys.stdout
+        with contextlib.redirect_stdout(sys.stderr):
+            payload = run_benchmarks()
+        sys.stdout = real_stdout
+    print(json.dumps(payload))

@@ -28,7 +28,7 @@ import ray.data as rd
 
 from ocrautomator_ray.stages.explode import make_explode, make_resume_filter
 from ocrautomator_ray.stages.extract import ExtractActor
-from ocrautomator_ray.stages.reassemble import make_reassemble_commit
+from ocrautomator_ray.stages.reassemble import make_commit_blocks, make_reassemble_commit
 from ocrautomator_ray.state.manifest import completed_parts, load_manifests, merge_counters
 
 
@@ -37,8 +37,19 @@ class PipelineConfig:
     out_dir: str
     num_partitions: int = 16
     resume: bool = True
-    # explode: stateless tasks over doc rows
+    # explode: stateless tasks over doc rows. The fractional num_cpus is
+    # deliberate: it makes explode's resource request incompatible with the
+    # actor pool's so Ray Data does NOT fuse the two operators — fused, the
+    # OCR work unit becomes the whole input doc-block (one fat document pins
+    # one actor), which is exactly the skew the page-level explode exists to
+    # prevent. Unfused, page rows stream into the pool and are re-bundled at
+    # ocr_batch_size granularity across block boundaries. (Measured on the
+    # bench profile: fused 36s vs unfused 22.7s at num_cpus=8.)
     explode_batch_size: int = 256
+    explode_num_cpus: float = 0.5
+    # explode output chunk rows == extraction task granularity (explode yields
+    # one block per chunk; the actor pool schedules one task per block)
+    unit_chunk_rows: int = 512
     # extraction actor pool (the reference's N warm OCR threads)
     concurrency: tuple[int, int] | int = (2, 8)
     num_cpus_per_actor: float = 1.0
@@ -47,6 +58,17 @@ class PipelineConfig:
     # optional skew-spreading repartition between explode and the pool
     ocr_repartition: int | None = None
     input_desc: str = "in-memory"
+    # Reassembly exchange. "hash": streaming hash-repartition on part_id
+    # (Ray's HASH_SHUFFLE aggregators — overlaps with extraction, measured
+    # ~4-7x faster than the sort-based groupby on the bench profile).
+    # "groupby": the portable sort-based groupby(part_id).map_groups fallback.
+    exchange: str = "hash"
+    # hash-exchange sizing: partitions per exchange (not the commit P),
+    # aggregator actor cap and per-partition CPU reservation — bounded so the
+    # aggregators never deadlock against the extraction actor pool.
+    exchange_partitions: int | None = None
+    hash_aggregators: int = 8
+    hash_aggregator_cpus: float = 0.25
     extra: dict = field(default_factory=dict)
 
 
@@ -61,9 +83,10 @@ def build_pipeline(ds: rd.Dataset, cfg: PipelineConfig) -> rd.Dataset:
                 zero_copy_batch=True,
             )
     units = ds.map_batches(
-        make_explode(cfg.num_partitions),
+        make_explode(cfg.num_partitions, cfg.unit_chunk_rows),
         batch_format="pyarrow",
         batch_size=cfg.explode_batch_size,
+        num_cpus=cfg.explode_num_cpus,  # breaks operator fusion; see config
         zero_copy_batch=True,
     )
     if cfg.ocr_repartition:
@@ -77,15 +100,76 @@ def build_pipeline(ds: rd.Dataset, cfg: PipelineConfig) -> rd.Dataset:
         num_cpus=cfg.num_cpus_per_actor,
         zero_copy_batch=True,
     )
+    if _hash_exchange_available() and cfg.exchange == "hash":
+        exchanged = extracted.repartition(
+            cfg.exchange_partitions or min(16, cfg.num_partitions),
+            keys=["part_id"],
+            sort=True,
+        )
+        return exchanged.map_batches(
+            make_commit_blocks(cfg.out_dir, cfg.num_partitions, cfg.input_desc),
+            batch_format="pyarrow",
+            batch_size=None,  # batch == block == complete partition runs
+            zero_copy_batch=True,
+        )
     return extracted.groupby("part_id").map_groups(
         make_reassemble_commit(cfg.out_dir, cfg.num_partitions, cfg.input_desc),
         batch_format="pyarrow",
     )
 
 
+def _hash_exchange_available() -> bool:
+    try:
+        from ray.data.context import ShuffleStrategy  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _apply_shuffle_config(ds: rd.Dataset, cfg: PipelineConfig) -> None:
+    """Configure the DATASET-scoped DataContext for the hash exchange.
+
+    A Dataset snapshots the global DataContext at creation, so the strategy
+    must be set on ``ds.context`` (propagates to the whole downstream plan).
+    repartition(keys=...) requires shuffle_strategy=HASH_SHUFFLE; the
+    aggregator cap + fractional CPU reservation keep the shuffle actors from
+    deadlocking against the extraction actor pool on a full node.
+    """
+    if not (_hash_exchange_available() and cfg.exchange == "hash"):
+        return
+    from ray.data.context import ShuffleStrategy
+
+    ctx = getattr(ds, "context", None)
+    if ctx is None:
+        return
+    # Budget the aggregator actors to the cluster so they can never deadlock
+    # the rest of the pipeline: at most ~1/16 of cluster CPUs, min 0.5 CPU.
+    import ray
+
+    total_cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    n_parts = cfg.exchange_partitions or min(16, cfg.num_partitions)
+    n_agg = max(2, min(cfg.hash_aggregators, total_cpus // 4))
+    cpu_budget = max(0.5, total_cpus / 16)  # total CPUs all aggregators may hold
+    # the override is per exchange PARTITION; an aggregator holding k
+    # partitions reserves k * override CPUs
+    per_partition = min(cfg.hash_aggregator_cpus, cpu_budget / n_parts)
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.max_hash_shuffle_aggregators = n_agg
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_partition
+
+
 def run_extraction(ds: rd.Dataset, cfg: PipelineConfig) -> dict:
     """Execute the pipeline; return merged job counters (A1 partial+final)."""
+    _apply_shuffle_config(ds, cfg)
     summary = build_pipeline(ds, cfg).to_pandas()  # P rows — small by design
+    if summary["part_id"].duplicated().any():
+        dupes = summary[summary["part_id"].duplicated(keep=False)]
+        raise RuntimeError(
+            "partition committed more than once in a single run — a partition "
+            "spanned exchange blocks (size partitions below the block limit); "
+            f"affected part_ids: {sorted(dupes['part_id'].unique().tolist())}"
+        )
     manifests = load_manifests(cfg.out_dir)
     return {
         "out_dir": cfg.out_dir,

@@ -1,0 +1,88 @@
+"""CLI entry point (SURVEY.md §2.10 U2, §3.2): the engine's analogue of the
+reference's `OcrAutomator` binary, and the entrypoint for `ray job submit`.
+
+Usage (local)::
+
+    python -m ocrautomator_ray.run --input /data/docs --out /data/extracted \
+        --partitions 256 --concurrency 30 --work-factor 768
+
+Usage (cluster — the north_rule launch path)::
+
+    ray job submit --working-dir . -- python -m ocrautomator_ray.run \
+        --input lance://bucket/docs.lance --out s3://bucket/extracted ...
+
+This module owns a Ray session ONLY when none exists (guarded init) — the
+library itself never calls ray.init (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ocrautomator_ray.run",
+        description="Ray-Data-native interleaved-document extraction pipeline",
+    )
+    p.add_argument("--input", required=True,
+                   help="input doc table (parquet path/dir, or .lance when available)")
+    p.add_argument("--out", required=True, help="output directory (data/ + manifest/)")
+    p.add_argument("--partitions", type=int, default=64,
+                   help="hash partitions = checkpoint/commit units")
+    p.add_argument("--concurrency", type=int, default=None,
+                   help="extraction actor pool size (default: num_cpus - 2)")
+    p.add_argument("--batch-size", type=int, default=64,
+                   help="pages per extraction batch")
+    p.add_argument("--work-factor", type=int, default=8,
+                   help="synthetic OCR compute per page (hash rounds)")
+    p.add_argument("--repartition", type=int, default=None,
+                   help="optional repartition between explode and the pool")
+    p.add_argument("--no-resume", action="store_true",
+                   help="ignore existing checkpoint manifests")
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="num_cpus for a locally-owned ray session (ignored on a cluster)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = build_arg_parser().parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True}
+        if args.num_cpus:
+            kwargs.update(address="local", num_cpus=args.num_cpus)
+        ray.init(**kwargs)
+
+    try:
+        from ocrautomator_ray.pipelines.extract import PipelineConfig, run_extraction
+        from ocrautomator_ray.sources.io import read_docs
+
+        concurrency = args.concurrency
+        if concurrency is None:
+            total = int(ray.cluster_resources().get("CPU", 4))
+            concurrency = max(2, total - 2)
+        cfg = PipelineConfig(
+            out_dir=args.out,
+            num_partitions=args.partitions,
+            resume=not args.no_resume,
+            ocr_batch_size=args.batch_size,
+            concurrency=concurrency,
+            work_factor=args.work_factor,
+            ocr_repartition=args.repartition,
+            input_desc=args.input,
+        )
+        summary = run_extraction(read_docs(args.input), cfg)
+        return summary
+    finally:
+        if owns_session:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    print(json.dumps(main(sys.argv[1:]), indent=1))

@@ -60,6 +60,8 @@ EXTRACTED_SCHEMA = pa.schema(
         ("media_ref", pa.string()),
         ("status", pa.string()),    # "ok" | "error"
         ("error", pa.string()),
+        ("worker_id", pa.string()), # per-file accounting (T7/A3): which worker
+        ("elapsed_us", pa.int64()), # approx per-row extraction time (batch/rows)
     ]
 )
 

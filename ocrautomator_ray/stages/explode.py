@@ -25,14 +25,26 @@ from ocrautomator_ray.state.manifest import partition_ids
 from ocrautomator_ray.synth import doc_dup_key
 
 
-def make_explode(num_partitions: int) -> Callable[[pa.Table], pa.Table]:
-    def explode(batch: pa.Table) -> pa.Table:
+def make_explode(num_partitions: int, out_chunk_rows: int = 1024):
+    """Explode UDF. Yields unit-row chunks of ≤ out_chunk_rows so each chunk
+    becomes its own output block — this controls the *task granularity* of the
+    downstream actor pool (Ray Data does not split blocks into smaller actor
+    tasks, so a monolithic explode output block would hand one actor a whole
+    input block's pages and leave the rest of the pool idle)."""
+
+    def explode(batch: pa.Table):
         batch = batch.combine_chunks()
         doc_ids = batch["doc_id"].to_pylist()
         spans_rows = batch["spans"].to_pylist()
         pids = partition_ids(batch["doc_id"], num_partitions)
 
         cols: dict[str, list] = {name: [] for name in UNIT_SCHEMA.names}
+
+        def flush() -> pa.Table:
+            nonlocal cols
+            out = pa.Table.from_pydict(cols, schema=UNIT_SCHEMA)
+            cols = {name: [] for name in UNIT_SCHEMA.names}
+            return out
 
         def emit(did, pid, dkey, in_off, unit, page_no, ref, psm, payload):
             cols["doc_id"].append(did)
@@ -46,6 +58,8 @@ def make_explode(num_partitions: int) -> Callable[[pa.Table], pa.Table]:
             cols["payload"].append(payload)
 
         for i, did in enumerate(doc_ids):
+            if len(cols["doc_id"]) >= out_chunk_rows:
+                yield flush()
             spans = spans_rows[i] or []
             pid = int(pids[i])
             dkey = doc_dup_key(did, spans)
@@ -76,7 +90,8 @@ def make_explode(num_partitions: int) -> Callable[[pa.Table], pa.Table]:
                     emit(did, pid, dkey, off, "poison", -1, "",
                          -1, f"unknown span kind {s['kind']!r}".encode())
 
-        return pa.Table.from_pydict(cols, schema=UNIT_SCHEMA)
+        if len(cols["doc_id"]):
+            yield flush()
 
     return explode
 

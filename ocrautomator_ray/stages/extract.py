@@ -1,5 +1,5 @@
 """ExtractActor — the stateful extraction actor pool (SURVEY.md §2.2 T1-T4,
-§2.3 ST1).
+§2.3 ST1, §2.10 U1).
 
 The engine's analogue of the reference's warm-TessBaseAPI worker thread:
 ``__init__`` builds the expensive decoder state once per actor (model-load
@@ -8,24 +8,42 @@ economics), ``__call__`` processes one Arrow batch of unit rows. Passed to
 batch_format="pyarrow")`` so one warm engine per reserved CPU, exactly the
 reference's N-threads-with-warm-engines design.
 
+Extensibility (U1 — the reference's BaseOcr/OcrFactory seam): media decoding
+is pluggable via ``decoder_factory``; text-span extraction dispatches through
+``stages.extractors.TEXT_EXTRACTORS`` (html / pdftext / plain built-ins), and
+``register_text_extractor`` adds new sniffed kinds.
+
 Row-level errors (poison payloads) are captured as status="error" rows (T8):
 a bad row never kills a task, so Ray's task retries are reserved for real
-faults.
+faults. Each output row carries worker_id + approximate per-row elapsed time
+(T7) — the per-file accounting the reference kept in its status structs;
+per-worker breakdowns land in the partition manifests (A3).
 """
 
 from __future__ import annotations
+
+import time
+from collections.abc import Callable
 
 import pyarrow as pa
 
 from ocrautomator_ray import codec
 from ocrautomator_ray.schema import EXTRACTED_SCHEMA
-from ocrautomator_ray.stages.extractors import extract_text_span
+from ocrautomator_ray.stages.extractors import TEXT_EXTRACTORS, sniff_text_kind
+
+
+def register_text_extractor(kind: str, fn: Callable[[str], str]) -> None:
+    """Register a text-span extractor for a sniffed content kind (U1)."""
+    TEXT_EXTRACTORS[kind] = fn
 
 
 class ExtractActor:
-    def __init__(self, work_factor: int = 8):
+    def __init__(self, work_factor: int = 8,
+                 decoder_factory: Callable[[int], object] | None = None):
         # Warm state: full cipher key schedule (the "loaded .traineddata").
-        self.decoder = codec.MediaDecoder(work_factor=work_factor)
+        factory = decoder_factory or (lambda wf: codec.MediaDecoder(work_factor=wf))
+        self.decoder = factory(work_factor)
+        self.text_extractors = dict(TEXT_EXTRACTORS)
         try:
             import ray
 
@@ -33,7 +51,11 @@ class ExtractActor:
         except Exception:
             self.worker_id = "local"
 
+    def _extract_text(self, s: str) -> str:
+        return self.text_extractors[sniff_text_kind(s)](s)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        t_start = time.perf_counter()
         batch = batch.combine_chunks()
         n = batch.num_rows
         doc_id = batch["doc_id"].to_pylist()
@@ -67,7 +89,7 @@ class ExtractActor:
                 if u == "page":
                     emit(i, 0, "text", self.decoder.decode_page(payload[i], psm[i]))
                 elif u == "text":
-                    emit(i, 0, "text", extract_text_span(payload[i].decode()))
+                    emit(i, 0, "text", self._extract_text(payload[i].decode()))
                 elif u == "exif":
                     for j, (k, v) in enumerate(codec.decode_exif_block(payload[i])):
                         emit(i, j, "exif", f"{k}={v}")
@@ -80,4 +102,8 @@ class ExtractActor:
             except codec.CodecError as e:
                 emit(i, 0, "error", "", "error", str(e))
 
+        n_out = len(cols["doc_id"])
+        elapsed_us = int((time.perf_counter() - t_start) * 1e6 / max(1, n_out))
+        cols["worker_id"] = [self.worker_id] * n_out
+        cols["elapsed_us"] = [elapsed_us] * n_out
         return pa.Table.from_pydict(cols, schema=EXTRACTED_SCHEMA)

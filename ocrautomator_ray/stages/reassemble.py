@@ -140,6 +140,34 @@ def _task_retries() -> int:
         return 0
 
 
+def make_commit_blocks(
+    out_dir: str, num_partitions: int, input_desc: str
+) -> Callable[[pa.Table], pa.Table]:
+    """Block-level commit for the hash-exchange path.
+
+    Input blocks come from ``repartition(keys=["part_id"], sort=True)``: each
+    block holds one or more *complete* partitions as contiguous runs (the
+    aggregator emits a partition only after seeing all of its rows). The
+    wrapper splits the block into runs and commits each. run_extraction
+    asserts no part_id was committed twice in a run — the loud failure mode
+    if a partition ever spanned blocks (e.g. finalization splitting at
+    target_max_block_size); size partitions below the block limit.
+    """
+    commit = make_reassemble_commit(out_dir, num_partitions, input_desc)
+
+    def commit_blocks(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return SUMMARY_SCHEMA.empty_table()
+        pids = block["part_id"].to_numpy(zero_copy_only=False)
+        bounds = [0] + (np.nonzero(np.diff(pids))[0] + 1).tolist() + [len(pids)]
+        outs = [
+            commit(block.slice(a, b - a)) for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        return pa.concat_tables(outs)
+
+    return commit_blocks
+
+
 def make_reassemble_commit(
     out_dir: str, num_partitions: int, input_desc: str
 ) -> Callable[[pa.Table], pa.Table]:
@@ -147,6 +175,18 @@ def make_reassemble_commit(
         pid = int(group["part_id"][0].as_py())
         docs_table, counters = reassemble_group(group)
         counters["retries"] = _task_retries()
+
+        # A3: per-worker breakdown (the reference's per-thread display)
+        workers = {}
+        if "worker_id" in group.column_names:
+            wg = pa.TableGroupBy(group.select(["worker_id", "elapsed_us"]),
+                                 "worker_id").aggregate(
+                [("worker_id", "count"), ("elapsed_us", "mean")]
+            )
+            for w, cnt, el in zip(wg["worker_id"].to_pylist(),
+                                  wg["worker_id_count"].to_pylist(),
+                                  wg["elapsed_us_mean"].to_pylist()):
+                workers[w] = {"rows": int(cnt), "mean_elapsed_us": int(el or 0)}
 
         os.makedirs(data_dir(out_dir), exist_ok=True)
         final = part_data_path(out_dir, pid)
@@ -161,6 +201,7 @@ def make_reassemble_commit(
                 "part_id": pid,
                 "status": "committed",
                 "counters": counters,
+                "workers": workers,
                 "lineage": {
                     "partitioner": "siphash(doc_id) % num_partitions",
                     "num_partitions": num_partitions,

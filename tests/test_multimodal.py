@@ -1,0 +1,78 @@
+"""Multimodal actor-pool plumbing (stubbed codecs, real Ray wiring)."""
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from ocrautomator_ray import codec
+from ocrautomator_ray.stages import multimodal as mm
+
+
+def _refs(n=6, pages=4):
+    return [codec.make_media_ref(f"img-{i}", 0, pages, 3, i) for i in range(n)]
+
+
+def test_image_decode_actor_direct():
+    t = mm.media_table_from_refs(_refs())
+    out = mm.ImageDecodeActor()(t)
+    assert out.schema.equals(mm.IMAGE_META_SCHEMA)
+    assert out.num_rows == t.num_rows
+    assert all(s == "ok" for s in out["status"].to_pylist())
+    assert all(f == 4 for f in out["n_frames"].to_pylist())
+
+
+def test_image_decode_bad_bytes_is_row_error():
+    import pyarrow as pa
+
+    t = pa.Table.from_pydict(
+        {"media_ref": ["x"], "bytes": [b"garbage"], "mime": ["image/synm"]},
+        schema=mm.MEDIA_SCHEMA,
+    )
+    out = mm.ImageDecodeActor()(t)
+    assert out["status"].to_pylist() == ["error"]
+
+
+def test_resize_feature_deterministic():
+    t = mm.media_table_from_refs(_refs(3))
+    a = mm.ResizeFeatureActor()(t)
+    b = mm.ResizeFeatureActor()(t)
+    assert a.equals(b)
+    feats = np.array(a["feature"].to_pylist())
+    assert feats.shape == (3, mm.ResizeFeatureActor.FEAT_DIM)
+
+
+def test_resize_feature_stub_boundary():
+    import pyarrow as pa
+
+    t = pa.Table.from_pydict(
+        {"media_ref": ["x"], "bytes": [b"\x89PNG fake"], "mime": ["image/png"]},
+        schema=mm.MEDIA_SCHEMA,
+    )
+    actor = mm.ResizeFeatureActor()
+    if actor._pil is None:
+        with pytest.raises(NotImplementedError):
+            actor(t)
+
+
+def test_frame_sample_every_k():
+    t = mm.media_table_from_refs(_refs(2, pages=10), mime="video/synm")
+    out = mm.FrameSampleActor(every_k=4)(t)
+    assert out["frame_no"].to_pylist() == [0, 4, 8, 0, 4, 8]
+    # sampled frame bytes decode to the right page text
+    dec = codec.MediaDecoder(work_factor=0)
+    ref = codec.parse_media_ref(t["media_ref"][0].as_py())
+    got = dec.decode_page(out["frame_bytes"][0].as_py(), 3)
+    assert got == codec.page_text(ref, 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multimodal_as_actor_pool_stage():
+    t = mm.media_table_from_refs(_refs(12))
+    out = (
+        rd.from_arrow(t)
+        .map_batches(mm.ImageDecodeActor, batch_format="pyarrow",
+                     batch_size=4, concurrency=2, num_cpus=1)
+        .to_pandas()
+    )
+    assert out.shape[0] == 12
+    assert set(out["status"]) == {"ok"}

@@ -30,7 +30,8 @@ def extracted_rows(draw):
         if n_units == 0:
             rows.append(dict(doc_id=did, part_id=0, dup_key=dkey, in_offset=-1,
                              page_no=-1, sub_no=0, kind="empty", text="",
-                             media_ref="", status="ok", error=""))
+                             media_ref="", status="ok", error="",
+                             worker_id="w", elapsed_us=1))
         for u in range(n_units):
             kind = draw(st.sampled_from(["text", "exif", "error"]))
             rows.append(dict(
@@ -38,6 +39,7 @@ def extracted_rows(draw):
                 page_no=draw(st.integers(-1, 3)), sub_no=draw(st.integers(0, 2)),
                 kind=kind, text=draw(st.text(max_size=8)), media_ref="m",
                 status="ok" if kind != "error" else "error", error="",
+                worker_id=draw(st.sampled_from(["w1", "w2"])), elapsed_us=1,
             ))
     return rows
 
@@ -84,7 +86,8 @@ def test_codec_roundtrip_property(seed, pages, psm):
 
 def test_reassemble_duplicate_content_collapses():
     row = dict(doc_id="d", part_id=0, dup_key=7, in_offset=0, page_no=-1,
-               sub_no=0, kind="text", text="x", media_ref="", status="ok", error="")
+               sub_no=0, kind="text", text="x", media_ref="", status="ok",
+               error="", worker_id="w", elapsed_us=1)
     out, counters = reassemble_group(_extracted_table([row, dict(row)]))
     assert out.num_rows == 1
     assert len(out["spans"][0]) == 1
@@ -93,7 +96,8 @@ def test_reassemble_duplicate_content_collapses():
 
 def test_reassemble_min_dupkey_wins():
     a = dict(doc_id="d", part_id=0, dup_key=9, in_offset=0, page_no=-1,
-             sub_no=0, kind="text", text="loser", media_ref="", status="ok", error="")
+             sub_no=0, kind="text", text="loser", media_ref="", status="ok",
+             error="", worker_id="w", elapsed_us=1)
     b = dict(a, dup_key=3, text="winner")
     out, _ = reassemble_group(_extracted_table([a, b]))
     assert out["spans"][0][0]["text"].as_py() == "winner"
