@@ -16,6 +16,7 @@ from typing import Any
 from ocrautomator_ray.functions import ann as _ann
 from ocrautomator_ray.functions import dedup as _dedup
 from ocrautomator_ray.functions import relational as _relational
+from ocrautomator_ray.functions import relational2 as _relational2
 from ocrautomator_ray.functions import text as _text
 from ocrautomator_ray.pipelines.extract import run_flagship
 
@@ -37,6 +38,7 @@ def _flagship_query(sf_dir: str) -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     q.update(_relational.QUERIES)
+    q.update(_relational2.QUERIES)
     q.update(_text.QUERIES)
     q.update(_dedup.QUERIES)
     q.update(_ann.QUERIES)
@@ -47,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
     sql.update(_relational.SQL)
+    sql.update(_relational2.SQL)
     sql.update(_text.SQL)
     sql.update(_dedup.SQL)
     sql.update(_ann.SQL)

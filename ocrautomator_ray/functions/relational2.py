@@ -1,0 +1,261 @@
+"""Second batch of relational operators: set ops, large-side joins, windowed
+analytics, per-group top-k, distinct counts — all SQL-oracled.
+
+Same determinism conventions as functions/relational.py (integerized money,
+matching column names, tie-broken top-k, partial pre-aggregation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+# --------------------------------------------------------------------------
+# union_orders_halves — D2 union: two disjoint reads unioned, then aggregated
+# --------------------------------------------------------------------------
+
+_SPLIT_DATE = "1998-01-01"
+
+
+def union_orders_halves(sf_dir: str) -> rd.Dataset:
+    lo = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_totalprice"],
+        filter=(pc.field("o_orderdate") < pa.scalar(pd.Timestamp(_SPLIT_DATE))),
+    )
+    hi = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_totalprice"],
+        filter=(pc.field("o_orderdate") >= pa.scalar(pd.Timestamp(_SPLIT_DATE))),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)), pa.int64()
+        )
+        t = t.append_column("total_cents", cents)
+        g = pa.TableGroupBy(t.select(["o_orderstatus", "total_cents"]),
+                            "o_orderstatus").aggregate(
+            [("total_cents", "sum"), ("total_cents", "count")]
+        )
+        return g.rename_columns(["o_orderstatus", "total_cents", "n"])
+
+    return (
+        lo.union(hi)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderstatus")
+        .aggregate(Sum("total_cents", alias_name="total_cents"),
+                   Sum("n", alias_name="n"))
+    )
+
+
+SQL_UNION = f"""
+SELECT o_orderstatus,
+       SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS total_cents,
+       COUNT(*) AS n
+FROM (
+    SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '{_SPLIT_DATE}'
+    UNION ALL
+    SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '{_SPLIT_DATE}'
+)
+GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# revenue_by_priority — LARGE × LARGE hash join (lineitem ⋈ orders), the
+# J2 "both sides large" path: Dataset.join hash-partitions both inputs on the
+# key (no broadcast), then partial-aggregates the joined stream.
+# --------------------------------------------------------------------------
+
+def revenue_by_priority(sf_dir: str) -> rd.Dataset:
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = line.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        cents4 = pc.cast(pc.floor(pc.add(pc.multiply(rev, 10_000.0), 0.5)), pa.int64())
+        t = t.append_column("revenue_cents4", cents4)
+        g = pa.TableGroupBy(t.select(["o_orderpriority", "revenue_cents4"]),
+                            "o_orderpriority").aggregate(
+            [("revenue_cents4", "sum"), ("revenue_cents4", "count")]
+        )
+        return g.rename_columns(["o_orderpriority", "revenue_cents4", "n_items"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue_cents4", alias_name="revenue_cents4"),
+                   Sum("n_items", alias_name="n_items"))
+    )
+
+
+SQL_JOIN_PRIORITY = """
+SELECT o_orderpriority,
+       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)) AS revenue_cents4,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# sessionize_events — session windows (30-min inactivity gap) per user
+# (streaming-shaped op, SURVEY.md §2.9: partition by key, order by ts within
+# the group, windowing logic in pandas inside map_groups)
+# --------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize_events(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        sid = gap.cumsum().astype(np.int64) + 1  # SQL's SUM over new-session flags
+        out = g.assign(session_id=sid).groupby("session_id", as_index=False).agg(
+            n_events=("event_id", "count"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_SESSIONIZE = f"""
+WITH d AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id, ts, event_id,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM d
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# top_events_per_user — per-group top-k (k=2 by value desc, event_id asc)
+# --------------------------------------------------------------------------
+
+TOPK_PER_USER = 2
+
+
+def top_events_per_user(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # batch-local top-k per user — shrinks the shuffle to k rows/user/batch
+        return (
+            df.sort_values(["value", "event_id"], ascending=[False, True])
+            .groupby("user_id", as_index=False)
+            .head(TOPK_PER_USER)
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(TOPK_PER_USER)
+        return pd.DataFrame({
+            "user_id": g["user_id"].values,
+            "event_id": g["event_id"].values,
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+SQL_TOPK_PER_USER = f"""
+SELECT user_id, event_id, rank FROM (
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY value DESC, event_id) AS rank
+    FROM events
+) WHERE rank <= {TOPK_PER_USER}
+"""
+
+
+# --------------------------------------------------------------------------
+# distinct_users_per_type — exact COUNT(DISTINCT ...) via two-level groupby:
+# dedup pairs (hash-partitioned) first, then count per key
+# --------------------------------------------------------------------------
+
+def distinct_users_per_type(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def partial_pairs(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["event_type", "user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "user_id", "cnt"]).select(
+            ["event_type", "user_id"]
+        )
+
+    pairs = (
+        ds.map_batches(partial_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("user_id", alias_name="_drop"))  # one row per distinct pair
+        .drop_columns(["_drop"])
+    )
+
+    def partial_count(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "event_type").aggregate([("user_id", "count")])
+        return g.rename_columns(["event_type", "n_users"])
+
+    return (
+        pairs.map_batches(partial_count, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "union_orders_halves": union_orders_halves,
+    "revenue_by_priority": revenue_by_priority,
+    "sessionize_events": sessionize_events,
+    "top_events_per_user": top_events_per_user,
+    "distinct_users_per_type": distinct_users_per_type,
+}
+
+SQL = {
+    "union_orders_halves": SQL_UNION,
+    "revenue_by_priority": SQL_JOIN_PRIORITY,
+    "sessionize_events": SQL_SESSIONIZE,
+    "top_events_per_user": SQL_TOPK_PER_USER,
+    "distinct_users_per_type": SQL_DISTINCT_USERS,
+}

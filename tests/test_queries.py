@@ -46,7 +46,9 @@ def _to_pandas(res) -> pd.DataFrame:
 SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "dedup_first_docs", "customers_without_orders", "revenue_by_nation",
                "top_orders", "event_type_counts", "hourly_user_activity",
-               "token_stats", "quality_score", "chargram_jaccard_dups", "ann_topk"]
+               "token_stats", "quality_score", "chargram_jaccard_dups", "ann_topk",
+               "union_orders_halves", "revenue_by_priority", "sessionize_events",
+               "top_events_per_user", "distinct_users_per_type"]
 
 
 @pytest.mark.usefixtures("ray_session")
