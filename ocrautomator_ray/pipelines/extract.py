@@ -107,13 +107,15 @@ def build_pipeline(ds: rd.Dataset, cfg: PipelineConfig) -> rd.Dataset:
             sort=True,
         )
         return exchanged.map_batches(
-            make_commit_blocks(cfg.out_dir, cfg.num_partitions, cfg.input_desc),
+            make_commit_blocks(cfg.out_dir, cfg.num_partitions, cfg.input_desc,
+                               cfg.extra.get("fault_hook")),
             batch_format="pyarrow",
             batch_size=None,  # batch == block == complete partition runs
             zero_copy_batch=True,
         )
     return extracted.groupby("part_id").map_groups(
-        make_reassemble_commit(cfg.out_dir, cfg.num_partitions, cfg.input_desc),
+        make_reassemble_commit(cfg.out_dir, cfg.num_partitions, cfg.input_desc,
+                               cfg.extra.get("fault_hook")),
         batch_format="pyarrow",
     )
 

@@ -141,7 +141,8 @@ def _task_retries() -> int:
 
 
 def make_commit_blocks(
-    out_dir: str, num_partitions: int, input_desc: str
+    out_dir: str, num_partitions: int, input_desc: str,
+    fault_hook: Callable[[int], None] | None = None,
 ) -> Callable[[pa.Table], pa.Table]:
     """Block-level commit for the hash-exchange path.
 
@@ -153,7 +154,7 @@ def make_commit_blocks(
     if a partition ever spanned blocks (e.g. finalization splitting at
     target_max_block_size); size partitions below the block limit.
     """
-    commit = make_reassemble_commit(out_dir, num_partitions, input_desc)
+    commit = make_reassemble_commit(out_dir, num_partitions, input_desc, fault_hook)
 
     def commit_blocks(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
@@ -169,10 +170,18 @@ def make_commit_blocks(
 
 
 def make_reassemble_commit(
-    out_dir: str, num_partitions: int, input_desc: str
+    out_dir: str, num_partitions: int, input_desc: str,
+    fault_hook: Callable[[int], None] | None = None,
 ) -> Callable[[pa.Table], pa.Table]:
+    """fault_hook (tests only): called with the part_id before any output is
+    written — may crash the worker / raise to exercise task retry, abort, and
+    resume paths. The atomic tmp+rename commit order guarantees a killed task
+    leaves no partial partition behind."""
+
     def reassemble_commit(group: pa.Table) -> pa.Table:
         pid = int(group["part_id"][0].as_py())
+        if fault_hook is not None:
+            fault_hook(pid)
         docs_table, counters = reassemble_group(group)
         counters["retries"] = _task_retries()
 
