@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+from ray.data.aggregate import Min
 
 # ---------------------------------------------------------------------------
 # shared shingle / signature kernels (seeded, deterministic)
@@ -325,8 +326,78 @@ def embedding_neardup(sf_dir: str, threshold: float = COSINE_THRESHOLD) -> rd.Da
     return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ---------------------------------------------------------------------------
+# minhash_dup_clusters — connected components over the near-dup pair graph
+# (hash-to-min label propagation, Rastogi et al., ICDE 2013): each round every
+# node broadcasts the minimum id of its neighborhood to all neighbors via a
+# groupby — O(log n) rounds, all Dataset ops, no driver-side graph. Near-dup
+# components are small cliques, so it converges in 2-3 rounds in practice.
+# ---------------------------------------------------------------------------
+
+def minhash_dup_clusters(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
+                         max_rounds: int = 12) -> rd.Dataset:
+    """(doc_id, cluster_id) for every doc in ≥1 verified near-dup pair;
+    cluster_id = min doc_id of its connected component."""
+    pairs = minhash_lsh_dups(sf_dir, threshold).select_columns(["doc_a", "doc_b"])
+
+    def seed_adj(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(np.concatenate([a, b, a, b]), pa.int64()),
+            "v": pa.array(np.concatenate([b, a, a, b]), pa.int64()),
+        })
+
+    adj = pairs.map_batches(seed_adj, batch_format="pyarrow", zero_copy_batch=True)
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        # hash-to-min: send the neighborhood minimum to every neighbor AND the
+        # whole neighborhood to the minimum node (both halves are required for
+        # chains to collapse in O(log n) rounds)
+        vs = np.unique(g["v"].to_numpy())
+        m = min(int(vs.min()), int(g["u"].iloc[0]))
+        mm = np.full(len(vs), m, dtype=np.int64)
+        return pd.DataFrame({
+            "u": np.concatenate([vs, mm]),
+            "v": np.concatenate([mm, vs]),
+        })
+
+    from ray.data.aggregate import Count
+
+    def dedup_edges(ds: rd.Dataset) -> rd.Dataset:
+        return ds.groupby(["u", "v"]).aggregate(Count(alias_name="_c")) \
+            .drop_columns(["_c"])
+
+    def signature(ds: rd.Dataset) -> int:
+        from ray.data.aggregate import Sum
+
+        labels = ds.groupby("u").aggregate(Min("v", alias_name="lbl"))
+        row = labels.map_batches(
+            lambda t: pa.table({"s": [int((t["u"].to_numpy(zero_copy_only=False)
+                                            * 1315423911
+                                            + t["lbl"].to_numpy(zero_copy_only=False)).sum())]}),
+            batch_format="pyarrow",
+        ).aggregate(Sum("s", alias_name="s"))
+        return int(row["s"])
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        adj = dedup_edges(
+            adj.groupby("u").map_groups(propagate, batch_format="pandas")
+        ).materialize()  # adjacency shrinks to ~nodes rows; pin per round
+        sig = signature(adj)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    return adj.groupby("u").aggregate(Min("v", alias_name="cluster_id")) \
+        .map_batches(lambda t: t.rename_columns(["doc_id", "cluster_id"]),
+                     batch_format="pyarrow")
+
+
 QUERIES = {
     "minhash_lsh_dups": minhash_lsh_dups,
+    "minhash_dup_clusters": minhash_dup_clusters,
     "simhash_dups": simhash_dups,
     "chargram_jaccard_dups": chargram_jaccard_dups,
     "embedding_neardup": embedding_neardup,

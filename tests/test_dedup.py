@@ -77,6 +77,28 @@ def test_embedding_neardup_exact(embeddings):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_minhash_dup_clusters_match_union_find(docs):
+    got = D.minhash_dup_clusters(SF).to_pandas()
+    pairs = D.minhash_lsh_dups(SF).to_pandas()
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    result = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert result == expected
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_lsh_ann_recall_vs_exact():
     from ocrautomator_ray.functions import ann as A
 
