@@ -143,12 +143,14 @@ def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD) -> rd.Da
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
+    from ray.data.aggregate import Count
+
     pairs = (
         ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["band_id", "band_key"])
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")  # dedup pairs
+        .groupby(["doc_a", "doc_b"])                  # dedup candidate pairs
+        .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
     )
 
     # Verification: broadcast doc → shingle hashes (test-scale; at 100 TB this
@@ -230,12 +232,14 @@ def simhash_dups(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> rd.Data
 
     _ = ray  # broadcast not needed: signatures travel with the band rows
 
+    from ray.data.aggregate import Min as _Min
+
     return (
         ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["band_id", "band_key"])
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])                  # dedup pairs, keep hamming
+        .aggregate(_Min("hamming", alias_name="hamming"))
     )
 
 
