@@ -30,6 +30,50 @@ from ray.data.aggregate import Min
 # shared shingle / signature kernels (seeded, deterministic)
 # ---------------------------------------------------------------------------
 
+def _per_key_runs(ds: rd.Dataset, keys: list[str], fn, empty_schema: pa.Schema,
+                  num_partitions: int = 16) -> rd.Dataset:
+    """Apply fn to each complete key-group, via the streaming hash exchange.
+
+    Equivalent to groupby(keys).map_groups(fn) but ~an order of magnitude
+    faster for many small groups: one hash repartition co-locates and sorts
+    the keys, then a single vectorized map_batches splits each block into key
+    runs (same pattern as the pipeline's reassembly commit). Falls back to
+    groupby().map_groups on Ray versions without HASH_SHUFFLE.
+    """
+    try:
+        import ray
+        from ray.data.context import ShuffleStrategy
+
+        ctx = ds.context
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        total = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        ctx.max_hash_shuffle_aggregators = max(2, total // 4)
+        per_part = max(0.5, total / 16) / num_partitions
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = per_part
+    except ImportError:
+        return ds.groupby(keys).map_groups(
+            lambda g: fn(pa.Table.from_pandas(g)), batch_format="pandas"
+        )
+
+    def per_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return empty_schema.empty_table()
+        arrs = [block[k].to_numpy(zero_copy_only=False) for k in keys]
+        n = len(arrs[0])
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for a in arrs:
+            change[1:] |= a[1:] != a[:-1]
+        bounds = np.nonzero(change)[0].tolist() + [n]
+        outs = [fn(block.slice(s, e - s)) for s, e in zip(bounds[:-1], bounds[1:])]
+        return pa.concat_tables(outs) if outs else empty_schema.empty_table()
+
+    return ds.repartition(num_partitions, keys=keys, sort=True).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
 _MERSENNE = np.uint64((1 << 61) - 1)
 _NUM_HASHES = 64
 _BANDS = 16
@@ -136,20 +180,22 @@ def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD) -> rd.Da
             "band_key": pa.array(out_key, pa.uint64()),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def bucket_pairs(run: pa.Table) -> pa.Table:
+        ids = np.unique(run["doc_id"].to_numpy(zero_copy_only=False))
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
+            return pair_schema.empty_table()
         ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+        return pa.table({"doc_a": pa.array(ids[ia], pa.int64()),
+                         "doc_b": pa.array(ids[ib], pa.int64())})
 
     from ray.data.aggregate import Count
 
+    band_rows = ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
     pairs = (
-        ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band_id", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])                  # dedup candidate pairs
+        _per_key_runs(band_rows, ["band_id", "band_key"], bucket_pairs, pair_schema)
+        .groupby(["doc_a", "doc_b"], num_partitions=16)  # dedup candidate pairs
         .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
     )
 
@@ -211,12 +257,19 @@ def simhash_dups(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> rd.Data
             "sig": pa.array(out_sig, pa.uint64()),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sigs = g["sig"].to_numpy(dtype=np.uint64)
+    ham_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("hamming", pa.int64())])
+
+    def bucket_pairs(run: pa.Table) -> pa.Table:
+        ids_all = run["doc_id"].to_numpy(zero_copy_only=False)
+        sigs_all = run["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(ids_all, kind="stable")
+        ids_s, sigs_s = ids_all[order], sigs_all[order]
+        first = np.ones(len(ids_s), dtype=bool)
+        first[1:] = ids_s[1:] != ids_s[:-1]
+        ids, sigs = ids_s[first], sigs_s[first]
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(np.int64)
+            return ham_schema.empty_table()
         ia, ib = np.triu_indices(len(ids), k=1)
         x = sigs[ia] ^ sigs[ib]
         ham = np.zeros(len(x), dtype=np.int64)
@@ -226,19 +279,20 @@ def simhash_dups(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> rd.Data
             if not x.any():
                 break
         keep = ham <= max_hamming
-        return pd.DataFrame({
-            "doc_a": ids[ia][keep], "doc_b": ids[ib][keep], "hamming": ham[keep]
+        return pa.table({
+            "doc_a": pa.array(ids[ia][keep], pa.int64()),
+            "doc_b": pa.array(ids[ib][keep], pa.int64()),
+            "hamming": pa.array(ham[keep], pa.int64()),
         })
 
     _ = ray  # broadcast not needed: signatures travel with the band rows
 
     from ray.data.aggregate import Min as _Min
 
+    band_rows = ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
     return (
-        ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band_id", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])                  # dedup pairs, keep hamming
+        _per_key_runs(band_rows, ["band_id", "band_key"], bucket_pairs, ham_schema)
+        .groupby(["doc_a", "doc_b"], num_partitions=16)  # dedup pairs, keep hamming
         .aggregate(_Min("hamming", alias_name="hamming"))
     )
 
@@ -369,13 +423,13 @@ def minhash_dup_clusters(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
     from ray.data.aggregate import Count
 
     def dedup_edges(ds: rd.Dataset) -> rd.Dataset:
-        return ds.groupby(["u", "v"]).aggregate(Count(alias_name="_c")) \
-            .drop_columns(["_c"])
+        return ds.groupby(["u", "v"], num_partitions=8) \
+            .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
 
     def signature(ds: rd.Dataset) -> int:
         from ray.data.aggregate import Sum
 
-        labels = ds.groupby("u").aggregate(Min("v", alias_name="lbl"))
+        labels = ds.groupby("u", num_partitions=8).aggregate(Min("v", alias_name="lbl"))
         row = labels.map_batches(
             lambda t: pa.table({"s": [int((t["u"].to_numpy(zero_copy_only=False)
                                             * 1315423911
@@ -387,14 +441,14 @@ def minhash_dup_clusters(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
     prev_sig = None
     for _ in range(max_rounds):
         adj = dedup_edges(
-            adj.groupby("u").map_groups(propagate, batch_format="pandas")
+            adj.groupby("u", num_partitions=8).map_groups(propagate, batch_format="pandas")
         ).materialize()  # adjacency shrinks to ~nodes rows; pin per round
         sig = signature(adj)
         if sig == prev_sig:
             break
         prev_sig = sig
 
-    return adj.groupby("u").aggregate(Min("v", alias_name="cluster_id")) \
+    return adj.groupby("u", num_partitions=8).aggregate(Min("v", alias_name="cluster_id")) \
         .map_batches(lambda t: t.rename_columns(["doc_id", "cluster_id"]),
                      batch_format="pyarrow")
 
