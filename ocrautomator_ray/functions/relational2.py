@@ -244,8 +244,73 @@ FROM events GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# asof_last_order — as-of join (events ⟕ latest order at or before the event,
+# keyed on user). Ray Data has no as-of join primitive; the composition is
+# the documented custom-operator pattern: tag + union both sides, hash-group
+# by the key, pd.merge_asof inside the group. Partitioning assumption: all
+# rows of one key fit one group (true for per-user event/order histories).
+# Output restricted to matched events so NULL semantics stay out of the hash.
+# --------------------------------------------------------------------------
+
+def asof_last_order(sf_dir: str) -> rd.Dataset:
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["user_id"], "ts": t["ts"], "event_id": t["event_id"],
+            "side": pa.array(["e"] * t.num_rows, pa.string()),
+        })
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["o_custkey"].cast(pa.int64()), "ts": t["o_orderdate"],
+            "event_id": pa.array([-1] * t.num_rows, pa.int64()),
+            "side": pa.array(["o"] * t.num_rows, pa.string()),
+        })
+
+    both = events.map_batches(tag_events, batch_format="pyarrow",
+                              zero_copy_batch=True).union(
+        orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["side"] == "e"].sort_values(["ts", "event_id"])
+        od = g[g["side"] == "o"].sort_values("ts")
+        if ev.empty or od.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                                 "user_id": pd.Series([], dtype=np.int64),
+                                 "last_order_date": pd.Series([], dtype="datetime64[us]")})
+        m = pd.merge_asof(
+            ev[["ts", "event_id"]], od[["ts"]].rename(columns={"ts": "last_order_date"}),
+            left_on="ts", right_on="last_order_date", direction="backward",
+        )
+        m = m.dropna(subset=["last_order_date"])
+        return pd.DataFrame({
+            "event_id": m["event_id"].to_numpy(dtype=np.int64),
+            "user_id": np.full(len(m), int(g["key"].iloc[0]), dtype=np.int64),
+            "last_order_date": m["last_order_date"].to_numpy(),
+        })
+
+    return both.groupby("key").map_groups(asof, batch_format="pandas")
+
+
+SQL_ASOF = """
+SELECT event_id, user_id, last_order_date FROM (
+    SELECT e.event_id, e.user_id,
+           (SELECT max(o.o_orderdate) FROM orders o
+            WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS last_order_date
+    FROM events e
+) WHERE last_order_date IS NOT NULL
+"""
+
+
 QUERIES = {
     "union_orders_halves": union_orders_halves,
+    "asof_last_order": asof_last_order,
     "revenue_by_priority": revenue_by_priority,
     "sessionize_events": sessionize_events,
     "top_events_per_user": top_events_per_user,
@@ -254,6 +319,7 @@ QUERIES = {
 
 SQL = {
     "union_orders_halves": SQL_UNION,
+    "asof_last_order": SQL_ASOF,
     "revenue_by_priority": SQL_JOIN_PRIORITY,
     "sessionize_events": SQL_SESSIONIZE,
     "top_events_per_user": SQL_TOPK_PER_USER,
