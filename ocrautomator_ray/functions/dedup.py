@@ -87,13 +87,22 @@ _FNV_PRIME = np.uint64(1099511628211)
 _FNV_OFFSET = np.uint64(14695981039346656037)
 
 
+_FNV_PRIME_INT = 1099511628211
+_FNV_OFFSET_INT = 14695981039346656037
+_U64_MASK = (1 << 64) - 1
+
+
 def _hash_tokens(tokens: list[str]) -> np.ndarray:
-    """Vectorized FNV-1a over tokens → uint64 array."""
+    """FNV-1a over tokens → uint64 array.
+
+    Pure-int inner loop (identical values to uint64 wrap-around arithmetic,
+    ~10× faster than numpy-scalar ops and no overflow warnings).
+    """
     out = np.empty(len(tokens), dtype=np.uint64)
     for i, tok in enumerate(tokens):
-        h = _FNV_OFFSET
+        h = _FNV_OFFSET_INT
         for b in tok.encode():
-            h = (h ^ np.uint64(b)) * _FNV_PRIME
+            h = ((h ^ b) * _FNV_PRIME_INT) & _U64_MASK
         out[i] = h
     return out
 

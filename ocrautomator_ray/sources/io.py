@@ -21,10 +21,26 @@ def _lance_available() -> bool:
         return False
 
 
-def read_docs(uri: str, **kwargs) -> rd.Dataset:
+def read_docs(uri: str, assert_schema: bool = True, **kwargs) -> rd.Dataset:
+    """Read a document table. The schema is DECLARED, not inferred
+    (SURVEY.md §1.2): with assert_schema the fragment schema is checked
+    against DOC_SCHEMA up front so a wrong input fails at plan time, not
+    mid-pipeline."""
     if uri.endswith(".lance") and _lance_available():
-        return rd.read_lance(uri, **kwargs)
-    return rd.read_parquet(uri, **kwargs)
+        ds = rd.read_lance(uri, **kwargs)
+    else:
+        ds = rd.read_parquet(uri, **kwargs)
+    if assert_schema:
+        from ocrautomator_ray.schema import DOC_SCHEMA
+
+        got = ds.schema()
+        names = list(got.names)
+        if names != list(DOC_SCHEMA.names):
+            raise ValueError(
+                f"input at {uri!r} is not a document table: columns {names}, "
+                f"expected {list(DOC_SCHEMA.names)}"
+            )
+    return ds
 
 
 def write_docs(ds: rd.Dataset, uri: str, **kwargs) -> None:
