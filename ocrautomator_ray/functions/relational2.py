@@ -308,9 +308,63 @@ SELECT event_id, user_id, last_order_date FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# quantiles_qty_by_flag — exact distributed quantiles via value counting:
+# the shuffle moves (key, value, count) partials (flags × ~50 distinct
+# quantities), never rows; the per-key quantile is a cumulative-rank scan.
+# Discrete-quantile rule pinned to DuckDB's quantile_disc: the value at
+# 1-based rank ceil(n*q), computed with integer math (no float rank).
+# --------------------------------------------------------------------------
+
+def quantiles_qty_by_flag(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_quantity"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["l_returnflag", "l_quantity", "n"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_quantity"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("l_quantity")
+        n = int(g["n"].sum())
+        cum = g["n"].cumsum().to_numpy()
+        vals = g["l_quantity"].to_numpy()
+
+        def disc(num: int, den: int) -> float:
+            rank = -(-(n * num) // den)  # ceil(n*q), integer math
+            return float(vals[np.searchsorted(cum, rank)])
+
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "median_qty": [disc(1, 2)],
+            "p90_qty": [disc(9, 10)],
+            "n": np.array([n], dtype=np.int64),
+        })
+
+    return counts.groupby("l_returnflag").map_groups(quantiles, batch_format="pandas")
+
+
+SQL_QUANTILES = """
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.5) AS median_qty,
+       quantile_disc(l_quantity, 0.9) AS p90_qty,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "union_orders_halves": union_orders_halves,
     "asof_last_order": asof_last_order,
+    "quantiles_qty_by_flag": quantiles_qty_by_flag,
     "revenue_by_priority": revenue_by_priority,
     "sessionize_events": sessionize_events,
     "top_events_per_user": top_events_per_user,
@@ -320,6 +374,7 @@ QUERIES = {
 SQL = {
     "union_orders_halves": SQL_UNION,
     "asof_last_order": SQL_ASOF,
+    "quantiles_qty_by_flag": SQL_QUANTILES,
     "revenue_by_priority": SQL_JOIN_PRIORITY,
     "sessionize_events": SQL_SESSIONIZE,
     "top_events_per_user": SQL_TOPK_PER_USER,

@@ -48,7 +48,7 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "top_orders", "event_type_counts", "hourly_user_activity",
                "token_stats", "quality_score", "chargram_jaccard_dups", "ann_topk",
                "union_orders_halves", "revenue_by_priority", "sessionize_events",
-               "top_events_per_user", "distinct_users_per_type", "asof_last_order"]
+               "top_events_per_user", "distinct_users_per_type", "asof_last_order", "quantiles_qty_by_flag"]
 
 
 @pytest.mark.usefixtures("ray_session")
