@@ -17,6 +17,7 @@ from ocrautomator_ray.functions import ann as _ann
 from ocrautomator_ray.functions import dedup as _dedup
 from ocrautomator_ray.functions import relational as _relational
 from ocrautomator_ray.functions import relational2 as _relational2
+from ocrautomator_ray.functions import sketch as _sketch
 from ocrautomator_ray.functions import text as _text
 from ocrautomator_ray.pipelines.extract import run_flagship
 
@@ -39,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     q.update(_relational.QUERIES)
     q.update(_relational2.QUERIES)
+    q.update(_sketch.QUERIES)
     q.update(_text.QUERIES)
     q.update(_dedup.QUERIES)
     q.update(_ann.QUERIES)

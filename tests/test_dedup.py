@@ -144,3 +144,20 @@ def test_lang_id_on_real_sentences():
     })
     out = actor(df)
     assert out["pred_lang"].tolist() == ["en", "de", "es", "fr", "zh"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_within_tolerance_of_exact():
+    import duckdb
+
+    from ocrautomator_ray.functions.sketch import approx_distinct_users_per_type
+
+    got = approx_distinct_users_per_type(SF).to_pandas()
+    exact = duckdb.sql(
+        f"select event_type, count(distinct user_id) n "
+        f"from read_parquet('{SF}/events.parquet') group by event_type"
+    ).df()
+    m = got.merge(exact, on="event_type")
+    assert len(m) == len(exact)
+    rel_err = ((m["approx_users"] - m["n"]).abs() / m["n"]).max()
+    assert rel_err <= 0.05, rel_err

@@ -68,7 +68,8 @@ def test_sql_oracled_query(name, ddb, contract):
 
 
 ROWS_ONLY = ["lang_id", "doc_fingerprint", "minhash_lsh_dups", "simhash_dups",
-             "embedding_neardup", "lsh_ann_topk", "minhash_dup_clusters"]
+             "embedding_neardup", "lsh_ann_topk", "minhash_dup_clusters",
+             "approx_distinct_users_per_type"]
 
 
 @pytest.mark.usefixtures("ray_session")
