@@ -161,9 +161,34 @@ def _apply_shuffle_config(ds: rd.Dataset, cfg: PipelineConfig) -> None:
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_partition
 
 
+def _summary_dict(out_dir: str, partitions_this_run: int) -> dict:
+    manifests = load_manifests(out_dir)
+    return {
+        "out_dir": out_dir,
+        "partitions_committed_total": len(manifests),
+        "partitions_this_run": partitions_this_run,
+        "counters": merge_counters(manifests),
+    }
+
+
 def run_extraction(ds: rd.Dataset, cfg: PipelineConfig) -> dict:
     """Execute the pipeline; return merged job counters (A1 partial+final)."""
     _apply_shuffle_config(ds, cfg)
+    if cfg.resume:
+        done = completed_parts(cfg.out_dir, cfg.num_partitions)
+        if done:
+            # If pruning leaves nothing (fully-resumed run), short-circuit:
+            # an all-empty input would reach the exchange as a schemaless
+            # block and fail, and there is no work to do anyway. limit(1)
+            # keeps the probe a streaming short-circuit, not a full pass.
+            from ocrautomator_ray.stages.explode import make_resume_filter
+
+            probe = ds.map_batches(
+                make_resume_filter(done, cfg.num_partitions),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ).limit(1)
+            if probe.count() == 0:
+                return _summary_dict(cfg.out_dir, 0)
     summary = build_pipeline(ds, cfg).to_pandas()  # P rows — small by design
     if summary["part_id"].duplicated().any():
         dupes = summary[summary["part_id"].duplicated(keep=False)]
@@ -172,13 +197,7 @@ def run_extraction(ds: rd.Dataset, cfg: PipelineConfig) -> dict:
             "spanned exchange blocks (size partitions below the block limit); "
             f"affected part_ids: {sorted(dupes['part_id'].unique().tolist())}"
         )
-    manifests = load_manifests(cfg.out_dir)
-    return {
-        "out_dir": cfg.out_dir,
-        "partitions_committed_total": len(manifests),
-        "partitions_this_run": int(summary.shape[0]),
-        "counters": merge_counters(manifests),
-    }
+    return _summary_dict(cfg.out_dir, int(summary.shape[0]))
 
 
 def read_output(out_dir: str) -> rd.Dataset:

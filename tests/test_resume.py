@@ -105,3 +105,21 @@ def test_manifest_atomic_write(tmp_path):
     assert os.path.exists(path)
     assert not [f for f in os.listdir(os.path.dirname(path)) if ".tmp." in f]
     assert json.load(open(path))["part_id"] == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fully_resumed_run_is_a_noop(tmp_path):
+    """Re-running a completed job must short-circuit, not crash on an empty
+    exchange (regression: empty schemaless block hit the hash aggregator)."""
+    t = synth.gen_table("sf-test", rows=60)
+    out = str(tmp_path / "o")
+    first = run_extraction(
+        rd.from_arrow(t), PipelineConfig(out_dir=out, num_partitions=4, work_factor=0)
+    )
+    assert first["partitions_this_run"] == 4
+    again = run_extraction(
+        rd.from_arrow(t), PipelineConfig(out_dir=out, num_partitions=4, work_factor=0)
+    )
+    assert again["partitions_this_run"] == 0
+    assert again["partitions_committed_total"] == 4
+    assert again["counters"] == first["counters"]
