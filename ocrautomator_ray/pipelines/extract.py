@@ -174,6 +174,12 @@ def _summary_dict(out_dir: str, partitions_this_run: int) -> dict:
 def run_extraction(ds: rd.Dataset, cfg: PipelineConfig) -> dict:
     """Execute the pipeline; return merged job counters (A1 partial+final)."""
     _apply_shuffle_config(ds, cfg)
+    # Empty input (or input emptied by pruning, below) must not reach the
+    # exchange: an all-empty stream finalizes as a schemaless block there.
+    # limit(1) probes are streaming short-circuits — they read one row, not
+    # the dataset.
+    if ds.limit(1).count() == 0:
+        return _summary_dict(cfg.out_dir, 0)
     if cfg.resume:
         done = completed_parts(cfg.out_dir, cfg.num_partitions)
         if done:

@@ -77,3 +77,19 @@ def test_duplicate_doc_ids_with_different_content(tmp_path):
     t_rev = t.take(pa.array([1, 0]))
     run_and_compare(t_rev, str(tmp_path / "b"))
     assert spans_from_output(str(tmp_path / "a")) == spans_from_output(str(tmp_path / "b"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_input_table_is_a_noop(tmp_path):
+    import ray.data as rd
+
+    from ocrautomator_ray.pipelines.extract import PipelineConfig, run_extraction
+    from ocrautomator_ray.schema import DOC_SCHEMA
+
+    empty = pa.Table.from_pylist([], schema=DOC_SCHEMA)
+    res = run_extraction(
+        rd.from_arrow(empty),
+        PipelineConfig(out_dir=str(tmp_path / "o"), num_partitions=4, work_factor=0),
+    )
+    assert res["partitions_this_run"] == 0
+    assert res["counters"] == {}
