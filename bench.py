@@ -172,15 +172,25 @@ def run_benchmarks() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job at two parallelism levels in fresh processes (8 vs 32 CPUs)."""
+    """Same job at two parallelism levels in fresh processes (8 vs 32 CPUs).
+
+    Each leg runs BENCH_SCALING_REPS times (default 2) and the per-leg
+    minimum wall is used: this machine carries ambient background load
+    (observed 15-min loadavg ≈ 7 while "idle"), and min-of-N is the standard
+    noise-robust estimator for wall-clock benchmarks.
+    """
+    reps = int(os.environ.get("BENCH_SCALING_REPS", "2"))
     results = {}
     for n in (8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        results[n] = json.loads(out.strip().splitlines()[-1])
+        runs = []
+        for _ in range(reps):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            runs.append(json.loads(out.strip().splitlines()[-1]))
+        results[n] = min(runs, key=lambda r: r["value"])
     t8, t32 = results[8]["value"], results[32]["value"]
     eff = (t8 / t32) / (32 / 8)
     return {
