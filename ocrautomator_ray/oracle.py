@@ -38,6 +38,7 @@ class OracleResult:
 def expected_doc_spans(
     spans: list[dict], counters: OracleCounters | None = None,
     decoder: codec.MediaDecoder | None = None,
+    psm_override: int | None = None,
 ) -> list[tuple[str, str, str, int]]:
     """Input spans (list of dicts) → expected output (kind, text, media_ref, offset).
 
@@ -62,7 +63,8 @@ def expected_doc_spans(
                 data = codec.encode_media(s["media_ref"])
                 idx = codec.index_container(data)
                 for p, (a, b) in enumerate(idx.page_slices):
-                    out.append(("text", dec.decode_page(data[a:b], idx.psm),
+                    out.append(("text",
+                                dec.decode_page(data[a:b], psm_override or idx.psm),
                                 s["media_ref"]))
                     c.pages_ocrd += 1
                 ea, eb = idx.exif_slice
@@ -77,7 +79,7 @@ def expected_doc_spans(
     return [(k, t, r, i) for i, (k, t, r) in enumerate(out)]
 
 
-def oracle_table(table: pa.Table) -> OracleResult:
+def oracle_table(table: pa.Table, psm_override: int | None = None) -> OracleResult:
     """Whole-table oracle with duplicate-doc_id arbitration (min dup_key wins)."""
     res = OracleResult()
     best: dict[str, tuple[int, list[dict]]] = {}
@@ -92,6 +94,7 @@ def oracle_table(table: pa.Table) -> OracleResult:
             best[did] = (key, spans)
     dec = codec.MediaDecoder(work_factor=0)
     for did, (_k, spans) in best.items():
-        res.spans_by_doc[did] = expected_doc_spans(spans, res.counters, dec)
+        res.spans_by_doc[did] = expected_doc_spans(spans, res.counters, dec,
+                                                    psm_override)
         res.counters.docs += 1
     return res

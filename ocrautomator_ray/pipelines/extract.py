@@ -55,6 +55,7 @@ class PipelineConfig:
     num_cpus_per_actor: float = 1.0
     ocr_batch_size: int = 128
     work_factor: int = 8
+    psm_override: int | None = None  # T2: run-level --psm, forces all pages
     # optional skew-spreading repartition between explode and the pool
     ocr_repartition: int | None = None
     input_desc: str = "in-memory"
@@ -93,7 +94,8 @@ def build_pipeline(ds: rd.Dataset, cfg: PipelineConfig) -> rd.Dataset:
         units = units.repartition(cfg.ocr_repartition)
     extracted = units.map_batches(
         ExtractActor,
-        fn_constructor_kwargs={"work_factor": cfg.work_factor},
+        fn_constructor_kwargs={"work_factor": cfg.work_factor,
+                               "psm_override": cfg.psm_override},
         batch_format="pyarrow",
         batch_size=cfg.ocr_batch_size,
         concurrency=cfg.concurrency,

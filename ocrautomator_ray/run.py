@@ -38,6 +38,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="pages per extraction batch")
     p.add_argument("--work-factor", type=int, default=8,
                    help="synthetic OCR compute per page (hash rounds)")
+    p.add_argument("--psm", type=int, default=None,
+                   help="force one page-segmentation mode for every page "
+                        "(overrides per-ref psm, like the reference's --psm)")
     p.add_argument("--repartition", type=int, default=None,
                    help="optional repartition between explode and the pool")
     p.add_argument("--no-resume", action="store_true",
@@ -74,6 +77,7 @@ def main(argv: list[str] | None = None) -> dict:
             ocr_batch_size=args.batch_size,
             concurrency=concurrency,
             work_factor=args.work_factor,
+            psm_override=args.psm,
             ocr_repartition=args.repartition,
             input_desc=args.input,
         )

@@ -39,10 +39,14 @@ def register_text_extractor(kind: str, fn: Callable[[str], str]) -> None:
 
 class ExtractActor:
     def __init__(self, work_factor: int = 8,
-                 decoder_factory: Callable[[int], object] | None = None):
+                 decoder_factory: Callable[[int], object] | None = None,
+                 psm_override: int | None = None):
+        # psm_override (T2): the reference's run-level --psm CLI flag — forces
+        # one segmentation mode for every page, overriding per-ref psm.
         # Warm state: full cipher key schedule (the "loaded .traineddata").
         factory = decoder_factory or (lambda wf: codec.MediaDecoder(work_factor=wf))
         self.decoder = factory(work_factor)
+        self.psm_override = psm_override
         self.text_extractors = dict(TEXT_EXTRACTORS)
         try:
             import ray
@@ -87,7 +91,8 @@ class ExtractActor:
             u = unit[i]
             try:
                 if u == "page":
-                    emit(i, 0, "text", self.decoder.decode_page(payload[i], psm[i]))
+                    emit(i, 0, "text", self.decoder.decode_page(
+                        payload[i], self.psm_override or psm[i]))
                 elif u == "text":
                     emit(i, 0, "text", self._extract_text(payload[i].decode()))
                 elif u == "exif":

@@ -93,3 +93,27 @@ def test_empty_input_table_is_a_noop(tmp_path):
     )
     assert res["partitions_this_run"] == 0
     assert res["counters"] == {}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_psm_override_matches_oracle(tmp_path):
+    """Run-level --psm (T2): every page decodes under the forced mode and the
+    oracle agrees; output differs from the per-ref-psm run."""
+    import ray.data as rd
+
+    from ocrautomator_ray import oracle
+    from ocrautomator_ray.pipelines.extract import PipelineConfig, run_extraction
+
+    from .util import spans_from_output
+
+    t = synth.gen_table("sf-test", rows=40)
+    out = str(tmp_path / "o")
+    run_extraction(
+        rd.from_arrow(t),
+        PipelineConfig(out_dir=out, num_partitions=4, work_factor=0, psm_override=11),
+    )
+    got = spans_from_output(out)
+    exp = oracle.oracle_table(t, psm_override=11).spans_by_doc
+    assert got == exp
+    base = oracle.oracle_table(t).spans_by_doc
+    assert got != base  # the override visibly changed segmentation
