@@ -62,30 +62,27 @@ class ExtractActor:
         t_start = time.perf_counter()
         batch = batch.combine_chunks()
         n = batch.num_rows
-        doc_id = batch["doc_id"].to_pylist()
-        part_id = batch["part_id"].to_pylist()
-        dup_key = batch["dup_key"].to_pylist()
-        in_off = batch["in_offset"].to_pylist()
         unit = batch["unit"].to_pylist()
-        page_no = batch["page_no"].to_pylist()
-        media_ref = batch["media_ref"].to_pylist()
         psm = batch["psm"].to_pylist()
         payload = batch["payload"].to_pylist()
 
-        cols: dict[str, list] = {name: [] for name in EXTRACTED_SCHEMA.names}
+        # Per-row python work only where the decode itself is per-row (the
+        # honest OCR shape); passthrough key columns are rebuilt with one
+        # vectorized take over src_idx instead of per-row appends.
+        src_idx: list[int] = []
+        sub_no: list[int] = []
+        kind: list[str] = []
+        text: list[str] = []
+        status: list[str] = []
+        error: list[str] = []
 
-        def emit(i, sub_no, kind, text, status="ok", error=""):
-            cols["doc_id"].append(doc_id[i])
-            cols["part_id"].append(part_id[i])
-            cols["dup_key"].append(dup_key[i])
-            cols["in_offset"].append(in_off[i])
-            cols["page_no"].append(page_no[i])
-            cols["sub_no"].append(sub_no)
-            cols["kind"].append(kind)
-            cols["text"].append(text)
-            cols["media_ref"].append(media_ref[i])
-            cols["status"].append(status)
-            cols["error"].append(error)
+        def emit(i, sub, k, t, st="ok", err=""):
+            src_idx.append(i)
+            sub_no.append(sub)
+            kind.append(k)
+            text.append(t)
+            status.append(st)
+            error.append(err)
 
         for i in range(n):
             u = unit[i]
@@ -107,8 +104,22 @@ class ExtractActor:
             except codec.CodecError as e:
                 emit(i, 0, "error", "", "error", str(e))
 
-        n_out = len(cols["doc_id"])
+        n_out = len(src_idx)
+        idx = pa.array(src_idx, type=pa.int32())
         elapsed_us = int((time.perf_counter() - t_start) * 1e6 / max(1, n_out))
-        cols["worker_id"] = [self.worker_id] * n_out
-        cols["elapsed_us"] = [elapsed_us] * n_out
+        cols = {
+            "doc_id": batch["doc_id"].take(idx),
+            "part_id": batch["part_id"].take(idx),
+            "dup_key": batch["dup_key"].take(idx),
+            "in_offset": batch["in_offset"].take(idx),
+            "page_no": batch["page_no"].take(idx),
+            "sub_no": pa.array(sub_no, type=pa.int32()),
+            "kind": pa.array(kind, type=pa.string()),
+            "text": pa.array(text, type=pa.string()),
+            "media_ref": batch["media_ref"].take(idx),
+            "status": pa.array(status, type=pa.string()),
+            "error": pa.array(error, type=pa.string()),
+            "worker_id": pa.array([self.worker_id] * n_out, type=pa.string()),
+            "elapsed_us": pa.array([elapsed_us] * n_out, type=pa.int64()),
+        }
         return pa.Table.from_pydict(cols, schema=EXTRACTED_SCHEMA)

@@ -76,3 +76,22 @@ def test_multimodal_as_actor_pool_stage():
     )
     assert out.shape[0] == 12
     assert set(out["status"]) == {"ok"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resize_and_frame_sample_as_pool_stages():
+    t = mm.media_table_from_refs(_refs(8, pages=8), mime="video/synm")
+    feats = (
+        rd.from_arrow(t)
+        .map_batches(mm.ResizeFeatureActor, batch_format="pyarrow",
+                     batch_size=4, concurrency=2, num_cpus=1)
+        .to_pandas()
+    )
+    assert feats.shape[0] == 8
+    frames = (
+        rd.from_arrow(t)
+        .map_batches(mm.FrameSampleActor, fn_constructor_kwargs={"every_k": 4},
+                     batch_format="pyarrow", batch_size=4, concurrency=2, num_cpus=1)
+        .to_pandas()
+    )
+    assert frames.shape[0] == 8 * 2  # frames 0 and 4 of each 8-page container
