@@ -157,6 +157,10 @@ def run_benchmarks() -> dict:
     timed("minhash_lsh_dups", dedup.minhash_lsh_dups, consume="count")
     timed("ann_topk", ann.ann_topk)
 
+    from ocrautomator_ray.pipelines.extract import run_flagship
+
+    timed("extract_flagship_sfdocs", lambda sf: run_flagship(sf), consume="count")
+
     ray.shutdown()
 
     return {
