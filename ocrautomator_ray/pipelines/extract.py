@@ -209,10 +209,22 @@ def run_extraction(ds: rd.Dataset, cfg: PipelineConfig) -> dict:
 
 
 def read_output(out_dir: str) -> rd.Dataset:
-    """Read back the committed document table (DOC_SCHEMA parquet fragments)."""
-    from ocrautomator_ray.state.manifest import data_dir
+    """Read back the committed document table.
 
-    return rd.read_parquet(data_dir(out_dir))
+    Reads exactly the fragments named in committed manifests (the lineage),
+    NOT the data directory: a task killed mid-write can leave a partial
+    ``*.tmp.*`` file behind, and a directory read would ingest it as a
+    fragment. Manifest-driven reads are the other half of the atomic-commit
+    contract.
+    """
+    import os
+
+    paths = [
+        os.path.join(out_dir, m["lineage"]["output_fragment"])
+        for m in load_manifests(out_dir).values()
+        if m.get("status") == "committed"
+    ]
+    return rd.read_parquet(sorted(paths))
 
 
 def flatten_spans(ds: rd.Dataset) -> rd.Dataset:

@@ -123,3 +123,19 @@ def test_fully_resumed_run_is_a_noop(tmp_path):
     assert again["partitions_this_run"] == 0
     assert again["partitions_committed_total"] == 4
     assert again["counters"] == first["counters"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_output_ignores_torn_tmp_files(tmp_path):
+    """A task killed mid-write leaves a partial tmp file; reads must follow
+    the manifests, never the directory listing."""
+    from ocrautomator_ray.pipelines.extract import read_output
+    from ocrautomator_ray.state.manifest import data_dir
+
+    t = synth.gen_table("sf-test", rows=40)
+    out = str(tmp_path / "o")
+    run_extraction(rd.from_arrow(t), PipelineConfig(out_dir=out, num_partitions=4, work_factor=0))
+    with open(os.path.join(data_dir(out), "part-00001.parquet.tmp.999"), "wb") as f:
+        f.write(b"torn partial parquet garbage")
+    ds = read_output(out)
+    assert ds.count() == 40  # junk ignored; committed fragments only
