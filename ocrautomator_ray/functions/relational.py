@@ -48,11 +48,12 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
     )
 
     def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("qty_int", _cents(t["l_quantity"], 1))
         t = t.append_column("sum_base_cents", _cents(t["l_extendedprice"]))
         disc = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
         t = t.append_column("sum_disc_cents4", _cents(disc, 10_000))
         g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
-            [("l_quantity", "sum"), ("sum_base_cents", "sum"),
+            [("qty_int", "sum"), ("sum_base_cents", "sum"),
              ("sum_disc_cents4", "sum"), ("l_quantity", "count")]
         )
         return g.rename_columns(
@@ -74,9 +75,9 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
 
 SQL_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       SUM(l_quantity) AS sum_qty,
-       SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)) AS sum_disc_cents4,
+       CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents4,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -241,7 +242,7 @@ def revenue_by_nation(sf_dir: str) -> rd.Dataset:
 
 SQL_REVENUE_BY_NATION = """
 SELECT n_name,
-       SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS revenue_cents,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
        COUNT(*) AS num_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -293,7 +294,7 @@ def event_type_counts(sf_dir: str) -> rd.Dataset:
 
 SQL_EVENT_TYPE_COUNTS = """
 SELECT event_type,
-       SUM(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT)) AS sum_value_u,
+       CAST(SUM(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_u,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """
@@ -308,7 +309,13 @@ def hourly_user_activity(sf_dir: str) -> rd.Dataset:
 
     def partial(t: pa.Table) -> pa.Table:
         us = t["ts"].cast(pa.int64())
-        bucket = pc.divide(us, 3_600_000_000)  # int64 floor-div: µs → hour
+        # Floor division (SQL FLOOR semantics), not pc.divide's truncation —
+        # they differ for pre-1970 (negative-epoch) timestamps: adjust the
+        # truncated quotient down by 1 wherever a negative value had a remainder.
+        d = 3_600_000_000  # µs per hour
+        q = pc.divide(us, d)
+        inexact_neg = pc.and_(pc.less(us, 0), pc.not_equal(pc.multiply(q, d), us))
+        bucket = pc.subtract(q, pc.cast(inexact_neg, pa.int64()))
         t = t.append_column("hour_bucket", bucket).drop_columns(["ts"])
         g = pa.TableGroupBy(t, ["user_id", "hour_bucket"]).aggregate([([], "count_all")])
         return g.rename_columns(["user_id", "hour_bucket", "n_events"])

@@ -53,7 +53,7 @@ def union_orders_halves(sf_dir: str) -> rd.Dataset:
 
 SQL_UNION = f"""
 SELECT o_orderstatus,
-       SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS total_cents,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
        COUNT(*) AS n
 FROM (
     SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '{_SPLIT_DATE}'
@@ -106,7 +106,7 @@ def revenue_by_priority(sf_dir: str) -> rd.Dataset:
 
 SQL_JOIN_PRIORITY = """
 SELECT o_orderpriority,
-       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)) AS revenue_cents4,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents4,
        COUNT(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority

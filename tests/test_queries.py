@@ -61,6 +61,8 @@ def test_sql_oracled_query(name, ddb, contract):
     assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
     assert got.shape == exp.shape
     for c in got.columns:
+        # the driver hashes raw values, so int64-vs-float64 is a real mismatch
+        assert got[c].dtype == exp[c].dtype, (c, got[c].dtype, exp[c].dtype)
         if got[c].dtype.kind == "f":
             assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy()), c
         else:
