@@ -56,6 +56,6 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_dedup.SQL)
     sql.update(_ann.SQL)
     # Rows-only (non-SQL-expressible): lang_id, doc_fingerprint,
-    # minhash_lsh_dups, simhash_dups, embedding_neardup, lsh_ann_topk,
-    # extract_pipeline — each has a pytest oracle instead (tests/).
+    # minhash_lsh_dups, simhash_dups, lsh_ann_topk, extract_pipeline —
+    # each has a pytest oracle instead (tests/).
     return sql

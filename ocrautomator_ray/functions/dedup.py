@@ -39,18 +39,19 @@ def _per_key_runs(ds: rd.Dataset, keys: list[str], fn, empty_schema: pa.Schema,
     the keys, then a single vectorized map_batches splits each block into key
     runs (same pattern as the pipeline's reassembly commit). Falls back to
     groupby().map_groups on Ray versions without HASH_SHUFFLE.
+
+    Group-completeness invariant: a key run must never straddle two blocks.
+    Ray 2.49's hash-shuffle finalize emits exactly ONE block per partition
+    (hash_shuffle.py ``finalize`` yields a single block; splitting to
+    target_max_block_size is an unimplemented TODO there), which is the same
+    guarantee Ray's own ``GroupedData.map_groups`` relies on — see
+    grouped_data.py ("batch contains the entire block, guaranteeing that
+    groups are contained in full"). tests/test_dedup.py pins this with an
+    oversized-partition fixture so a future Ray that implements the TODO
+    fails loudly instead of silently dropping cross-fragment pairs.
     """
     try:
-        import ray
-        from ray.data.context import ShuffleStrategy
-
-        ctx = ds.context
-        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        total = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        ctx.max_hash_shuffle_aggregators = max(2, total // 4)
-        per_part = max(0.5, total / 16) / num_partitions
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
-        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = per_part
+        _tune_exchange(ds, num_partitions)
     except ImportError:
         return ds.groupby(keys).map_groups(
             lambda g: fn(pa.Table.from_pandas(g)), batch_format="pandas"
@@ -72,6 +73,25 @@ def _per_key_runs(ds: rd.Dataset, keys: list[str], fn, empty_schema: pa.Schema,
     return ds.repartition(num_partitions, keys=keys, sort=True).map_batches(
         per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+def _tune_exchange(ds: rd.Dataset, num_partitions: int) -> None:
+    """Switch the dataset's context to the hash-shuffle strategy and budget
+    the aggregator actors so concurrent exchanges (repartition, groupby,
+    join) can't starve the map stages of CPUs — the untuned join default is
+    0.125 CPU/partition, which deadlocks small clusters when several
+    exchanges coexist in one plan."""
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    ctx = ds.context
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    total = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    ctx.max_hash_shuffle_aggregators = max(2, total // 4)
+    per_part = max(0.5, total / 16) / num_partitions
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = per_part
+    ctx.join_operator_actor_num_cpus_per_partition_override = per_part
 
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -108,13 +128,185 @@ def _hash_tokens(tokens: list[str]) -> np.ndarray:
 
 
 def word_shingles(text: str, k: int = 3) -> np.ndarray:
-    """Distinct hashed word k-shingles of a document."""
+    """Distinct hashed word k-shingles of a document (scalar reference;
+    the pipeline uses the value-identical vectorized _batch_shingles)."""
     words = text.lower().split()
     if len(words) < k:
         grams = [" ".join(words)] if words else []
     else:
         grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
     return np.unique(_hash_tokens(grams)) if grams else np.empty(0, dtype=np.uint64)
+
+
+# -- vectorized batch kernels (value-identical to the scalar references) ----
+
+def _fnv1a_strings(arr) -> np.ndarray:
+    """FNV-1a of every element of a string array, vectorized.
+
+    Loops over byte *positions* (bounded by the longest element), with one
+    numpy gather + mix per position over all still-active elements — no
+    per-element Python loop. Identical values to _hash_tokens.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    out = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if n == 0:
+        return out
+    off_dt = np.int64 if pa.types.is_large_string(arr.type) or \
+        pa.types.is_large_binary(arr.type) else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dt)[arr.offset: arr.offset + n + 1] \
+        .astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    starts, lens = offs[:-1], offs[1:] - offs[:-1]
+    with np.errstate(over="ignore"):
+        for p in range(int(lens.max()) if n else 0):
+            act = np.nonzero(lens > p)[0]
+            b = data[starts[act] + p].astype(np.uint64)
+            out[act] = (out[act] ^ b) * _FNV_PRIME
+    return out
+
+
+def _tokenize_batch(texts) -> tuple[pa.Array, np.ndarray]:
+    """(flat lowercase words, per-doc word counts) for a string column;
+    token sequence per doc equals ``text.lower().split()`` (Arrow whitespace
+    split, empty tokens dropped)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    import pyarrow.compute as pc
+
+    low = pc.utf8_lower(pc.fill_null(texts, ""))
+    words = pc.utf8_split_whitespace(low)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nonempty = pc.greater(pc.binary_length(flat), 0)
+    ne = nonempty.to_numpy(zero_copy_only=False)
+    if not ne.all():
+        docidx = np.repeat(np.arange(len(counts)), counts)
+        flat = flat.filter(nonempty)
+        counts = np.bincount(docidx[ne], minlength=len(counts)).astype(np.int64)
+    return flat, counts
+
+
+def _ramp(group_sizes: np.ndarray) -> np.ndarray:
+    """[0..g0), [0..g1), ... concatenated (within-group offsets)."""
+    total = int(group_sizes.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    excl = np.zeros(len(group_sizes), dtype=np.int64)
+    np.cumsum(group_sizes[:-1], out=excl[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(excl, group_sizes)
+
+
+def _batch_shingles(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """(flat distinct shingle hashes, per-doc counts); each doc's slice equals
+    word_shingles(text) exactly (sorted distinct FNV of word k-grams)."""
+    import pyarrow.compute as pc
+
+    flat, counts = _tokenize_batch(texts)
+    n = len(counts)
+    if n == 0:
+        return np.empty(0, np.uint64), np.zeros(0, np.int64)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    gram_doc, gram_hash = [], []
+    reg = np.nonzero(counts >= k)[0]
+    if reg.size:
+        gc = counts[reg] - k + 1
+        gstart = np.repeat(offs[reg], gc) + _ramp(gc)
+        cols = [flat.take(pa.array(gstart + j)) for j in range(k)]
+        grams = pc.binary_join_element_wise(*cols, " ")
+        gram_hash.append(_fnv1a_strings(grams))
+        gram_doc.append(np.repeat(reg, gc))
+    short = np.nonzero((counts > 0) & (counts < k))[0]
+    if short.size:  # <k words: one gram joining all words (rare; scalar path)
+        joined = [" ".join(flat.slice(offs[d], counts[d]).to_pylist())
+                  for d in short]
+        gram_hash.append(_hash_tokens(joined))
+        gram_doc.append(short.astype(np.int64))
+    if not gram_hash:
+        return np.empty(0, np.uint64), np.zeros(n, np.int64)
+    gh = np.concatenate(gram_hash)
+    gd = np.concatenate(gram_doc)
+    order = np.lexsort((gh, gd))
+    gh, gd = gh[order], gd[order]
+    keep = np.ones(len(gh), dtype=bool)
+    keep[1:] = (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])
+    return gh[keep], np.bincount(gd[keep], minlength=n).astype(np.int64)
+
+
+_KERNEL_CHUNK = 1 << 17  # bound the (64 × values) temp matrices to ~64 MB
+
+
+def _doc_chunks(counts: np.ndarray, limit: int = _KERNEL_CHUNK):
+    """Yield (doc_lo, doc_hi) ranges whose total value count is ≤ limit
+    (always ≥1 doc per range)."""
+    cum = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=cum[1:])
+    lo = 0
+    while lo < len(counts):
+        hi = int(np.searchsorted(cum, cum[lo] + limit, side="right")) - 1
+        hi = max(hi, lo + 1)
+        yield lo, min(hi, len(counts))
+        lo = min(hi, len(counts))
+
+
+def _batch_signatures(flat_sh: np.ndarray, sh_counts: np.ndarray) -> np.ndarray:
+    """(n_docs, 64) MinHash signatures from flattened shingles; row i equals
+    minhash_signature(shingles of doc i) (empty docs get the sentinel row)."""
+    n = len(sh_counts)
+    sigs = np.full((n, _NUM_HASHES), _MERSENNE, dtype=np.uint64)
+    if flat_sh.size == 0:
+        return sigs
+    starts = np.zeros(n + 1, np.int64)
+    np.cumsum(sh_counts, out=starts[1:])
+    for lo, hi in _doc_chunks(sh_counts):
+        docs = np.nonzero(sh_counts[lo:hi] > 0)[0] + lo
+        if docs.size == 0:
+            continue
+        seg = flat_sh[starts[lo]: starts[hi]]
+        with np.errstate(over="ignore"):
+            hv = (_A[:, None] * seg[None, :] + _B[:, None]) % _MERSENNE
+        red = np.minimum.reduceat(hv, starts[docs] - starts[lo], axis=1)
+        sigs[docs] = red.T
+    return sigs
+
+
+def _batch_band_keys(sigs: np.ndarray) -> np.ndarray:
+    """(n_docs, BANDS) band bucket keys; row i equals band_keys(sigs[i])."""
+    b = sigs.reshape(len(sigs), _BANDS, _ROWS_PER_BAND)
+    key = np.full((len(sigs), _BANDS), _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(_ROWS_PER_BAND):
+            key = (key ^ b[:, :, r]) * _FNV_PRIME
+    return key
+
+
+def _batch_simhash(texts) -> np.ndarray:
+    """uint64 SimHash per doc; element i equals simhash64(texts[i])."""
+    flat, counts = _tokenize_batch(texts)
+    n = len(counts)
+    out = np.zeros(n, dtype=np.uint64)
+    if len(flat) == 0:
+        return out
+    hv = _fnv1a_strings(flat)
+    starts = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    shifts = np.arange(64, dtype=np.uint64)
+    for lo, hi in _doc_chunks(counts):
+        docs = np.nonzero(counts[lo:hi] > 0)[0] + lo
+        if docs.size == 0:
+            continue
+        seg = hv[starts[lo]: starts[hi]]
+        bits = ((seg[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        sums = np.add.reduceat(bits, starts[docs] - starts[lo], axis=0)
+        maj = (sums * 2 > counts[docs][:, None]).astype(np.uint64)
+        out[docs] = (maj << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return out
 
 
 def minhash_signature(shingles: np.ndarray) -> np.ndarray:
@@ -163,30 +355,71 @@ def simhash64(text: str) -> np.uint64:
 MINHASH_THRESHOLD = 0.5
 
 
+def _shingle_blob_col(flat_sh: np.ndarray, sh_counts: np.ndarray) -> pa.Array:
+    """Pack per-doc uint64 shingle slices into a large_binary column
+    (zero-copy: one offsets buffer + the flat hash buffer). Binary, not
+    list<uint64>, because Arrow's hash join rejects list payload columns."""
+    offs = np.zeros(len(sh_counts) + 1, np.int64)
+    np.cumsum(sh_counts * 8, out=offs[1:])
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(sh_counts),
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat_sh.tobytes())])
+
+
+def _decode_shingle_blobs(col) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of _shingle_blob_col: (flat uint64 hashes, per-row counts)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64), np.zeros(0, np.int64)
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], np.int64)[arr.offset: arr.offset + n + 1]
+    flat = np.frombuffer(bufs[2], dtype=np.uint64, offset=int(offs[0]),
+                         count=int((offs[-1] - offs[0]) // 8))
+    return flat, (offs[1:] - offs[:-1]) // 8
+
+
 def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD) -> rd.Dataset:
     """Candidate pairs via banded MinHash-LSH, verified with true Jaccard.
 
-    Pipeline: signatures per batch → explode to (band_id, band_key, doc_id)
-    rows → groupby band bucket → within-bucket pairs → dedup pairs → verify
-    true shingle Jaccard ≥ threshold. Output: (doc_a, doc_b, jaccard).
+    Pipeline: the (doc_id, shingles-blob) table is derived from the read by
+    vectorized kernels (~30 µs/doc) in each of its two consumer branches —
+    two fully-pipelined streaming passes beat a materialize barrier at this
+    cost; at 10^12-doc scale the table would instead be checkpointed once
+    via write_parquet and re-read. Signatures/band keys feed the band-bucket
+    exchange → within-bucket candidate pairs. Verification is fully
+    distributed (no driver-side materialization, no whole-table broadcast)
+    via two hash exchanges: (1) pair rows tagged by each end doc are
+    co-partitioned with the shingle table on doc_id — deduping candidates
+    and attaching that end's shingles in one pass (the shingle table moves
+    through the shuffle exactly once); (2) the two halves of each pair are
+    co-partitioned on (doc_a, doc_b) and true Jaccard is computed. Repartition
+    exchanges are used instead of Dataset.join/HashAggregate ops: same
+    hash-partitioned semantics, roughly half the fixed operator latency and
+    half the shuffle volume (a pair⋈table join per end would move the table
+    twice). Output: (doc_a, doc_b, jaccard).
     """
-    import ray
-
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    _tune_exchange(ds, 16)  # budget the joins below before the plan is built
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        flat, cnt = _batch_shingles(t["text"])
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks() if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"],
+            "shingles": _shingle_blob_col(flat, cnt),
+        })
+
+    sh_ds = ds.map_batches(shingle_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
     def sig_rows(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        texts = t["text"].to_pylist()
-        out_doc, out_band, out_key = [], [], []
-        for did, txt in zip(ids, texts):
-            keys = band_keys(minhash_signature(word_shingles(txt or "")))
-            out_doc.extend([did] * _BANDS)
-            out_band.extend(range(_BANDS))
-            out_key.extend(keys.tolist())
+        flat, cnt = _decode_shingle_blobs(t["shingles"])
+        keys = _batch_band_keys(_batch_signatures(flat, cnt))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({
-            "doc_id": pa.array(out_doc, pa.int64()),
-            "band_id": pa.array(out_band, pa.int32()),
-            "band_key": pa.array(out_key, pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, _BANDS), pa.int64()),
+            "band_id": pa.array(np.tile(np.arange(_BANDS, dtype=np.int32), len(ids)), pa.int32()),
+            "band_key": pa.array(keys.reshape(-1), pa.uint64()),
         })
 
     pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
@@ -199,36 +432,99 @@ def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD) -> rd.Da
         return pa.table({"doc_a": pa.array(ids[ia], pa.int64()),
                          "doc_b": pa.array(ids[ib], pa.int64())})
 
-    from ray.data.aggregate import Count
+    band_rows = sh_ds.map_batches(sig_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    pairs = _per_key_runs(band_rows, ["band_id", "band_key"], bucket_pairs,
+                          pair_schema)  # duplicates across bands — deduped below
 
-    band_rows = ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = (
-        _per_key_runs(band_rows, ["band_id", "band_key"], bucket_pairs, pair_schema)
-        .groupby(["doc_a", "doc_b"], num_partitions=16)  # dedup candidate pairs
-        .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
-    )
-
-    # Verification: broadcast doc → shingle hashes (test-scale; at 100 TB this
-    # becomes a hash-partitioned join of pair rows against the signature table).
-    shingle_map = {}
-    for b in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        for did, txt in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            shingle_map[did] = word_shingles(txt or "")
-    ref = ray.put(shingle_map)
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        sm = ray.get(ref)
-        jac = np.array(
-            [jaccard(sm[a], sm[b]) for a, b in zip(df["doc_a"], df["doc_b"])]
-        )
-        keep = jac >= threshold
-        return pd.DataFrame({
-            "doc_a": df["doc_a"].values[keep],
-            "doc_b": df["doc_b"].values[keep],
-            "jaccard": jac[keep],
+    # -- exchange 1: co-partition pair end-rows with the shingle table -------
+    def pair_end_rows(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        n = len(a)
+        return pa.table({
+            "key": pa.array(np.concatenate([a, b]), pa.int64()),
+            "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "doc_b": pa.array(np.concatenate([b, b]), pa.int64()),
+            "shingles": pa.nulls(2 * n, pa.large_binary()),
         })
 
-    return pairs.map_batches(verify, batch_format="pandas")
+    def sh_tagged_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        neg = pa.array(np.full(n, -1, np.int64), pa.int64())
+        return pa.table({"key": t["doc_id"], "doc_a": neg, "doc_b": neg,
+                         "shingles": t["shingles"]})
+
+    both = pairs.map_batches(pair_end_rows, batch_format="pyarrow",
+                             zero_copy_batch=True).union(
+        sh_ds.map_batches(sh_tagged_rows, batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    half_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                             ("shingles", pa.large_binary())])
+
+    def attach_block(block: pa.Table) -> pa.Table:
+        """Block holds ALL rows for each of its keys (sorted by key): dedup
+        each key's pair end-rows, attach the key's shingle blob to each."""
+        if block.num_rows == 0:
+            return half_schema.empty_table()
+        key = block["key"].to_numpy(zero_copy_only=False)
+        da = block["doc_a"].to_numpy(zero_copy_only=False)
+        db = block["doc_b"].to_numpy(zero_copy_only=False)
+        is_sh = da < 0
+        sh_keys = key[is_sh]
+        pk, pda, pdb = key[~is_sh], da[~is_sh], db[~is_sh]
+        order = np.lexsort((pdb, pda, pk))
+        pk, pda, pdb = pk[order], pda[order], pdb[order]
+        uniq = np.ones(len(pk), dtype=bool)
+        uniq[1:] = (pk[1:] != pk[:-1]) | (pda[1:] != pda[:-1]) | (pdb[1:] != pdb[:-1])
+        pk, pda, pdb = pk[uniq], pda[uniq], pdb[uniq]
+        pos = np.searchsorted(sh_keys, pk)
+        if not (pos < len(sh_keys)).all() or not (sh_keys[np.minimum(pos, len(sh_keys) - 1)] == pk).all():
+            raise RuntimeError("pair end-row co-located without its shingle row "
+                               "(hash-exchange co-partitioning violated)")
+        sh_idx = np.nonzero(is_sh)[0][pos]
+        blobs = block["shingles"].combine_chunks().take(pa.array(sh_idx))
+        return pa.table({"doc_a": pa.array(pda, pa.int64()),
+                         "doc_b": pa.array(pdb, pa.int64()),
+                         "shingles": blobs})
+
+    halves = (
+        both.repartition(16, keys=["key"], sort=True)
+        .map_batches(attach_block, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
+
+    # -- exchange 2: co-partition the two halves of each pair, verify --------
+    out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("jaccard", pa.float64())])
+
+    def judge_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        da = block["doc_a"].to_numpy(zero_copy_only=False)
+        db = block["doc_b"].to_numpy(zero_copy_only=False)
+        if len(da) % 2 or not (da[0::2] == da[1::2]).all() \
+                or not (db[0::2] == db[1::2]).all():
+            raise RuntimeError("pair halves not co-located in one block "
+                               "(hash-exchange co-partitioning violated)")
+        flat, cnt = _decode_shingle_blobs(block["shingles"])
+        s = np.zeros(len(cnt) + 1, np.int64)
+        np.cumsum(cnt, out=s[1:])
+        jac = np.array([
+            jaccard(flat[s[2 * i]: s[2 * i + 1]], flat[s[2 * i + 1]: s[2 * i + 2]])
+            for i in range(len(da) // 2)
+        ])
+        keep = jac >= threshold
+        return pa.table({"doc_a": pa.array(da[0::2][keep], pa.int64()),
+                         "doc_b": pa.array(db[0::2][keep], pa.int64()),
+                         "jaccard": pa.array(jac[keep], pa.float64())})
+
+    return (
+        halves.repartition(16, keys=["doc_a", "doc_b"], sort=True)
+        .map_batches(judge_block, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -250,20 +546,17 @@ def simhash_dups(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> rd.Data
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def sig_rows(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        sigs = [simhash64(txt or "") for txt in t["text"].to_pylist()]
-        out_doc, out_band, out_key, out_sig = [], [], [], []
-        for did, s in zip(ids, sigs):
-            for band in range(4):
-                out_doc.append(did)
-                out_band.append(band)
-                out_key.append(int((int(s) >> (band * 16)) & 0xFFFF))
-                out_sig.append(int(s))
+        sigs = _batch_simhash(t["text"])  # vectorized; == simhash64 per row
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        bands = np.arange(4, dtype=np.uint64)
+        keys = ((sigs[:, None] >> (bands[None, :] * np.uint64(16)))
+                & np.uint64(0xFFFF)).astype(np.int32)
         return pa.table({
-            "doc_id": pa.array(out_doc, pa.int64()),
-            "band_id": pa.array(out_band, pa.int32()),
-            "band_key": pa.array(out_key, pa.int32()),
-            "sig": pa.array(out_sig, pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+            "band_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n), pa.int32()),
+            "band_key": pa.array(keys.reshape(-1), pa.int32()),
+            "sig": pa.array(np.repeat(sigs, 4), pa.uint64()),
         })
 
     ham_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
@@ -358,39 +651,90 @@ WHERE jaccard(a.text, b.text) >= {CHARGRAM_THRESHOLD}
 # ---------------------------------------------------------------------------
 
 COSINE_THRESHOLD = 0.4
+NEARDUP_BLOCKS = 8  # √-replication factor of the block-pair self-join
 
 
-def embedding_neardup(sf_dir: str, threshold: float = COSINE_THRESHOLD) -> rd.Dataset:
-    """Pairs with cosine(embedding_a, embedding_b) ≥ threshold.
+def embedding_neardup(sf_dir: str, threshold: float = COSINE_THRESHOLD,
+                      num_blocks: int = NEARDUP_BLOCKS) -> rd.Dataset:
+    """Pairs with cosine(embedding_a, embedding_b) ≥ threshold — EXACT, via a
+    distributed block-pair self-join (no driver materialization, no
+    whole-table broadcast; the 0.4 threshold is far below the regime where
+    LSH bucketing can stay exact, so the scale path is the classic
+    O(n·√P)-communication all-pairs decomposition instead).
 
-    Exact block-matrix search: the normalized matrix is broadcast once
-    (ray.put), each batch computes batch × all sims with one float64 matmul.
-    At real scale the broadcast side becomes an IVF/LSH-bucketed index and
-    batches probe only their buckets. Output: (vec_a, vec_b, cos_sim).
+    Each vector lands in block b = vec_id % num_blocks and is replicated to
+    every block-pair group (min(b,b'), max(b,b')) — num_blocks copies per
+    row. One hash exchange co-locates each group; a group computes its
+    cross-block (or triangular, when b==b') cosine matrix with one float64
+    matmul. Every qualifying pair occurs in exactly one group, so no dedup
+    pass is needed. Output: (vec_a, vec_b, cos_sim_u) with the similarity
+    integerized at 1e-6 (micro-units) so the SQL oracle hash-matches.
     """
-    import ray
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    all_tbl = ds.to_pandas()
-    ids_all = all_tbl["vec_id"].to_numpy(dtype=np.int64)
-    E = np.stack(all_tbl["embedding"].to_numpy()).astype(np.float64)
-    En = E / np.linalg.norm(E, axis=1, keepdims=True)
-    ref = ray.put((ids_all, En))
-
-    def pairs(t: pa.Table) -> pa.Table:
-        ids_a, En_all = ray.get(ref)
-        ids_b = t["vec_id"].to_numpy(zero_copy_only=False)
-        B = np.stack(t["embedding"].to_pylist()).astype(np.float64)
-        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-        sims = Bn @ En_all.T
-        bi, ai = np.nonzero((sims >= threshold) & (ids_b[:, None] < ids_a[None, :]))
+    def replicate(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        b = (ids % num_blocks).astype(np.int32)
+        # row i joins groups (min(b,j), max(b,j)) for every j — num_blocks rows
+        js = np.arange(num_blocks, dtype=np.int32)
+        bi = np.minimum(b[:, None], js[None, :]).reshape(-1)
+        bj = np.maximum(b[:, None], js[None, :]).reshape(-1)
+        idx = pa.array(np.repeat(np.arange(len(ids), dtype=np.int64), num_blocks))
         return pa.table({
-            "vec_a": pa.array(ids_b[bi], pa.int64()),
-            "vec_b": pa.array(ids_a[ai], pa.int64()),
-            "cos_sim": pa.array(sims[bi, ai], pa.float64()),
+            "bi": pa.array(bi, pa.int32()),
+            "bj": pa.array(bj, pa.int32()),
+            "vec_id": t["vec_id"].take(idx) if not isinstance(t["vec_id"], pa.ChunkedArray) else t["vec_id"].combine_chunks().take(idx),
+            "embedding": t["embedding"].combine_chunks().take(idx) if isinstance(t["embedding"], pa.ChunkedArray) else t["embedding"].take(idx),
         })
 
-    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    out_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                            ("cos_sim_u", pa.int64())])
+
+    def group_pairs(run: pa.Table) -> pa.Table:
+        gi = int(run["bi"][0].as_py())
+        gj = int(run["bj"][0].as_py())
+        ids = run["vec_id"].to_numpy(zero_copy_only=False)
+        # each vec_id appears exactly once per group; np.unique is for the
+        # ascending order the triangular mask below relies on
+        ids_u, first = np.unique(ids, return_index=True)
+        E = np.stack(run["embedding"].to_pylist()).astype(np.float64)[first]
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        blk = (ids_u % num_blocks).astype(np.int32)
+        if gi == gj:
+            S = En @ En.T
+            ia, ib = np.nonzero(np.triu(S >= threshold, k=1))
+            va, vb, sim = ids_u[ia], ids_u[ib], S[ia, ib]
+        else:
+            mi, mj = blk == gi, blk == gj
+            S = En[mi] @ En[mj].T
+            ia, ib = np.nonzero(S >= threshold)
+            va, vb, sim = ids_u[mi][ia], ids_u[mj][ib], S[ia, ib]
+            va, vb = np.minimum(va, vb), np.maximum(va, vb)
+        if len(va) == 0:
+            return out_schema.empty_table()
+        return pa.table({
+            "vec_a": pa.array(va, pa.int64()),
+            "vec_b": pa.array(vb, pa.int64()),
+            "cos_sim_u": pa.array(
+                np.floor(sim * 1_000_000 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    rep = ds.map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True)
+    return _per_key_runs(rep, ["bi", "bj"], group_pairs, out_schema,
+                         num_partitions=num_blocks * (num_blocks + 1) // 2)
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))*1000000 + 0.5)
+            AS BIGINT) AS cos_sim_u
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {COSINE_THRESHOLD}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -472,4 +816,5 @@ QUERIES = {
 
 SQL = {
     "chargram_jaccard_dups": SQL_CHARGRAM,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
 }

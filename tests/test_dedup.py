@@ -115,6 +115,38 @@ def test_lsh_ann_recall_vs_exact():
     assert np.mean(recalls) >= 0.4, recalls
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_per_key_runs_oversized_partition_stays_whole():
+    """_per_key_runs relies on Ray 2.49's hash-shuffle finalize emitting ONE
+    block per partition (splitting at target_max_block_size is an
+    unimplemented TODO in hash_shuffle.py). Build a partition far above the
+    block-size target: if a future Ray starts splitting, the hot key's run
+    fragments into several fn calls and this fails loudly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocrautomator_ray.functions.dedup import _per_key_runs
+
+    n_hot = 50_000
+    t = pa.table({
+        "k": pa.array(["hot"] * n_hot + [f"cold{i}" for i in range(100)]),
+        "payload": pa.array(["x" * 100] * (n_hot + 100)),
+    })
+    ds = rd.from_arrow(t)
+    ds.context.target_max_block_size = 1 << 20  # 1 MB << the hot partition
+
+    out_schema = pa.schema([("k", pa.string()), ("n", pa.int64())])
+
+    def count_run(run: pa.Table) -> pa.Table:
+        return pa.table({"k": pa.array([run["k"][0].as_py()]),
+                         "n": pa.array([run.num_rows], pa.int64())})
+
+    got = _per_key_runs(ds, ["k"], count_run, out_schema,
+                        num_partitions=4).to_pandas()
+    assert len(got) == 101, "a key run was split across blocks"
+    assert int(got.set_index("k")["n"]["hot"]) == n_hot
+
+
 def test_winnow_fingerprint_properties():
     from ocrautomator_ray.functions.text import _winnow_one
 
