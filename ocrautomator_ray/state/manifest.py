@@ -58,6 +58,65 @@ def write_part_manifest(out_dir: str, part_id: int, manifest: dict) -> None:
     os.replace(tmp, final)
 
 
+def run_manifest_path(out_dir: str) -> str:
+    return os.path.join(manifest_dir(out_dir), "run.json")
+
+
+def write_run_manifest(out_dir: str, manifest: dict) -> None:
+    d = manifest_dir(out_dir)
+    os.makedirs(d, exist_ok=True)
+    final = run_manifest_path(out_dir)
+    tmp = f"{final}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final)
+
+
+def load_run_manifest(out_dir: str) -> dict | None:
+    p = run_manifest_path(out_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def check_run_compatible(out_dir: str, num_partitions: int) -> None:
+    """Fail fast when an existing out_dir was produced under a different
+    partitioning: part-NNNNN names would overlap, leaving stale committed
+    manifests/fragments that read_output would return alongside new ones.
+    Reusing an out_dir is only valid with the same num_partitions (resume)."""
+    rm = load_run_manifest(out_dir)
+    if rm is not None and int(rm.get("num_partitions", -1)) != num_partitions:
+        raise RuntimeError(
+            f"out_dir {out_dir!r} was produced with num_partitions="
+            f"{rm.get('num_partitions')}, refusing to write with "
+            f"num_partitions={num_partitions}; use a fresh out_dir"
+        )
+    stale = {
+        pid: m["lineage"]["num_partitions"]
+        for pid, m in load_manifests(out_dir).items()
+        if m.get("lineage", {}).get("num_partitions") != num_partitions
+    }
+    if stale:
+        raise RuntimeError(
+            f"out_dir {out_dir!r} holds part manifests from a different "
+            f"partitioning {sorted(set(stale.values()))} (current: "
+            f"{num_partitions}); use a fresh out_dir"
+        )
+
+
+def demote_part(out_dir: str, part_id: int) -> None:
+    """Remove a partition's manifest so resume recomputes it — used to back
+    out a commit that later turns out to be part of a corrupted run (e.g. a
+    partition that spanned exchange blocks committed a fragment per block).
+    The orphaned data file is invisible: reads are manifest-driven."""
+    p = part_manifest_path(out_dir, part_id)
+    if os.path.exists(p):
+        os.remove(p)
+
+
 def load_manifests(out_dir: str) -> dict[int, dict]:
     d = manifest_dir(out_dir)
     if not os.path.isdir(d):

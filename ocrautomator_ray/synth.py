@@ -228,16 +228,17 @@ def doc_dup_key(doc_id: str, spans: list[dict]) -> int:
     return int.from_bytes(h.digest()[:8], "little")
 
 
-def docs_from_documents_parquet(sf_dir: str, media_every: int = 3,
-                                seed: int = 42) -> pa.Table:
-    """Deterministically wrap the driver's documents table into DOC_SCHEMA.
+def docs_batch_from_documents(t: pa.Table, media_every: int = 3,
+                              seed: int = 42) -> pa.Table:
+    """Wrap one batch of the driver's documents rows into DOC_SCHEMA.
 
     Row i → doc ``drv-{doc_id}``: one text span (HTML-wrapped for every 4th
     row), plus a media span for every ``media_every``-th row (pages derived
-    from n_chars, capped 16). Pure function of the parquet contents + seed.
+    from n_chars, capped 16). A pure per-row function of the parquet
+    contents + seed, so the result is identical under any batching/order —
+    this is what lets the flagship synthesize its input inside map_batches
+    instead of on the driver.
     """
-    t = pq.read_table(f"{sf_dir}/documents.parquet",
-                      columns=["doc_id", "text", "n_chars"])
     out = []
     for did, text, n_chars in zip(
         t["doc_id"].to_pylist(), t["text"].to_pylist(), t["n_chars"].to_pylist()
@@ -260,6 +261,29 @@ def docs_from_documents_parquet(sf_dir: str, media_every: int = 3,
             )
         out.append({"doc_id": doc_id, "spans": spans})
     return rows_to_table(out)
+
+
+def read_driver_docs(sf_dir: str, media_every: int = 3, seed: int = 42):
+    """Streaming DOC_SCHEMA dataset derived from the driver's
+    documents.parquet — a pruned read + map_batches; never materializes the
+    doc table on the driver."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+    return ds.map_batches(
+        lambda t: docs_batch_from_documents(t, media_every, seed),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def docs_from_documents_parquet(sf_dir: str, media_every: int = 3,
+                                seed: int = 42) -> pa.Table:
+    """Driver-local materialization of read_driver_docs (test oracles only —
+    the pipeline path goes through read_driver_docs)."""
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "n_chars"])
+    return docs_batch_from_documents(t, media_every, seed)
 
 
 _ = SPAN_TYPE  # re-export convenience

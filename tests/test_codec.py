@@ -57,6 +57,28 @@ def test_corrupt_containers():
             codec.index_container(bad)
 
 
+def test_corrupt_exif_blocks_raise_codec_error():
+    """T8 containment: truncated/undecodable exif payloads must surface as
+    CodecError (the extraction actor catches only CodecError), never
+    IndexError/UnicodeDecodeError."""
+    ref = codec.make_media_ref("d", 1, 0, 3, 7)
+    data = codec.encode_media(ref)
+    a, b = codec.index_container(data).exif_slice
+    payload = data[a:b]
+    corrupt = [
+        b"",                       # empty
+        payload[:1],               # ntags only, no tag bytes
+        payload[:3],               # truncated mid-key
+        payload[:-1],              # truncated last value
+        bytes([250]) + payload[1:],        # tag count overruns payload
+        bytes([1, 2, 0xFF, 0xFE, 1, 118]),  # key bytes aren't UTF-8
+        payload + b"\x00",         # trailing bytes
+    ]
+    for bad in corrupt:
+        with pytest.raises(codec.CodecError):
+            codec.decode_exif_block(bad)
+
+
 def test_work_factor_does_not_change_output():
     ref = codec.make_media_ref("d", 0, 1, 3, 5)
     data = codec.encode_media(ref)

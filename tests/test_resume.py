@@ -80,6 +80,39 @@ def test_mismatched_partitioning_not_resumed(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_out_dir_partitioning_mismatch_fails_fast(tmp_path):
+    """Reusing an out_dir with a different num_partitions must refuse loudly
+    (stale part-NNNNN manifests/fragments would silently mix into reads);
+    same-P reuse stays a valid full-resume noop."""
+    t = synth.gen_table("sf-test", rows=50)
+    out = str(tmp_path / "o")
+    run_extraction(rd.from_arrow(t),
+                   PipelineConfig(out_dir=out, num_partitions=4, work_factor=0))
+    with pytest.raises(RuntimeError, match="num_partitions"):
+        run_extraction(rd.from_arrow(t),
+                       PipelineConfig(out_dir=out, num_partitions=8, work_factor=0))
+    s = run_extraction(rd.from_arrow(t),
+                       PipelineConfig(out_dir=out, num_partitions=4, work_factor=0))
+    assert s["partitions_this_run"] == 0  # unchanged state, clean resume
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_demoted_part_is_recomputed_on_resume(tmp_path):
+    """demote_part removes only the manifest; resume recomputes exactly the
+    demoted partition (the recovery path for a backed-out bad commit)."""
+    t = synth.gen_table("sf-test", rows=80)
+    out = str(tmp_path / "o")
+    run_extraction(rd.from_arrow(t),
+                   PipelineConfig(out_dir=out, num_partitions=P, work_factor=0))
+    mf.demote_part(out, 2)
+    assert completed_parts(out, P) == set(range(P)) - {2}
+    s = run_extraction(rd.from_arrow(t),
+                       PipelineConfig(out_dir=out, num_partitions=P, work_factor=0))
+    assert s["partitions_this_run"] == 1
+    assert completed_parts(out, P) == set(range(P))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_manifest_lineage_and_counters(tmp_path):
     t = synth.gen_table("sf-test", rows=80)
     out = str(tmp_path / "o")
