@@ -75,24 +75,7 @@ def _per_key_runs(ds: rd.Dataset, keys: list[str], fn, empty_schema: pa.Schema,
     )
 
 
-def _tune_exchange(ds: rd.Dataset, num_partitions: int) -> None:
-    """Switch the dataset's context to the hash-shuffle strategy and budget
-    the aggregator actors so concurrent exchanges (repartition, groupby,
-    join) can't starve the map stages of CPUs — the untuned join default is
-    0.125 CPU/partition, which deadlocks small clusters when several
-    exchanges coexist in one plan."""
-    import ray
-    from ray.data.context import ShuffleStrategy
-
-    ctx = ds.context
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    total = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    ctx.max_hash_shuffle_aggregators = max(2, total // 4)
-    per_part = max(0.5, total / 16) / num_partitions
-    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
-    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = per_part
-    ctx.join_operator_actor_num_cpus_per_partition_override = per_part
-
+from ocrautomator_ray.functions.exchange import tune_exchange as _tune_exchange
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _NUM_HASHES = 64
@@ -608,34 +591,106 @@ CHARGRAM_THRESHOLD = 0.8
 
 
 def chargram_jaccard_dups(sf_dir: str, threshold: float = CHARGRAM_THRESHOLD) -> rd.Dataset:
-    """Similar-document pairs by exact character-set Jaccard, blocked by the
-    `source` column (bounded blocks → per-group pairwise compare is safe).
+    """Similar-document pairs by exact character-set Jaccard, blocked by
+    (`source`, charset-size bucket).
+
+    Skew guard (lossless): jaccard(A,B) ≥ t implies |A|/|B| ≥ t (since
+    |A∩B| ≤ min and |A∪B| ≥ max), so with geometric size buckets of ratio
+    1/t a qualifying pair sits in the same or adjacent buckets. Each doc is
+    native in its own bucket and a visitor in the next; a group compares
+    native×native and native×(visitor-from-previous) only — every
+    qualifying pair exactly once, and a hot `source` key splits into
+    bounded-size bucket groups instead of pinning one worker with an O(n²)
+    monolith. Within a group the compare is one vectorized bitset matmul
+    (union-alphabet bitmask + popcount), not a Python pair loop.
 
     Output: (doc_a, doc_b, jac). Matches DuckDB's jaccard() semantics exactly
     (distinct unicode characters of each string).
     """
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "source"])
+    # widened denominator: for size ratio exactly t the bucket distance is
+    # strictly < 1 even under float rounding, so "adjacent buckets" holds
+    log_inv_t = np.log(1.0 / threshold) * (1 + 1e-9)
 
-    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        charsets = [frozenset(t or "") for t in g["text"]]
-        rows_a, rows_b, jacs = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(charsets[i] & charsets[j])
-                union = len(charsets[i] | charsets[j])
-                jac = inter / union if union else 1.0
-                if jac >= threshold:
-                    rows_a.append(ids[i]); rows_b.append(ids[j]); jacs.append(jac)
-        return pd.DataFrame({
-            "doc_a": np.array(rows_a, dtype=np.int64),
-            "doc_b": np.array(rows_b, dtype=np.int64),
-            "jac": np.array(jacs, dtype=np.float64),
+    def bucket_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        srcs = t["source"].to_pylist()
+        texts = t["text"].to_pylist()
+        charsets = [
+            np.unique(np.frombuffer((txt or "").encode("utf-32-le"), np.uint32))
+            .astype(np.uint64)
+            for txt in texts
+        ]
+        sizes = np.array([len(c) for c in charsets], np.int64)
+        bucket = np.where(
+            sizes > 0, np.floor(np.log(np.maximum(sizes, 1)) / log_inv_t), -1
+        ).astype(np.int64)
+        flat = (np.concatenate(charsets) if charsets
+                else np.empty(0, np.uint64))
+        blobs = _shingle_blob_col(flat, sizes)
+        native = pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "bucket": pa.array(bucket, pa.int64()),
+            "visitor": pa.array(np.zeros(len(ids), np.bool_)),
+            "doc_id": pa.array(ids, pa.int64()),
+            "charset": blobs,
+        })
+        probe = sizes > 0  # size-0 docs pair only with each other (bucket -1)
+        visitor = pa.table({
+            "source": pa.array([s for s, p in zip(srcs, probe) if p], pa.string()),
+            "bucket": pa.array(bucket[probe] + 1, pa.int64()),
+            "visitor": pa.array(np.ones(int(probe.sum()), np.bool_)),
+            "doc_id": pa.array(ids[probe], pa.int64()),
+            "charset": blobs.filter(pa.array(probe)),
+        })
+        return pa.concat_tables([native, visitor])
+
+    out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("jac", pa.float64())])
+
+    def group_pairs(run: pa.Table) -> pa.Table:
+        ids = run["doc_id"].to_numpy(zero_copy_only=False)
+        vis = run["visitor"].to_numpy(zero_copy_only=False)
+        flat, cnt = _decode_shingle_blobs(run["charset"])
+        n = len(ids)
+        n_nat = int((~vis).sum())
+        if n_nat == 0 or n < 2:
+            return out_schema.empty_table()
+        # bitset matrix over the group's union alphabet
+        alphabet = np.unique(flat)
+        words = max(1, (len(alphabet) + 63) // 64)
+        X = np.zeros((n, words), np.uint64)
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(cnt, out=starts[1:])
+        pos = np.searchsorted(alphabet, flat)
+        row = np.repeat(np.arange(n), cnt)
+        np.bitwise_or.at(X, (row, pos // 64), np.uint64(1) << (pos % 64).astype(np.uint64))
+        sizes = cnt.astype(np.int64)
+        # candidate index pairs: native×native (i<j) + native×visitor
+        nat = np.nonzero(~vis)[0]
+        ia, ib = np.triu_indices(n_nat, k=1)
+        pi, pj = nat[ia], nat[ib]
+        visi = np.nonzero(vis)[0]
+        if visi.size:
+            gi, gj = np.meshgrid(nat, visi, indexing="ij")
+            pi = np.concatenate([pi, gi.reshape(-1)])
+            pj = np.concatenate([pj, gj.reshape(-1)])
+        inter = np.unpackbits((X[pi] & X[pj]).view(np.uint8), axis=1) \
+            .sum(axis=1).astype(np.int64)
+        union = sizes[pi] + sizes[pj] - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        keep = jac >= threshold
+        a, b = ids[pi][keep], ids[pj][keep]
+        return pa.table({
+            "doc_a": pa.array(np.minimum(a, b), pa.int64()),
+            "doc_b": pa.array(np.maximum(a, b), pa.int64()),
+            "jac": pa.array(jac[keep], pa.float64()),
         })
 
-    return ds.groupby("source").map_groups(block_pairs, batch_format="pandas")
+    rows = ds.map_batches(bucket_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return _per_key_runs(rows, ["source", "bucket"], group_pairs, out_schema)
 
 
 SQL_CHARGRAM = f"""

@@ -113,6 +113,8 @@ WHERE l_shipdate > TIMESTAMP '1997-01-01' AND l_discount > 0.05
 # --------------------------------------------------------------------------
 
 def first_event_per_user(sf_dir: str) -> rd.Dataset:
+    from ocrautomator_ray.functions.exchange import per_key_blocks
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_id", "event_type"])
 
@@ -120,18 +122,16 @@ def first_event_per_user(sf_dir: str) -> rd.Dataset:
         # per-batch pre-reduce: keep each user's first row; shrinks the shuffle
         return df.sort_values(["ts", "event_id"]).drop_duplicates("user_id")
 
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).head(1)
-        return pd.DataFrame(
-            {"user_id": g["user_id"].values, "first_ts": g["ts"].values,
-             "first_type": g["event_type"].values}
-        )
+    def first_rows(block: pd.DataFrame) -> pd.DataFrame:
+        # block holds every surviving row of each of its users (hash exchange)
+        g = block.sort_values(["user_id", "ts", "event_id"]) \
+            .drop_duplicates("user_id")
+        return pd.DataFrame({"user_id": g["user_id"].values,
+                             "first_ts": g["ts"].values,
+                             "first_type": g["event_type"].values})
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(first_row, batch_format="pandas")
-    )
+    return per_key_blocks(ds.map_batches(partial, batch_format="pandas"),
+                          ["user_id"], first_rows, batch_format="pandas")
 
 
 SQL_FIRST_EVENT = """

@@ -123,22 +123,37 @@ SESSION_GAP_MIN = 30
 
 
 def sessionize_events(sf_dir: str) -> rd.Dataset:
+    from ocrautomator_ray.functions.exchange import per_key_blocks
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_id"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def sessions_block(block: pd.DataFrame) -> pd.DataFrame:
+        # all rows of each user are in this block (hash exchange); one
+        # vectorized pass sessionizes every user at once
+        if block.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "session_id": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "session_start": pd.Series([], dtype="datetime64[us]"),
+                "session_end": pd.Series([], dtype="datetime64[us]"),
+            })
+        g = block.sort_values(["user_id", "ts", "event_id"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        sid = gap.cumsum().astype(np.int64) + 1  # SQL's SUM over new-session flags
-        out = g.assign(session_id=sid).groupby("session_id", as_index=False).agg(
-            n_events=("event_id", "count"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
+        new_s = (new_user | gap)
+        sid = new_s.groupby(g["user_id"].values).cumsum().astype(np.int64)
+        out = (
+            g.assign(session_id=sid)
+            .groupby(["user_id", "session_id"], as_index=False)
+            .agg(n_events=("event_id", "count"),
+                 session_start=("ts", "min"), session_end=("ts", "max"))
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
         return out
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return per_key_blocks(ds, ["user_id"], sessions_block,
+                          batch_format="pandas")
 
 
 SQL_SESSIONIZE = f"""
@@ -170,6 +185,8 @@ TOPK_PER_USER = 2
 
 
 def top_events_per_user(sf_dir: str) -> rd.Dataset:
+    from ocrautomator_ray.functions.exchange import per_key_blocks
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_id", "value"])
 
@@ -181,19 +198,20 @@ def top_events_per_user(sf_dir: str) -> rd.Dataset:
             .head(TOPK_PER_USER)
         )
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(TOPK_PER_USER)
+    def topk_block(block: pd.DataFrame) -> pd.DataFrame:
+        # every surviving row of each user is in this block; rank vectorized
+        g = block.sort_values(["user_id", "value", "event_id"],
+                              ascending=[True, False, True])
+        rank = g.groupby("user_id").cumcount().to_numpy() + 1
+        keep = rank <= TOPK_PER_USER
         return pd.DataFrame({
-            "user_id": g["user_id"].values,
-            "event_id": g["event_id"].values,
-            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "user_id": g["user_id"].values[keep],
+            "event_id": g["event_id"].values[keep],
+            "rank": rank[keep].astype(np.int64),
         })
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(topk, batch_format="pandas")
-    )
+    return per_key_blocks(ds.map_batches(partial, batch_format="pandas"),
+                          ["user_id"], topk_block, batch_format="pandas")
 
 
 SQL_TOPK_PER_USER = f"""
@@ -277,25 +295,35 @@ def asof_last_order(sf_dir: str) -> rd.Dataset:
         orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        ev = g[g["side"] == "e"].sort_values(["ts", "event_id"])
-        od = g[g["side"] == "o"].sort_values("ts")
-        if ev.empty or od.empty:
-            return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
-                                 "user_id": pd.Series([], dtype=np.int64),
-                                 "last_order_date": pd.Series([], dtype="datetime64[us]")})
-        m = pd.merge_asof(
-            ev[["ts", "event_id"]], od[["ts"]].rename(columns={"ts": "last_order_date"}),
-            left_on="ts", right_on="last_order_date", direction="backward",
-        )
-        m = m.dropna(subset=["last_order_date"])
+    def asof_block(block: pd.DataFrame) -> pd.DataFrame:
+        # every row of each key is in this block (hash exchange). One
+        # vectorized pass: sort (key, ts, orders-before-events-at-equal-ts),
+        # forward-fill the latest order date within each key — each event row
+        # then carries max(o_orderdate <= ts), the backward-inclusive as-of.
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype=np.int64),
+            "user_id": pd.Series([], dtype=np.int64),
+            "last_order_date": pd.Series([], dtype="datetime64[us]"),
+        })
+        if block.empty:
+            return empty
+        is_event = (block["side"] == "e").to_numpy()
+        g = block.assign(_ev=is_event.astype(np.int8)) \
+            .sort_values(["key", "ts", "_ev"], kind="stable")
+        order_ts = g["ts"].where(g["_ev"].eq(0))
+        last_order = order_ts.groupby(g["key"].values).ffill()
+        ev = g["_ev"].eq(1) & last_order.notna()
+        if not ev.any():
+            return empty
         return pd.DataFrame({
-            "event_id": m["event_id"].to_numpy(dtype=np.int64),
-            "user_id": np.full(len(m), int(g["key"].iloc[0]), dtype=np.int64),
-            "last_order_date": m["last_order_date"].to_numpy(),
+            "event_id": g["event_id"].to_numpy()[ev.to_numpy()].astype(np.int64),
+            "user_id": g["key"].to_numpy()[ev.to_numpy()].astype(np.int64),
+            "last_order_date": last_order.to_numpy()[ev.to_numpy()],
         })
 
-    return both.groupby("key").map_groups(asof, batch_format="pandas")
+    from ocrautomator_ray.functions.exchange import per_key_blocks
+
+    return per_key_blocks(both, ["key"], asof_block, batch_format="pandas")
 
 
 SQL_ASOF = """
