@@ -57,8 +57,10 @@ class PipelineConfig:
     # explode output chunk rows == extraction task granularity (explode yields
     # one block per chunk; the actor pool schedules one task per block)
     unit_chunk_rows: int = 512
-    # extraction actor pool (the reference's N warm OCR threads)
-    concurrency: tuple[int, int] | int = (2, 8)
+    # extraction actor pool (the reference's N warm OCR threads). Min 1 so a
+    # tiny input (fewer blocks than actors) doesn't strand idle actors; the
+    # pool autoscaler grows toward max with queue depth.
+    concurrency: tuple[int, int] | int = (1, 8)
     num_cpus_per_actor: float = 1.0
     ocr_batch_size: int = 128
     work_factor: int = 8
@@ -150,6 +152,10 @@ def _apply_shuffle_config(ds: rd.Dataset, cfg: PipelineConfig) -> None:
     if not (_hash_exchange_available() and cfg.exchange == "hash"):
         return
     from ray.data.context import ShuffleStrategy
+
+    from ocrautomator_ray.functions.exchange import silence_empty_partition_warning
+
+    silence_empty_partition_warning()
 
     ctx = getattr(ds, "context", None)
     if ctx is None:
