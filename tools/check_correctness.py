@@ -1,0 +1,92 @@
+"""Driver-mimic correctness check: run every ``queries()`` entry at an sf dir
+and compare against ``oracle_sql()`` through DuckDB the way the driver does —
+columns sorted by name, rows sorted, values hashed. Usage:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(sorted(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def _hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for c in df.columns:
+        col = df[c]
+        if np.issubdtype(col.dtype, np.floating):
+            col = col.round(6)
+        h.update(pd.util.hash_pandas_object(col, index=False).values.tobytes())
+    return h.hexdigest()
+
+
+def main() -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    qs, osql = e.queries(), e.oracle_sql()
+    bad = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        res = fn(sf)
+        df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+        if name not in osql:
+            print(f"{name:32s} rows={len(df):7d}  (no oracle)")
+            continue
+        odf = con.execute(osql[name]).df()
+        df, odf = _canon(df), _canon(odf)
+        rows = len(df) == len(odf)
+        schema = list(df.columns) == list(odf.columns)
+        hm = rows and schema and _hash(df) == _hash(odf.astype(df.dtypes.to_dict(), errors="ignore"))
+        status = "OK" if (rows and schema and hm) else "FAIL"
+        print(f"{name:32s} rows={len(df):7d}/{len(odf):<7d} schema={schema} "
+              f"hash={hm}  {status}")
+        if status == "FAIL":
+            bad.append(name)
+            if not schema:
+                print("   engine cols:", list(df.columns))
+                print("   oracle cols:", list(odf.columns))
+            elif rows:
+                for c in df.columns:
+                    a = df[c].to_numpy()
+                    b = odf[c].to_numpy()
+                    try:
+                        eq = (pd.Series(a) == pd.Series(b)).all()
+                    except Exception:
+                        eq = False
+                    if not eq:
+                        print(f"   first col diff: {c}: {a[:3]} vs {b[:3]} "
+                              f"dtypes {df[c].dtype}/{odf[c].dtype}")
+                        break
+    print("FAILS:", bad)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
