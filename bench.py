@@ -87,7 +87,7 @@ def run_benchmarks() -> dict:
     ctx.execution_options.verbose_progress = False
 
     from ocrautomator_ray.pipelines.extract import PipelineConfig, run_extraction
-    from ocrautomator_ray.functions import ann, dedup, relational, text
+    from ocrautomator_ray.functions import ann, dedup, relational, relational2, text
 
     bench_path = _bench_input(SF_DIR)
     # warm OS page cache (untimed) so we measure compute + shuffle, not disk
@@ -152,9 +152,12 @@ def run_benchmarks() -> dict:
     timed("filter_project", relational.filter_project, consume="count")
     timed("dedup_first_docs", relational.dedup_first_docs, consume="count")
     timed("hourly_user_activity", relational.hourly_user_activity, consume="count")
+    timed("sessionize_events", relational2.sessionize_events, consume="count")
+    timed("top_events_per_user", relational2.top_events_per_user, consume="count")
     timed("token_stats", text.token_stats, consume="count")
     timed("doc_fingerprint", text.doc_fingerprint, consume="count")
     timed("minhash_lsh_dups", dedup.minhash_lsh_dups, consume="count")
+    timed("embedding_neardup", dedup.embedding_neardup, consume="count")
     timed("ann_topk", ann.ann_topk)
 
     from ocrautomator_ray.pipelines.extract import run_flagship
