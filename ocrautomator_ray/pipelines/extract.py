@@ -79,6 +79,9 @@ class PipelineConfig:
     exchange_partitions: int | None = None
     hash_aggregators: int = 8
     hash_aggregator_cpus: float = 0.25
+    # A2: live progress/ETA line on stderr (manifest-tail poller; zero
+    # data-plane overhead). Off by default — bench/tests want clean streams.
+    progress: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -219,7 +222,14 @@ def run_extraction(ds: rd.Dataset, cfg: PipelineConfig) -> dict:
             ).limit(1)
             if probe.count() == 0:
                 return _summary_dict(cfg.out_dir, 0)
-    summary = build_pipeline(ds, cfg).to_pandas()  # P rows — small by design
+    if cfg.progress:
+        from ocrautomator_ray.state.progress import ProgressReporter
+
+        skip = completed_parts(cfg.out_dir, cfg.num_partitions) if cfg.resume else set()
+        with ProgressReporter(cfg.out_dir, cfg.num_partitions, skip_parts=skip):
+            summary = build_pipeline(ds, cfg).to_pandas()
+    else:
+        summary = build_pipeline(ds, cfg).to_pandas()  # P rows — small by design
     if summary["part_id"].duplicated().any():
         dupes = summary[summary["part_id"].duplicated(keep=False)]
         affected = sorted(dupes["part_id"].unique().tolist())

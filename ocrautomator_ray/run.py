@@ -45,6 +45,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="optional repartition between explode and the pool")
     p.add_argument("--no-resume", action="store_true",
                    help="ignore existing checkpoint manifests")
+    p.add_argument("--quiet", action="store_true",
+                   help="suppress the live progress/ETA line on stderr")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="num_cpus for a locally-owned ray session (ignored on a cluster)")
     return p
@@ -80,6 +82,7 @@ def main(argv: list[str] | None = None) -> dict:
             psm_override=args.psm,
             ocr_repartition=args.repartition,
             input_desc=args.input,
+            progress=not args.quiet,  # A2: live files/s / pages/s / ETA line
         )
         summary = run_extraction(read_docs(args.input), cfg)
         return summary

@@ -117,3 +117,33 @@ def test_psm_override_matches_oracle(tmp_path):
     assert got == exp
     base = oracle.oracle_table(t).spans_by_doc
     assert got != base  # the override visibly changed segmentation
+
+
+def test_progress_reporter_tails_manifests(tmp_path):
+    """A2: the reporter ingests newly committed part manifests, excludes
+    resume-skipped parts from this run's rate, and renders a final line."""
+    import io
+
+    from ocrautomator_ray.state.manifest import write_part_manifest
+    from ocrautomator_ray.state.progress import ProgressReporter
+
+    out = str(tmp_path / "o")
+    write_part_manifest(out, 0, {"part_id": 0, "status": "committed",
+                                 "counters": {"docs": 5, "pages_ocrd": 9}})
+    buf = io.StringIO()
+    rep = ProgressReporter(out, total_parts=4, skip_parts={0},
+                           interval=0.05, stream=buf)
+    rep.start()
+    write_part_manifest(out, 1, {"part_id": 1, "status": "committed",
+                                 "counters": {"docs": 7, "pages_ocrd": 11}})
+    write_part_manifest(out, 2, {"part_id": 2, "status": "error",
+                                 "counters": {"docs": 99}})
+    import time
+
+    time.sleep(0.3)
+    rep.stop()
+    text = buf.getvalue()
+    # skip-part 0 counts toward position but not rate; error part ignored
+    assert "parts 2/4" in text.splitlines()[-1]
+    assert "docs 7" in text.splitlines()[-1]
+    assert rep._counters == {"docs": 7, "pages_ocrd": 11}
