@@ -14,6 +14,7 @@ from collections.abc import Callable
 from typing import Any
 
 from ocrautomator_ray.functions import ann as _ann
+from ocrautomator_ray.functions import curate as _curate
 from ocrautomator_ray.functions import dedup as _dedup
 from ocrautomator_ray.functions import relational as _relational
 from ocrautomator_ray.functions import relational2 as _relational2
@@ -44,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(_text.QUERIES)
     q.update(_dedup.QUERIES)
     q.update(_ann.QUERIES)
+    q.update(_curate.QUERIES)
     q["extract_pipeline"] = _flagship_query
     return q
 
@@ -55,6 +57,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_text.SQL)
     sql.update(_dedup.SQL)
     sql.update(_ann.SQL)
+    sql.update(_curate.SQL)
     # Rows-only (non-SQL-expressible): lang_id, doc_fingerprint,
     # minhash_lsh_dups, simhash_dups, lsh_ann_topk, extract_pipeline —
     # each has a pytest oracle instead (tests/).

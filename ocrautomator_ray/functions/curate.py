@@ -1,0 +1,290 @@
+"""Training-data curation operators (SURVEY.md §2 extension set).
+
+Three operations every large-scale LLM data pipeline needs, each
+Ray-Data-first and SQL-oracled:
+
+- ``decontaminate``: flag training documents sharing any word k-gram with an
+  eval/benchmark subset — the train-test decontamination pass (Brown et al.,
+  GPT-3 appendix C; Dodge et al. 2021). Implemented as a gram-hash
+  partitioned exchange (NOT a broadcast): both sides emit (gram_hash,
+  doc_id) rows, one hash repartition co-locates equal grams, membership is a
+  sorted np.isin per partition, and a final groupby sums per-doc hits. Scales
+  to eval sets far beyond driver RAM; a genuinely-small benchmark could use
+  the ann-style broadcast instead, but the exchange is the 100-TB-safe
+  default.
+- ``hash_split``: deterministic train/val/test assignment by multiplicative
+  hashing (Knuth) of doc_id — reproducible split at any scale, no shuffle,
+  no state; pure map.
+- ``repetition_stats``: per-document repetition quality signals in the
+  Gopher style (Rae et al. 2021, Table A1): duplicate-line fraction and
+  duplicate-word fraction. Pure vectorized map over Arrow batches; fractions
+  are integerized at 1e-6 so the SQL oracle hash-matches.
+
+Distinct-count kernels use 64-bit FNV hashes of lines/words/grams; a hash
+collision could undercount a distinct set by 1 (probability ~n²/2^64 —
+negligible at any batch size used here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ocrautomator_ray.functions.dedup import (
+    _fnv1a_strings,
+    _ramp,
+    _tokenize_batch,
+)
+from ocrautomator_ray.functions.exchange import tune_exchange
+
+# ---------------------------------------------------------------------------
+# decontaminate — train docs sharing any word k-gram with the eval subset
+# ---------------------------------------------------------------------------
+
+DECONTAM_K = 3  # word k-gram size (the synthetic corpus' docs are short —
+# real pipelines use 8-13-gram windows; the machinery is k-agnostic)
+EVAL_MODULUS = 100  # doc_id % EVAL_MODULUS == 0 → eval/benchmark subset
+
+
+def _batch_kgrams(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(flat distinct gram hashes, per-doc counts) of word k-grams.
+
+    Docs with fewer than k words produce no grams (matches the SQL oracle's
+    ``generate_series(1, len(w)-k+1)``, empty for short docs — unlike the
+    MinHash shingler, which folds short docs into one joined gram).
+    """
+    import pyarrow.compute as pc
+
+    flat, counts = _tokenize_batch(texts)
+    n = len(counts)
+    if n == 0:
+        return np.empty(0, np.uint64), np.zeros(0, np.int64)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    reg = np.nonzero(counts >= k)[0]
+    if reg.size == 0:
+        return np.empty(0, np.uint64), np.zeros(n, np.int64)
+    gc = counts[reg] - k + 1
+    gstart = np.repeat(offs[reg], gc) + _ramp(gc)
+    cols = [flat.take(pa.array(gstart + j)) for j in range(k)]
+    grams = pc.binary_join_element_wise(*cols, " ")
+    gh = _fnv1a_strings(grams)
+    gd = np.repeat(reg, gc)
+    order = np.lexsort((gh, gd))
+    gh, gd = gh[order], gd[order]
+    keep = np.ones(len(gh), dtype=bool)
+    keep[1:] = (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])
+    return gh[keep], np.bincount(gd[keep], minlength=n).astype(np.int64)
+
+
+def decontaminate(sf_dir: str, k: int = DECONTAM_K,
+                  eval_modulus: int = EVAL_MODULUS,
+                  num_partitions: int = 16) -> rd.Dataset:
+    """(doc_id, shared_grams) for every TRAIN doc (doc_id % eval_modulus != 0)
+    sharing ≥1 distinct word k-gram with the eval subset (doc_id % m == 0)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    tune_exchange(ds, num_partitions)
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        gh, cnt = _batch_kgrams(t["text"], k)
+        doc = np.repeat(ids, cnt)
+        is_eval = doc % eval_modulus == 0
+        # eval rows carry the sentinel -1: membership only, identity unused
+        return pa.table({
+            "gh": pa.array(gh, pa.uint64()),
+            "doc_id": pa.array(np.where(is_eval, -1, doc), pa.int64()),
+        })
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    partial_schema = pa.schema([("doc_id", pa.int64()), ("n", pa.int64())])
+
+    def match_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return partial_schema.empty_table()
+        gh = block["gh"].to_numpy(zero_copy_only=False)
+        doc = block["doc_id"].to_numpy(zero_copy_only=False)
+        ev = doc < 0
+        hit = np.isin(gh[~ev], np.unique(gh[ev]))
+        d, c = np.unique(doc[~ev][hit], return_counts=True)
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    partials = (
+        grams.repartition(num_partitions, keys=["gh"])
+        .map_batches(match_block, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
+    # (doc_id, gram) rows are globally distinct (grams deduped per doc, one
+    # doc per row upstream), so summing partition partials == count(distinct)
+    return partials.groupby("doc_id", num_partitions=num_partitions).aggregate(
+        Sum("n", alias_name="shared_grams"))
+
+
+SQL_DECONTAMINATE = f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i.i : i.i + {DECONTAM_K - 1}], ' ') AS g
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - {DECONTAM_K - 1})) AS i) i
+),
+eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MODULUS} = 0
+)
+SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS shared_grams
+FROM grams
+WHERE doc_id % {EVAL_MODULUS} <> 0 AND g IN (SELECT g FROM eval_grams)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# hash_split — deterministic train/val/test assignment
+# ---------------------------------------------------------------------------
+
+_KNUTH = 2654435761  # 2^32 * golden-ratio conjugate (Knuth multiplicative)
+SPLIT_TRAIN_PERMILLE = 980
+SPLIT_VAL_PERMILLE = 990
+
+
+def hash_split(sf_dir: str) -> rd.Dataset:
+    """(doc_id, bucket, split): bucket = knuth_hash(doc_id) mod 1000 and
+    split = train/val/test at 98/1/1 — deterministic, stateless, shuffle-free
+    (uint64 wrap-around times-then-mod-2^32 equals exact product mod 2^32,
+    since 2^32 divides 2^64)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids * np.uint64(_KNUTH)) % np.uint64(1 << 32)
+        bucket = (h % np.uint64(1000)).astype(np.int64)
+        split = np.where(
+            bucket < SPLIT_TRAIN_PERMILLE, "train",
+            np.where(bucket < SPLIT_VAL_PERMILLE, "val", "test"))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "bucket": pa.array(bucket, pa.int64()),
+            "split": pa.array(split, pa.string()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_HASH_SPLIT = f"""
+SELECT doc_id,
+       CAST(CAST(doc_id AS HUGEINT) * {_KNUTH} % 4294967296 % 1000 AS BIGINT)
+           AS bucket,
+       CASE
+         WHEN CAST(doc_id AS HUGEINT) * {_KNUTH} % 4294967296 % 1000
+              < {SPLIT_TRAIN_PERMILLE} THEN 'train'
+         WHEN CAST(doc_id AS HUGEINT) * {_KNUTH} % 4294967296 % 1000
+              < {SPLIT_VAL_PERMILLE} THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats — Gopher-style per-document repetition signals
+# ---------------------------------------------------------------------------
+
+def _distinct_per_doc(hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Number of distinct hash values inside each doc's slice."""
+    n = len(counts)
+    if hashes.size == 0:
+        return np.zeros(n, np.int64)
+    doc = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((hashes, doc))
+    h, d = hashes[order], doc[order]
+    first = np.ones(len(h), dtype=bool)
+    first[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+    return np.bincount(d[first], minlength=n).astype(np.int64)
+
+
+def repetition_stats(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_lines, n_words, dup_line_frac_u, dup_word_frac_u): the
+    fraction of lines / lowercased words that are repeats of an earlier one,
+    integerized at 1e-6. High values flag boilerplate/spam for filtering."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"].combine_chunks()
+                            if isinstance(t["text"], pa.ChunkedArray)
+                            else t["text"], "")
+        lines = pc.split_pattern(text, pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        line_counts = pc.list_value_length(lines).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        line_h = _fnv1a_strings(lines.flatten())
+        line_distinct = _distinct_per_doc(line_h, line_counts)
+
+        words, word_counts = _tokenize_batch(text)
+        word_distinct = _distinct_per_doc(_fnv1a_strings(words), word_counts)
+
+        dup_line = 1.0 - line_distinct / line_counts  # ≥1 line always (split of "")
+        with np.errstate(invalid="ignore"):
+            dup_word = np.where(word_counts > 0,
+                                1.0 - word_distinct / np.maximum(word_counts, 1),
+                                0.0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_lines": pa.array(line_counts, pa.int64()),
+            "n_words": pa.array(word_counts, pa.int64()),
+            "dup_line_frac_u": pa.array(
+                np.floor(dup_line * 1_000_000 + 0.5).astype(np.int64)),
+            "dup_word_frac_u": pa.array(
+                np.floor(dup_word * 1_000_000 + 0.5).astype(np.int64)),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_REPETITION_STATS = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CAST(FLOOR((1 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines))
+                  * 1000000 + 0.5) AS BIGINT) AS dup_line_frac_u,
+       CAST(CASE WHEN len(w) = 0 THEN 0
+                 ELSE FLOOR((1 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+                            * 1000000 + 0.5)
+            END AS BIGINT) AS dup_word_frac_u
+FROM t
+"""
+
+
+QUERIES = {
+    "decontaminate": decontaminate,
+    "hash_split": hash_split,
+    "repetition_stats": repetition_stats,
+}
+
+SQL = {
+    "decontaminate": SQL_DECONTAMINATE,
+    "hash_split": SQL_HASH_SPLIT,
+    "repetition_stats": SQL_REPETITION_STATS,
+}

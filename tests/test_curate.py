@@ -1,0 +1,71 @@
+"""Brute-force oracles for the curation operators at sf0.001 (the SQL
+oracles in __ray_entry__ are the primary gate; these pin the semantics with
+independent pure-Python logic)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from ocrautomator_ray.functions import curate as C
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+def _grams(text: str, k: int) -> set[str]:
+    w = text.lower().split()
+    return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_matches_set_logic(docs):
+    got = C.decontaminate(SF).to_pandas().set_index("doc_id")["shared_grams"]
+    eval_grams = set()
+    for d, t in docs.items():
+        if d % C.EVAL_MODULUS == 0:
+            eval_grams |= _grams(t, C.DECONTAM_K)
+    expected = {}
+    for d, t in docs.items():
+        if d % C.EVAL_MODULUS != 0:
+            n = len(_grams(t, C.DECONTAM_K) & eval_grams)
+            if n:
+                expected[d] = n
+    assert dict(got) == expected
+    assert expected, "fixture has no contamination — test is vacuous"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_split_deterministic_and_proportional(docs):
+    df = C.hash_split(SF).to_pandas()
+    assert len(df) == len(docs)
+    # deterministic: recompute the multiplicative hash independently
+    ids = df["doc_id"].to_numpy().astype(np.uint64)
+    with np.errstate(over="ignore"):
+        bucket = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+                  % np.uint64(1000)).astype(np.int64)
+    assert (df["bucket"].to_numpy() == bucket).all()
+    frac_train = (df["split"] == "train").mean()
+    assert 0.9 < frac_train <= 1.0  # 98% nominal, small-sample slack
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_repetition_stats_match_python(docs):
+    df = C.repetition_stats(SF).to_pandas().set_index("doc_id")
+    for d, t in list(docs.items())[:50]:
+        lines = t.split("\n")
+        words = t.lower().split()
+        row = df.loc[d]
+        assert row["n_lines"] == len(lines)
+        assert row["n_words"] == len(words)
+        dl = 1.0 - len(set(lines)) / len(lines)
+        assert row["dup_line_frac_u"] == int(np.floor(dl * 1_000_000 + 0.5))
+        if words:
+            dw = 1.0 - len(set(words)) / len(words)
+            assert row["dup_word_frac_u"] == int(np.floor(dw * 1_000_000 + 0.5))
+        else:
+            assert row["dup_word_frac_u"] == 0
