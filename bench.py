@@ -87,7 +87,9 @@ def run_benchmarks() -> dict:
     ctx.execution_options.verbose_progress = False
 
     from ocrautomator_ray.pipelines.extract import PipelineConfig, run_extraction
-    from ocrautomator_ray.functions import ann, dedup, relational, relational2, text
+    from ocrautomator_ray.functions import (
+        ann, curate, dedup, relational, relational2, text,
+    )
 
     bench_path = _bench_input(SF_DIR)
     # warm OS page cache (untimed) so we measure compute + shuffle, not disk
@@ -158,6 +160,7 @@ def run_benchmarks() -> dict:
     timed("doc_fingerprint", text.doc_fingerprint, consume="count")
     timed("minhash_lsh_dups", dedup.minhash_lsh_dups, consume="count")
     timed("embedding_neardup", dedup.embedding_neardup, consume="count")
+    timed("decontaminate", curate.decontaminate, consume="count")
     timed("ann_topk", ann.ann_topk)
 
     from ocrautomator_ray.pipelines.extract import run_flagship

@@ -80,9 +80,15 @@ def _batch_kgrams(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
 
 def decontaminate(sf_dir: str, k: int = DECONTAM_K,
                   eval_modulus: int = EVAL_MODULUS,
-                  num_partitions: int = 16) -> rd.Dataset:
+                  num_partitions: int | None = None) -> rd.Dataset:
     """(doc_id, shared_grams) for every TRAIN doc (doc_id % eval_modulus != 0)
     sharing ≥1 distinct word k-gram with the eval subset (doc_id % m == 0)."""
+    from ocrautomator_ray.functions.exchange import auto_partitions
+
+    if num_partitions is None:
+        # gram rows ≈ 8× the text bytes; size the exchange accordingly
+        num_partitions = auto_partitions(f"{sf_dir}/documents.parquet",
+                                         bytes_per_partition=8 << 20)
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     tune_exchange(ds, num_partitions)

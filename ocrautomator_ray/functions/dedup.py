@@ -75,7 +75,10 @@ def _per_key_runs(ds: rd.Dataset, keys: list[str], fn, empty_schema: pa.Schema,
     )
 
 
-from ocrautomator_ray.functions.exchange import tune_exchange as _tune_exchange
+from ocrautomator_ray.functions.exchange import (
+    auto_partitions as _auto_partitions,
+    tune_exchange as _tune_exchange,
+)
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _NUM_HASHES = 64
@@ -382,8 +385,9 @@ def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD) -> rd.Da
     half the shuffle volume (a pair⋈table join per end would move the table
     twice). Output: (doc_a, doc_b, jaccard).
     """
+    n_parts = _auto_partitions(f"{sf_dir}/documents.parquet")
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    _tune_exchange(ds, 16)  # budget the joins below before the plan is built
+    _tune_exchange(ds, n_parts)  # budget the joins below before the plan is built
 
     def shingle_rows(t: pa.Table) -> pa.Table:
         flat, cnt = _batch_shingles(t["text"])
@@ -418,7 +422,8 @@ def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD) -> rd.Da
     band_rows = sh_ds.map_batches(sig_rows, batch_format="pyarrow",
                                   zero_copy_batch=True)
     pairs = _per_key_runs(band_rows, ["band_id", "band_key"], bucket_pairs,
-                          pair_schema)  # duplicates across bands — deduped below
+                          pair_schema,  # duplicates across bands — deduped below
+                          num_partitions=n_parts)
 
     # -- exchange 1: co-partition pair end-rows with the shingle table -------
     def pair_end_rows(t: pa.Table) -> pa.Table:
@@ -473,7 +478,7 @@ def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD) -> rd.Da
                          "shingles": blobs})
 
     halves = (
-        both.repartition(16, keys=["key"], sort=True)
+        both.repartition(n_parts, keys=["key"], sort=True)
         .map_batches(attach_block, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
@@ -504,7 +509,7 @@ def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD) -> rd.Da
                          "jaccard": pa.array(jac[keep], pa.float64())})
 
     return (
-        halves.repartition(16, keys=["doc_a", "doc_b"], sort=True)
+        halves.repartition(n_parts, keys=["doc_a", "doc_b"], sort=True)
         .map_batches(judge_block, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
@@ -576,7 +581,8 @@ def simhash_dups(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> rd.Data
 
     band_rows = ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
     return (
-        _per_key_runs(band_rows, ["band_id", "band_key"], bucket_pairs, ham_schema)
+        _per_key_runs(band_rows, ["band_id", "band_key"], bucket_pairs, ham_schema,
+                      num_partitions=_auto_partitions(f"{sf_dir}/documents.parquet"))
         .groupby(["doc_a", "doc_b"], num_partitions=16)  # dedup pairs, keep hamming
         .aggregate(_Min("hamming", alias_name="hamming"))
     )
@@ -690,7 +696,8 @@ def chargram_jaccard_dups(sf_dir: str, threshold: float = CHARGRAM_THRESHOLD) ->
 
     rows = ds.map_batches(bucket_rows, batch_format="pyarrow",
                           zero_copy_batch=True)
-    return _per_key_runs(rows, ["source", "bucket"], group_pairs, out_schema)
+    return _per_key_runs(rows, ["source", "bucket"], group_pairs, out_schema,
+                         num_partitions=_auto_partitions(f"{sf_dir}/documents.parquet"))
 
 
 SQL_CHARGRAM = f"""

@@ -43,12 +43,21 @@ def silence_empty_partition_warning() -> None:
         lg.addFilter(_EmptySchemaWarningFilter())
 
 
-def tune_exchange(ds: rd.Dataset, num_partitions: int) -> None:
+def tune_exchange(ds: rd.Dataset, num_partitions: int = 0) -> None:
     """Switch the dataset's context to the hash-shuffle strategy and budget
     the aggregator actors so concurrent exchanges (repartition, groupby,
     join) can't starve the map stages of CPUs — the untuned join default is
     0.125 CPU/partition, which deadlocks small clusters when several
-    exchanges coexist in one plan."""
+    exchanges coexist in one plan.
+
+    The per-partition CPU override is a CONTEXT-level value applied to every
+    exchange op the downstream plan ever builds, and those ops can use very
+    different partition counts (a 4-partition repartition next to Ray's
+    200-partition groupby default). Sizing it for one op's count deadlocks
+    another's (reservation = partitions × override), so it is sized for the
+    largest count any op might use: total reservation stays ≤ ~1/16 of the
+    cluster even at 200 partitions, and aggregators rely on the streaming
+    executor's backpressure rather than big CPU reservations."""
     import ray
     from ray.data.context import ShuffleStrategy
 
@@ -57,10 +66,33 @@ def tune_exchange(ds: rd.Dataset, num_partitions: int) -> None:
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     total = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     ctx.max_hash_shuffle_aggregators = max(2, total // 4)
-    per_part = max(0.5, total / 16) / num_partitions
+    per_part = max(0.5, total / 16) / max(num_partitions, 200)
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = per_part
     ctx.join_operator_actor_num_cpus_per_partition_override = per_part
+
+
+def auto_partitions(*paths: str, bytes_per_partition: int = 64 << 20,
+                    lo: int = 4, hi: int = 512) -> int:
+    """Exchange partition count sized to the input bytes on disk.
+
+    Hash exchanges carry a fixed per-partition cost (aggregator task +
+    finalize block), so a 5 MB table shuffled into 16 partitions pays mostly
+    overhead while a 1 TB table needs hundreds. One partition per ~64 MB of
+    compressed input keeps finalized blocks comfortably under the block-size
+    limit (the group-completeness invariant) at any scale; `hi` bounds
+    aggregator bookkeeping on a single node — raise it on a real cluster.
+    """
+    import os
+
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            total += sum(e.stat().st_size for e in os.scandir(p)
+                         if e.is_file())
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return max(lo, min(hi, -(-total // bytes_per_partition)))
 
 
 def per_key_blocks(ds: rd.Dataset, keys: list[str], block_fn: Callable,

@@ -113,9 +113,10 @@ WHERE l_shipdate > TIMESTAMP '1997-01-01' AND l_discount > 0.05
 # --------------------------------------------------------------------------
 
 def first_event_per_user(sf_dir: str) -> rd.Dataset:
-    from ocrautomator_ray.functions.exchange import per_key_blocks
+    from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev_path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(ev_path,
                          columns=["user_id", "ts", "event_id", "event_type"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -131,7 +132,8 @@ def first_event_per_user(sf_dir: str) -> rd.Dataset:
                              "first_type": g["event_type"].values})
 
     return per_key_blocks(ds.map_batches(partial, batch_format="pandas"),
-                          ["user_id"], first_rows, batch_format="pandas")
+                          ["user_id"], first_rows, batch_format="pandas",
+                          num_partitions=auto_partitions(ev_path))
 
 
 SQL_FIRST_EVENT = """

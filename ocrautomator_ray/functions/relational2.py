@@ -123,10 +123,10 @@ SESSION_GAP_MIN = 30
 
 
 def sessionize_events(sf_dir: str) -> rd.Dataset:
-    from ocrautomator_ray.functions.exchange import per_key_blocks
+    from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "event_id"])
+    ev_path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(ev_path, columns=["user_id", "ts", "event_id"])
 
     def sessions_block(block: pd.DataFrame) -> pd.DataFrame:
         # all rows of each user are in this block (hash exchange); one
@@ -153,7 +153,8 @@ def sessionize_events(sf_dir: str) -> rd.Dataset:
         return out
 
     return per_key_blocks(ds, ["user_id"], sessions_block,
-                          batch_format="pandas")
+                          batch_format="pandas",
+                          num_partitions=auto_partitions(ev_path))
 
 
 SQL_SESSIONIZE = f"""
@@ -185,10 +186,10 @@ TOPK_PER_USER = 2
 
 
 def top_events_per_user(sf_dir: str) -> rd.Dataset:
-    from ocrautomator_ray.functions.exchange import per_key_blocks
+    from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "event_id", "value"])
+    ev_path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(ev_path, columns=["user_id", "event_id", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         # batch-local top-k per user — shrinks the shuffle to k rows/user/batch
@@ -211,7 +212,8 @@ def top_events_per_user(sf_dir: str) -> rd.Dataset:
         })
 
     return per_key_blocks(ds.map_batches(partial, batch_format="pandas"),
-                          ["user_id"], topk_block, batch_format="pandas")
+                          ["user_id"], topk_block, batch_format="pandas",
+                          num_partitions=auto_partitions(ev_path))
 
 
 SQL_TOPK_PER_USER = f"""
@@ -321,9 +323,12 @@ def asof_last_order(sf_dir: str) -> rd.Dataset:
             "last_order_date": last_order.to_numpy()[ev.to_numpy()],
         })
 
-    from ocrautomator_ray.functions.exchange import per_key_blocks
+    from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks
 
-    return per_key_blocks(both, ["key"], asof_block, batch_format="pandas")
+    return per_key_blocks(
+        both, ["key"], asof_block, batch_format="pandas",
+        num_partitions=auto_partitions(f"{sf_dir}/events.parquet",
+                                       f"{sf_dir}/orders.parquet"))
 
 
 SQL_ASOF = """
