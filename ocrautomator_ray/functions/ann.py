@@ -176,9 +176,110 @@ def lsh_ann_topk(sf_dir: str, num_queries: int = ANN_NUM_QUERIES, k: int = ANN_K
     )
 
 
+# ---------------------------------------------------------------------------
+# ivf_ann_topk — inverted-file ANN (the second scale path, IVF-flat style)
+# ---------------------------------------------------------------------------
+
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+IVF_TRAIN_SAMPLE = 4096  # bounded driver-side k-means sample (the small side)
+
+
+def _train_centroids(sf_dir: str, n_centroids: int = IVF_CENTROIDS,
+                     iters: int = 8) -> np.ndarray:
+    """Spherical k-means on a bounded deterministic sample.
+
+    The sample (≤ IVF_TRAIN_SAMPLE rows, every 4th vec_id in file order) is
+    the only thing that ever reaches the driver — centroid training is the
+    classic small-side step of IVF index builds; the full table is assigned
+    to centroids distributedly. Deterministic: fixed sample, first-k init,
+    fixed iteration count.
+    """
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=(pc.bit_wise_and(pc.field("vec_id"), 3) == 0),
+    ).limit(IVF_TRAIN_SAMPLE)
+    t = ds.to_pandas().sort_values("vec_id")
+    X = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn[:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                v = Xn[m].mean(axis=0)
+                C[c] = v / np.linalg.norm(v)
+    return C
+
+
+def ivf_ann_topk(sf_dir: str, num_queries: int = ANN_NUM_QUERIES,
+                 k: int = ANN_K, n_probe: int = IVF_PROBE) -> rd.Dataset:
+    """Approximate top-k via an inverted-file index (IVF-flat).
+
+    Centroids are trained once on a bounded sample and broadcast with the
+    queries; each batch assigns its vectors to the nearest centroid (one
+    argmax matmul) and scores a query only against vectors whose centroid is
+    among the query's `n_probe` nearest — the classic IVF probe. Recall < 1
+    by design; pytest pins recall vs the exact baseline. At index-build
+    scale the assignment column would be written once (partitioned by
+    centroid) so probes prune at the read instead of per batch.
+    Output: (qid, vec_id, rank) among probed candidates.
+    """
+    import ray
+
+    qids, Qn = _load_queries(sf_dir, num_queries)
+    C = _train_centroids(sf_dir)
+    # each query's probe set: its n_probe nearest centroids
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]
+    ref = ray.put((qids, Qn, C, probe))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        q_ids, Q, C_, probe_ = ray.get(ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        E = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        assign = np.argmax(En @ C_.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            mask = np.isin(assign, probe_[qi]) & (ids != qid)
+            if not mask.any():
+                continue
+            cand_ids, cand_E = ids[mask], En[mask]
+            s = Q[qi] @ cand_E.T
+            order = np.lexsort((cand_ids, -s))[:k]
+            out_q.extend([qid] * len(order))
+            out_v.extend(cand_ids[order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table({
+            "qid": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "qid": g["qid"].values,
+            "vec_id": g["vec_id"].values,
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("qid")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
 QUERIES = {
     "ann_topk": ann_topk,
     "lsh_ann_topk": lsh_ann_topk,
+    "ivf_ann_topk": ivf_ann_topk,
 }
 
 SQL = {

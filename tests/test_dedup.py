@@ -116,6 +116,28 @@ def test_lsh_ann_recall_vs_exact():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_ivf_ann_recall_vs_exact_and_deterministic():
+    from ocrautomator_ray.functions import ann as A
+
+    exact = A.ann_topk(SF).to_pandas()
+    approx = A.ivf_ann_topk(SF).to_pandas()
+    exact_sets = exact.groupby("qid")["vec_id"].apply(set)
+    approx_sets = approx.groupby("qid")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    # probing 4/16 centroids must beat the 25%-of-table random-scan floor
+    assert np.mean(recalls) >= 0.5, recalls
+    # deterministic: fixed sample + first-k init + fixed iterations
+    again = A.ivf_ann_topk(SF).to_pandas()
+    pd.testing.assert_frame_equal(
+        approx.sort_values(["qid", "rank"]).reset_index(drop=True),
+        again.sort_values(["qid", "rank"]).reset_index(drop=True),
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_per_key_runs_oversized_partition_stays_whole():
     """_per_key_runs relies on Ray 2.49's hash-shuffle finalize emitting ONE
     block per partition (splitting at target_max_block_size is an
