@@ -283,14 +283,63 @@ FROM t
 """
 
 
+# ---------------------------------------------------------------------------
+# stratified_sample — per-stratum deterministic downsampling
+# ---------------------------------------------------------------------------
+
+def _stratum_permille(name: str) -> int:
+    """Per-source sampling rate in permille — a pure function of the stratum
+    name so engine and SQL agree without a shared config table. Real
+    pipelines would broadcast a rates dict instead; the selection mechanics
+    (stratum → rate, hash(doc_id) < rate) are identical."""
+    c = ord(name[3]) if len(name) > 3 else 0
+    return 50 + 90 * (c % 7)
+
+
+def stratified_sample(sf_dir: str) -> rd.Dataset:
+    """(doc_id, source) rows surviving per-source downsampling: a doc is kept
+    iff knuth_hash(doc_id) mod 1000 < its source's permille rate. Stateless,
+    shuffle-free, reproducible — rerunning selects the same rows, and the
+    same doc keeps/drops consistently across pipelines (the property that
+    matters for incremental corpus rebuilds)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        srcs = t["source"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            bucket = (ids * np.uint64(_KNUTH)) % np.uint64(1 << 32) % np.uint64(1000)
+        uniq, inv = np.unique(srcs, return_inverse=True)
+        permille = np.array([_stratum_permille(u) for u in uniq],
+                            np.uint64)[inv]
+        keep = bucket < permille
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(keep)),
+            "source": t["source"].filter(pa.array(keep)),
+        })
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, source
+FROM documents
+WHERE CAST(doc_id AS HUGEINT) * {_KNUTH} % 4294967296 % 1000
+      < 50 + 90 * (ascii(substr(source, 4, 1)) % 7)
+"""
+
+
 QUERIES = {
     "decontaminate": decontaminate,
     "hash_split": hash_split,
     "repetition_stats": repetition_stats,
+    "stratified_sample": stratified_sample,
 }
 
 SQL = {
     "decontaminate": SQL_DECONTAMINATE,
     "hash_split": SQL_HASH_SPLIT,
     "repetition_stats": SQL_REPETITION_STATS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
 }

@@ -69,3 +69,22 @@ def test_repetition_stats_match_python(docs):
             assert row["dup_word_frac_u"] == int(np.floor(dw * 1_000_000 + 0.5))
         else:
             assert row["dup_word_frac_u"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stratified_sample_rates_and_determinism(docs):
+    import pyarrow.parquet as pq
+
+    df = C.stratified_sample(SF).to_pandas()
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source"]) \
+        .to_pandas()
+    # every kept row satisfies the keep rule; every satisfying row is kept
+    ids = t["doc_id"].to_numpy().astype(np.uint64)
+    with np.errstate(over="ignore"):
+        bucket = (ids * np.uint64(2654435761)) % np.uint64(1 << 32) % np.uint64(1000)
+    permille = t["source"].map(C._stratum_permille).to_numpy().astype(np.uint64)
+    expected = set(t["doc_id"].to_numpy()[bucket < permille])
+    assert set(df["doc_id"]) == expected
+    # rerun → identical selection
+    again = C.stratified_sample(SF).to_pandas()
+    assert set(again["doc_id"]) == expected
