@@ -394,6 +394,71 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# sliding_window_activity — overlapping (sliding) windowed aggregate
+# --------------------------------------------------------------------------
+
+WINDOW_S = 3600   # window length: 1 hour
+SLIDE_S = 900     # slide: 15 min → each event belongs to 4 windows
+
+
+def sliding_window_activity(sf_dir: str) -> rd.Dataset:
+    """(window_start_s, n_events, n_users) for 1-hour windows sliding every
+    15 minutes — the overlapping-window aggregate Ray Data has no primitive
+    for. Each event row expands to its WINDOW_S/SLIDE_S covering windows
+    inside map_batches (a ×4 fan-out of two int columns, not the payload),
+    then ONE hash exchange on window_start co-locates each window and a
+    vectorized block pass computes count + distinct users per window run.
+    All arithmetic is int64 floor-division, exact for any epoch sign."""
+    from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks
+
+    ev_path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(ev_path, columns=["user_id", "ts"])
+    n_win = WINDOW_S // SLIDE_S
+
+    def expand(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = ts_us // (SLIDE_S * 1_000_000)  # int64 floor division
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        j = np.arange(n_win, dtype=np.int64)
+        ws = ((base[:, None] - j[None, :]) * SLIDE_S).reshape(-1)
+        return pa.table({
+            "window_start_s": pa.array(ws, pa.int64()),
+            "user_id": pa.array(np.repeat(users, n_win), pa.int64()),
+        })
+
+    def window_stats(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({
+                "window_start_s": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "n_users": pd.Series([], dtype=np.int64),
+            })
+        g = block.groupby("window_start_s")["user_id"]
+        out = g.agg(n_events="count", n_users="nunique").reset_index()
+        return out.astype({"window_start_s": np.int64, "n_events": np.int64,
+                           "n_users": np.int64})
+
+    rows = ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+    return per_key_blocks(rows, ["window_start_s"], window_stats,
+                          batch_format="pandas",
+                          num_partitions=auto_partitions(ev_path))
+
+
+SQL_SLIDING_WINDOW = f"""
+WITH j AS (SELECT unnest(generate_series(0, {WINDOW_S // SLIDE_S - 1})) AS j),
+x AS (
+    SELECT (epoch_us(ts) // {SLIDE_S * 1_000_000} - j.j) * {SLIDE_S}
+               AS window_start_s,
+           user_id
+    FROM events, j
+)
+SELECT window_start_s, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM x GROUP BY window_start_s
+"""
+
+
 QUERIES = {
     "union_orders_halves": union_orders_halves,
     "asof_last_order": asof_last_order,
@@ -402,6 +467,7 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "top_events_per_user": top_events_per_user,
     "distinct_users_per_type": distinct_users_per_type,
+    "sliding_window_activity": sliding_window_activity,
 }
 
 SQL = {
@@ -412,4 +478,5 @@ SQL = {
     "sessionize_events": SQL_SESSIONIZE,
     "top_events_per_user": SQL_TOPK_PER_USER,
     "distinct_users_per_type": SQL_DISTINCT_USERS,
+    "sliding_window_activity": SQL_SLIDING_WINDOW,
 }

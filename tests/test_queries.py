@@ -49,7 +49,9 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "token_stats", "quality_score", "chargram_jaccard_dups", "ann_topk",
                "embedding_neardup",
                "union_orders_halves", "revenue_by_priority", "sessionize_events",
-               "top_events_per_user", "distinct_users_per_type", "asof_last_order", "quantiles_qty_by_flag"]
+               "top_events_per_user", "distinct_users_per_type", "asof_last_order", "quantiles_qty_by_flag",
+               "decontaminate", "hash_split", "repetition_stats",
+               "stratified_sample", "sliding_window_activity"]
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -71,7 +73,7 @@ def test_sql_oracled_query(name, ddb, contract):
 
 
 ROWS_ONLY = ["lang_id", "doc_fingerprint", "minhash_lsh_dups", "simhash_dups",
-             "lsh_ann_topk", "minhash_dup_clusters",
+             "lsh_ann_topk", "ivf_ann_topk", "minhash_dup_clusters",
              "approx_distinct_users_per_type"]
 
 
