@@ -330,11 +330,88 @@ WHERE CAST(doc_id AS HUGEINT) * {_KNUTH} % 4294967296 % 1000
 """
 
 
+# ---------------------------------------------------------------------------
+# top_ngrams — corpus-level heavy hitters (most frequent word n-grams)
+# ---------------------------------------------------------------------------
+
+TOP_NGRAM_N = 2
+TOP_NGRAM_K = 100
+
+
+def top_ngrams(sf_dir: str, n: int = TOP_NGRAM_N,
+               k: int = TOP_NGRAM_K) -> rd.Dataset:
+    """(gram, n_occurrences) for the corpus' k most frequent word n-grams
+    (count desc, gram asc tie-break) — the heavy-hitter scan behind
+    boilerplate discovery and repetition audits.
+
+    The combiner pattern end-to-end: each batch counts its own grams (one
+    Arrow group-by, so the shuffle moves distinct-grams-per-batch rows, not
+    one row per occurrence), a hash groupby sums partials, and only the
+    final k rows reach the driver via sort + limit."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ocrautomator_ray.functions.exchange import auto_partitions, tune_exchange
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    n_parts = auto_partitions(f"{sf_dir}/documents.parquet")
+    tune_exchange(ds, n_parts)
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        flat, counts = _tokenize_batch(t["text"])
+        nd = len(counts)
+        if nd == 0 or len(flat) == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        offs = np.zeros(nd + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        reg = np.nonzero(counts >= n)[0]
+        if reg.size == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        gc = counts[reg] - n + 1
+        gstart = np.repeat(offs[reg], gc) + _ramp(gc)
+        cols = [flat.take(pa.array(gstart + j)) for j in range(n)]
+        grams = pc.binary_join_element_wise(*cols, " ")
+        g = pa.TableGroupBy(pa.table({"gram": grams}), "gram") \
+            .aggregate([("gram", "count")])
+        return pa.table({"gram": g["gram"],
+                         "n": g["gram_count"].cast(pa.int64())})
+
+    return (
+        ds.map_batches(partial_counts, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("gram", num_partitions=n_parts)
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(key=["n", "gram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+SQL_TOP_NGRAMS = f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT array_to_string(w[i.i : i.i + {TOP_NGRAM_N - 1}], ' ') AS gram
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - {TOP_NGRAM_N - 1})) AS i) i
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS n
+FROM grams GROUP BY gram
+ORDER BY n DESC, gram LIMIT {TOP_NGRAM_K}
+"""
+
+
 QUERIES = {
     "decontaminate": decontaminate,
     "hash_split": hash_split,
     "repetition_stats": repetition_stats,
     "stratified_sample": stratified_sample,
+    "top_ngrams": top_ngrams,
 }
 
 SQL = {
@@ -342,4 +419,5 @@ SQL = {
     "hash_split": SQL_HASH_SPLIT,
     "repetition_stats": SQL_REPETITION_STATS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "top_ngrams": SQL_TOP_NGRAMS,
 }

@@ -172,14 +172,50 @@ def doc_fingerprint(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def normalize_text(sf_dir: str) -> rd.Dataset:
+    """(doc_id, norm_text, n_chars): lowercase, collapse all whitespace runs
+    to single spaces, strip the ends — the canonicalization pass upstream of
+    exact dedup / fingerprinting (T5 normalization as a standalone operator).
+    Pure RE2 kernels per batch; n_chars counts unicode codepoints."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.replace_substring_regex(
+            pc.utf8_lower(pc.fill_null(t["text"], "")),
+            pattern=r"\s+", replacement=" ")
+        s = pc.replace_substring_regex(s, pattern=r"^ | $", replacement="")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "norm_text": s,
+            "n_chars": pc.cast(pc.utf8_length(s), pa.int64()),
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_NORMALIZE_TEXT = """
+SELECT doc_id,
+       regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                      '^ | $', '', 'g') AS norm_text,
+       CAST(len(regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                               '^ | $', '', 'g')) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
 QUERIES = {
     "token_stats": token_stats,
     "quality_score": quality_score,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "normalize_text": normalize_text,
 }
 
 SQL = {
     "token_stats": SQL_TOKEN_STATS,
     "quality_score": SQL_QUALITY_SCORE,
+    "normalize_text": SQL_NORMALIZE_TEXT,
 }

@@ -51,7 +51,8 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "union_orders_halves", "revenue_by_priority", "sessionize_events",
                "top_events_per_user", "distinct_users_per_type", "asof_last_order", "quantiles_qty_by_flag",
                "decontaminate", "hash_split", "repetition_stats",
-               "stratified_sample", "sliding_window_activity"]
+               "stratified_sample", "sliding_window_activity",
+               "top_ngrams", "normalize_text"]
 
 
 @pytest.mark.usefixtures("ray_session")
