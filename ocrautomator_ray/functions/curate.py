@@ -1,7 +1,7 @@
 """Training-data curation operators (SURVEY.md §2 extension set).
 
-Three operations every large-scale LLM data pipeline needs, each
-Ray-Data-first and SQL-oracled:
+Operations every large-scale LLM data pipeline needs, each Ray-Data-first
+and SQL-oracled (see also ``top_ngrams`` and ``stratified_sample`` below):
 
 - ``decontaminate``: flag training documents sharing any word k-gram with an
   eval/benchmark subset — the train-test decontamination pass (Brown et al.,
@@ -378,11 +378,24 @@ def top_ngrams(sf_dir: str, n: int = TOP_NGRAM_N,
         return pa.table({"gram": g["gram"],
                          "n": g["gram_count"].cast(pa.int64())})
 
+    def local_topk(t: pa.Table) -> pa.Table:
+        # lossless prune: the groupby put each gram's TOTAL in exactly one
+        # partition, so the global top-k is a subset of per-partition top-ks —
+        # the final sort then ranks k×partitions rows, not every distinct gram
+        if t.num_rows <= k:
+            return t
+        n_col = t["n"].to_numpy(zero_copy_only=False)
+        g_col = t["gram"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((g_col, -n_col))[:k]
+        return t.take(pa.array(np.sort(idx)))
+
     return (
         ds.map_batches(partial_counts, batch_format="pyarrow",
                        zero_copy_batch=True)
         .groupby("gram", num_partitions=n_parts)
         .aggregate(Sum("n", alias_name="n"))
+        .map_batches(local_topk, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
         .sort(key=["n", "gram"], descending=[True, False])
         .limit(k)
     )
