@@ -580,39 +580,58 @@ def simhash_dups(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> rd.Data
     ham_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                             ("hamming", pa.int64())])
 
-    def bucket_pairs(run: pa.Table) -> pa.Table:
-        ids_all = run["doc_id"].to_numpy(zero_copy_only=False)
-        sigs_all = run["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        order = np.argsort(ids_all, kind="stable")
-        ids_s, sigs_s = ids_all[order], sigs_all[order]
-        first = np.ones(len(ids_s), dtype=bool)
-        first[1:] = ids_s[1:] != ids_s[:-1]
-        ids, sigs = ids_s[first], sigs_s[first]
-        if len(ids) < 2:
+    def pairs_block(block: pa.Table) -> pa.Table:
+        """Hamming-filtered pairs of every (band_id, band_key) run in the
+        block, vectorized across runs by stacking equal-size buckets (same
+        size-grouping as the MinHash candidate stage)."""
+        if block.num_rows == 0:
             return ham_schema.empty_table()
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = sigs[ia] ^ sigs[ib]
-        ham = np.zeros(len(x), dtype=np.int64)
-        for _ in range(64):  # popcount via shift loop on the whole vector
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
-            if not x.any():
-                break
-        keep = ham <= max_hamming
+        bid = block["band_id"].to_numpy(zero_copy_only=False)
+        key = block["band_key"].to_numpy(zero_copy_only=False)
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        sigs = block["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        change = np.zeros(len(ids), dtype=bool)
+        change[0] = True
+        change[1:] = (bid[1:] != bid[:-1]) | (key[1:] != key[:-1])
+        run = np.cumsum(change) - 1
+        sizes = np.bincount(run)
+        starts = np.zeros(len(sizes) + 1, np.int64)
+        np.cumsum(sizes, out=starts[1:])
+        out_a, out_b, out_h = [], [], []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            g = np.nonzero(sizes == s)[0]
+            sel = starts[g][:, None] + np.arange(int(s))[None, :]
+            X, S = ids[sel], sigs[sel]
+            ia, ib = np.triu_indices(int(s), k=1)
+            x = (S[:, ia] ^ S[:, ib]).ravel()
+            ham = np.unpackbits(x.view(np.uint8)).reshape(-1, 64) \
+                .sum(axis=1).astype(np.int64)
+            keep = ham <= max_hamming
+            A, B = X[:, ia].ravel()[keep], X[:, ib].ravel()[keep]
+            out_a.append(np.minimum(A, B))
+            out_b.append(np.maximum(A, B))
+            out_h.append(ham[keep])
+        if not out_a:
+            return ham_schema.empty_table()
         return pa.table({
-            "doc_a": pa.array(ids[ia][keep], pa.int64()),
-            "doc_b": pa.array(ids[ib][keep], pa.int64()),
-            "hamming": pa.array(ham[keep], pa.int64()),
+            "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "hamming": pa.array(np.concatenate(out_h), pa.int64()),
         })
 
     _ = ray  # broadcast not needed: signatures travel with the band rows
 
     from ray.data.aggregate import Min as _Min
 
+    n_parts = _auto_partitions(f"{sf_dir}/documents.parquet")
     band_rows = ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
+    _tune_exchange(band_rows, n_parts)
     return (
-        _per_key_runs(band_rows, ["band_id", "band_key"], bucket_pairs, ham_schema,
-                      num_partitions=_auto_partitions(f"{sf_dir}/documents.parquet"))
+        band_rows.repartition(n_parts, keys=["band_id", "band_key"], sort=True)
+        .map_batches(pairs_block, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
         .groupby(["doc_a", "doc_b"], num_partitions=16)  # dedup pairs, keep hamming
         .aggregate(_Min("hamming", alias_name="hamming"))
     )
