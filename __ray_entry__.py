@@ -20,6 +20,7 @@ from ocrautomator_ray.functions import relational as _relational
 from ocrautomator_ray.functions import relational2 as _relational2
 from ocrautomator_ray.functions import sketch as _sketch
 from ocrautomator_ray.functions import text as _text
+from ocrautomator_ray.pipelines.curate import SQL_CURATE, run_curate_flagship
 from ocrautomator_ray.pipelines.extract import run_flagship
 
 
@@ -47,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(_ann.QUERIES)
     q.update(_curate.QUERIES)
     q["extract_pipeline"] = _flagship_query
+    q["curate_pipeline"] = run_curate_flagship
     return q
 
 
@@ -58,6 +60,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_dedup.SQL)
     sql.update(_ann.SQL)
     sql.update(_curate.SQL)
+    sql["curate_pipeline"] = SQL_CURATE
     # Rows-only (non-SQL-expressible): lang_id, doc_fingerprint,
     # minhash_lsh_dups, simhash_dups, lsh_ann_topk, extract_pipeline —
     # each has a pytest oracle instead (tests/).

@@ -1,0 +1,173 @@
+"""End-to-end corpus-curation pipeline (the training-data counterpart of the
+extraction flagship):
+
+    read documents → normalize (lowercase, whitespace-collapse, strip)
+                   → quality stats (word count, duplicate-word fraction)
+                   → filter (length + repetition thresholds)
+                   → exact dedup on normalized text (keep lowest doc_id;
+                     the exchange is keyed on an 8-byte text hash, text
+                     travels only as row payload)
+                   → deterministic train/val/test split
+                   → resumable partitioned-parquet sink
+
+Fully SQL-expressible, so the WHOLE pipeline is hash-checked against a
+DuckDB oracle end-to-end (``curate_pipeline`` in __ray_entry__), and fully
+resumable through the generic sink's per-partition manifests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ocrautomator_ray.functions.curate import (
+    _KNUTH,
+    SPLIT_TRAIN_PERMILLE,
+    SPLIT_VAL_PERMILLE,
+    _distinct_per_doc,
+)
+from ocrautomator_ray.functions.dedup import _fnv1a_strings, _tokenize_batch
+
+CURATE_MIN_WORDS = 5
+CURATE_MAX_DUP_WORD_U = 300_000  # drop docs with >30% repeated words
+
+
+def build_curated(sf_dir: str) -> rd.Dataset:
+    """The lazy transform chain, sink-agnostic. Output columns:
+    (doc_id, norm_text, n_words, dup_word_frac_u, split)."""
+    import pyarrow.compute as pc
+
+    from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def normalize_and_score(t: pa.Table) -> pa.Table:
+        s = pc.replace_substring_regex(
+            pc.utf8_lower(pc.fill_null(t["text"], "")),
+            pattern=r"\s+", replacement=" ")
+        s = pc.replace_substring_regex(s, pattern=r"^ | $", replacement="")
+        words, counts = _tokenize_batch(s)
+        distinct = _distinct_per_doc(_fnv1a_strings(words), counts)
+        with np.errstate(invalid="ignore"):
+            dup = np.where(counts > 0,
+                           1.0 - distinct / np.maximum(counts, 1), 0.0)
+        dup_u = np.floor(dup * 1_000_000 + 0.5).astype(np.int64)
+        keep = (counts >= CURATE_MIN_WORDS) & (dup_u <= CURATE_MAX_DUP_WORD_U)
+        kmask = pa.array(keep)
+        out = pa.table({
+            "doc_id": t["doc_id"].filter(kmask),
+            "norm_text": s.filter(kmask) if not isinstance(s, pa.ChunkedArray)
+            else s.combine_chunks().filter(kmask),
+            "n_words": pa.array(counts[keep], pa.int64()),
+            "dup_word_frac_u": pa.array(dup_u[keep], pa.int64()),
+        })
+        # 8-byte exchange key for the dedup stage (text rides as payload)
+        return out.append_column(
+            "nt_hash", pa.array(_fnv1a_strings(out["norm_text"]), pa.uint64()))
+
+    def dedup_block(block: pa.Table) -> pa.Table:
+        # block holds every row of each of its nt_hash keys; keep the lowest
+        # doc_id per distinct norm_text (compare the text itself inside the
+        # hash group, so a hash collision cannot merge two documents)
+        if block.num_rows == 0:
+            return pa.schema([
+                ("doc_id", pa.int64()), ("norm_text", pa.string()),
+                ("n_words", pa.int64()), ("dup_word_frac_u", pa.int64()),
+                ("nt_hash", pa.uint64()),
+            ]).empty_table()
+        h = block["nt_hash"].to_numpy(zero_copy_only=False)
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        txt = block["norm_text"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, txt, h))
+        first = np.ones(len(order), dtype=bool)
+        oh, ot = h[order], txt[order]
+        first[1:] = (oh[1:] != oh[:-1]) | (ot[1:] != ot[:-1])
+        return block.take(pa.array(order[first]))
+
+    def add_split(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bucket = (ids * np.uint64(_KNUTH)) % np.uint64(1 << 32) % np.uint64(1000)
+        split = np.where(
+            bucket < SPLIT_TRAIN_PERMILLE, "train",
+            np.where(bucket < SPLIT_VAL_PERMILLE, "val", "test"))
+        return t.drop_columns(["nt_hash"]).append_column(
+            "split", pa.array(split, pa.string()))
+
+    scored = ds.map_batches(normalize_and_score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    deduped = per_key_blocks(
+        scored, ["nt_hash"], dedup_block,
+        num_partitions=auto_partitions(f"{sf_dir}/documents.parquet"))
+    return deduped.map_batches(add_split, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+SQL_CURATE = f"""
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                        '^ | $', '', 'g') AS norm_text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, norm_text,
+         CASE WHEN norm_text = '' THEN 0
+              ELSE len(string_split(norm_text, ' ')) END AS n_words,
+         CASE WHEN norm_text = '' THEN 0
+              ELSE CAST(FLOOR((1 - CAST(len(list_distinct(string_split(norm_text, ' ')))
+                                        AS DOUBLE)
+                                   / len(string_split(norm_text, ' ')))
+                              * 1000000 + 0.5) AS BIGINT) END AS dup_word_frac_u
+  FROM n
+),
+f AS (
+  SELECT * FROM s
+  WHERE n_words >= {CURATE_MIN_WORDS}
+    AND dup_word_frac_u <= {CURATE_MAX_DUP_WORD_U}
+),
+d AS (
+  SELECT norm_text, MIN(doc_id) AS doc_id FROM f GROUP BY norm_text
+)
+SELECT f.doc_id, f.norm_text, CAST(f.n_words AS BIGINT) AS n_words,
+       f.dup_word_frac_u,
+       CASE
+         WHEN CAST(f.doc_id AS HUGEINT) * {_KNUTH} % 4294967296 % 1000
+              < {SPLIT_TRAIN_PERMILLE} THEN 'train'
+         WHEN CAST(f.doc_id AS HUGEINT) * {_KNUTH} % 4294967296 % 1000
+              < {SPLIT_VAL_PERMILLE} THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM f JOIN d ON f.doc_id = d.doc_id AND f.norm_text = d.norm_text
+"""
+
+
+def run_curation(sf_dir: str, out_dir: str, num_partitions: int = 16,
+                 resume: bool = True) -> dict:
+    """Execute the curation pipeline into the resumable sink."""
+    from ocrautomator_ray.sinks.parquet_commit import resumable_write
+
+    return resumable_write(build_curated(sf_dir), out_dir,
+                           num_partitions=num_partitions, key="doc_id",
+                           input_desc=f"{sf_dir}/documents.parquet",
+                           resume=resume)
+
+
+def run_curate_flagship(sf_dir: str, scratch_root: str = "/tmp/ocrautomator_ray",
+                        fresh: bool = True) -> rd.Dataset:
+    """queries() surface: run the curation pipeline through the sink and
+    return the committed table (manifest-driven read)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ocrautomator_ray.pipelines.extract import read_output
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out_dir = os.path.join(scratch_root, f"curate-{tag}")
+    if fresh and os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    run_curation(sf_dir, out_dir)
+    return read_output(out_dir)

@@ -1,0 +1,143 @@
+"""Generic resumable partitioned-parquet sink.
+
+The extraction pipeline's commit discipline (hash-partition on a key, one
+atomic data file + manifest per partition, manifest-driven reads, O(P)
+resume pruning) generalized to ANY table-shaped Dataset, so every pipeline
+in the engine — curation, dedup exports, query materializations — gets the
+brief's "resumable output" property without reimplementing it:
+
+- the partitioner is the same pure function as extraction's
+  (``siphash(key) % P``), so a row's destination never changes across runs;
+- a partition commits atomically: data tmp+rename, THEN its manifest —
+  a killed task leaves no visible partial state;
+- ``read_output`` reads exactly the fragments named in committed manifests;
+- a rerun prunes completed partitions with O(P) manifest reads before any
+  data is touched, and refuses an out_dir written under a different P.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ocrautomator_ray.state.manifest import (
+    check_run_compatible,
+    completed_parts,
+    data_dir,
+    demote_part,
+    load_manifests,
+    merge_counters,
+    part_data_path,
+    partition_ids,
+    write_part_manifest,
+    write_run_manifest,
+)
+
+_SUMMARY_SCHEMA = pa.schema([("part_id", pa.int32()), ("rows", pa.int64()),
+                             ("output_path", pa.string())])
+
+
+def _make_commit(out_dir: str, num_partitions: int, input_desc: str,
+                 drop_cols: tuple[str, ...]):
+    def commit_one(part: pa.Table) -> pa.Table:
+        pid = int(part["part_id"][0].as_py())
+        data = part.drop_columns(list(drop_cols))
+        os.makedirs(data_dir(out_dir), exist_ok=True)
+        final = part_data_path(out_dir, pid)
+        tmp = f"{final}.tmp.{os.getpid()}"
+        pq.write_table(data, tmp)
+        os.replace(tmp, final)
+        write_part_manifest(out_dir, pid, {
+            "part_id": pid,
+            "status": "committed",
+            "counters": {"rows": data.num_rows},
+            "lineage": {
+                "partitioner": "siphash(key) % num_partitions",
+                "num_partitions": num_partitions,
+                "part_id": pid,
+                "input": input_desc,
+                "output_fragment": os.path.relpath(final, out_dir),
+            },
+        })
+        return pa.Table.from_pydict(
+            {"part_id": [pid], "rows": [data.num_rows], "output_path": [final]},
+            schema=_SUMMARY_SCHEMA)
+
+    def commit_blocks(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _SUMMARY_SCHEMA.empty_table()
+        pids = block["part_id"].to_numpy(zero_copy_only=False)
+        bounds = [0] + (np.nonzero(np.diff(pids))[0] + 1).tolist() + [len(pids)]
+        outs = [commit_one(block.slice(a, b - a))
+                for a, b in zip(bounds[:-1], bounds[1:])]
+        return pa.concat_tables(outs)
+
+    return commit_blocks
+
+
+def resumable_write(ds: rd.Dataset, out_dir: str, num_partitions: int = 16,
+                    key: str = "doc_id", input_desc: str = "",
+                    resume: bool = True,
+                    exchange_partitions: int | None = None) -> dict:
+    """Write ``ds`` as ``out_dir/data/part-NNNNN.parquet`` + manifests.
+
+    Returns the merged summary (partitions committed, row counters). The
+    exchange guarantees a partition arrives as one contiguous run in one
+    block (Ray 2.49 hash-shuffle finalize emits one block per partition);
+    the duplicate-part_id guard backs out and raises loudly if that ever
+    stops holding, leaving a resumable out_dir.
+    """
+    from ocrautomator_ray.functions.exchange import tune_exchange
+
+    check_run_compatible(out_dir, num_partitions)
+    write_run_manifest(out_dir, {"num_partitions": num_partitions,
+                                 "partitioner": f"siphash({key}) % num_partitions",
+                                 "input": input_desc})
+    done = completed_parts(out_dir, num_partitions) if resume else set()
+
+    def assign(t: pa.Table) -> pa.Table:
+        pids = partition_ids(t[key], num_partitions)
+        if done:
+            keep = ~np.isin(pids, list(done))
+            t, pids = t.filter(pa.array(keep)), pids[keep]
+        return t.append_column("part_id", pa.array(pids, pa.int32()))
+
+    tagged = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    # empty stream (empty input or fully-resumed) must not reach the exchange
+    if tagged.limit(1).count() == 0:
+        return _summary(out_dir, 0)
+    n_ex = exchange_partitions or min(16, num_partitions)
+    tune_exchange(tagged, n_ex)
+    summary = (
+        tagged.repartition(n_ex, keys=["part_id"], sort=True)
+        .map_batches(_make_commit(out_dir, num_partitions, input_desc,
+                                  drop_cols=("part_id",)),
+                     batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+        .to_pandas()
+    )
+    if summary["part_id"].duplicated().any():
+        affected = sorted(
+            summary.loc[summary["part_id"].duplicated(keep=False), "part_id"]
+            .unique().tolist())
+        for pid in affected:
+            demote_part(out_dir, int(pid))
+        raise RuntimeError(
+            "partition committed more than once in a single run — a partition "
+            "spanned exchange blocks; demoted its manifests so resume "
+            f"recomputes them: {affected}")
+    return _summary(out_dir, int(summary.shape[0]))
+
+
+def _summary(out_dir: str, partitions_this_run: int) -> dict:
+    manifests = load_manifests(out_dir)
+    return {
+        "out_dir": out_dir,
+        "partitions_committed_total": len(manifests),
+        "partitions_this_run": partitions_this_run,
+        "counters": merge_counters(manifests),
+    }

@@ -1,0 +1,66 @@
+"""Curation pipeline + generic resumable sink: end-to-end equality with the
+SQL oracle is covered by test_queries (curate_pipeline); these pin the sink's
+commit/resume contract."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ocrautomator_ray.pipelines.curate import run_curation
+from ocrautomator_ray.pipelines.extract import read_output
+from ocrautomator_ray.state.manifest import demote_part
+
+SF = "/root/testdata/sf0.001"
+
+
+def _read(out_dir) -> pd.DataFrame:
+    return (read_output(str(out_dir)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curation_sink_commit_resume_cycle(tmp_path):
+    out = str(tmp_path / "o")
+    s1 = run_curation(SF, out, num_partitions=8)
+    assert s1["partitions_this_run"] == 8
+    assert s1["partitions_committed_total"] == 8
+    first = _read(out)
+    assert s1["counters"]["rows"] == len(first) > 0
+
+    # full resume is a noop and output is unchanged
+    s2 = run_curation(SF, out, num_partitions=8)
+    assert s2["partitions_this_run"] == 0
+    pd.testing.assert_frame_equal(_read(out), first)
+
+    # a demoted (lost) partition is recomputed exactly, nothing else
+    demote_part(out, 3)
+    s3 = run_curation(SF, out, num_partitions=8)
+    assert s3["partitions_this_run"] == 1
+    pd.testing.assert_frame_equal(_read(out), first)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sink_refuses_mismatched_partitioning(tmp_path):
+    out = str(tmp_path / "o")
+    run_curation(SF, out, num_partitions=4)
+    with pytest.raises(RuntimeError, match="num_partitions"):
+        run_curation(SF, out, num_partitions=8)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curated_rows_pass_their_own_filters(tmp_path):
+    out = str(tmp_path / "o")
+    run_curation(SF, out, num_partitions=4)
+    df = _read(out)
+    assert (df["n_words"] >= 5).all()
+    assert (df["dup_word_frac_u"] <= 300_000).all()
+    assert df["norm_text"].is_unique
+    assert set(df["split"]) <= {"train", "val", "test"}
+    # keep-first: every kept doc_id is the min over its norm_text group
+    con = duckdb.connect()
+    base = con.execute(f"""
+        SELECT regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                              '^ | $', '', 'g') AS nt, MIN(doc_id) AS mn
+        FROM read_parquet('{SF}/documents.parquet') GROUP BY nt
+    """).df().set_index("nt")["mn"]
+    assert all(base[nt] == did for nt, did in zip(df["norm_text"], df["doc_id"]))
