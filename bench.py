@@ -163,9 +163,11 @@ def run_benchmarks() -> dict:
     timed("decontaminate", curate.decontaminate, consume="count")
     timed("ann_topk", ann.ann_topk)
 
+    from ocrautomator_ray.pipelines.curate import run_curate_flagship
     from ocrautomator_ray.pipelines.extract import run_flagship
 
     timed("extract_flagship_sfdocs", lambda sf: run_flagship(sf), consume="count")
+    timed("curate_pipeline", lambda sf: run_curate_flagship(sf), consume="count")
 
     ray.shutdown()
 

@@ -27,8 +27,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
         prog="ocrautomator_ray.run",
         description="Ray-Data-native interleaved-document extraction pipeline",
     )
+    p.add_argument("--pipeline", choices=["extract", "curate"], default="extract",
+                   help="extract: the OCR/span flagship; curate: normalize + "
+                        "quality-filter + dedup + split over documents.parquet")
     p.add_argument("--input", required=True,
-                   help="input doc table (parquet path/dir, or .lance when available)")
+                   help="input doc table (parquet path/dir, or .lance when "
+                        "available); for --pipeline curate, the directory "
+                        "holding documents.parquet")
     p.add_argument("--out", required=True, help="output directory (data/ + manifest/)")
     p.add_argument("--partitions", type=int, default=64,
                    help="hash partitions = checkpoint/commit units")
@@ -65,6 +70,13 @@ def main(argv: list[str] | None = None) -> dict:
         ray.init(**kwargs)
 
     try:
+        if args.pipeline == "curate":
+            from ocrautomator_ray.pipelines.curate import run_curation
+
+            return run_curation(args.input, args.out,
+                                num_partitions=args.partitions,
+                                resume=not args.no_resume)
+
         from ocrautomator_ray.pipelines.extract import PipelineConfig, run_extraction
         from ocrautomator_ray.sources.io import read_docs
 
