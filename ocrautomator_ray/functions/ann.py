@@ -189,18 +189,22 @@ def _train_centroids(sf_dir: str, n_centroids: int = IVF_CENTROIDS,
                      iters: int = 8) -> np.ndarray:
     """Spherical k-means on a bounded deterministic sample.
 
-    The sample (≤ IVF_TRAIN_SAMPLE rows, every 4th vec_id in file order) is
-    the only thing that ever reaches the driver — centroid training is the
-    classic small-side step of IVF index builds; the full table is assigned
-    to centroids distributedly. Deterministic: fixed sample, first-k init,
-    fixed iteration count.
+    The sample (≤ IVF_TRAIN_SAMPLE rows) is the only thing that ever reaches
+    the driver — centroid training is the classic small-side step of IVF
+    index builds; the full table is assigned to centroids distributedly.
+    Deterministic by VALUE, not by stream order: membership is a pure
+    predicate on vec_id (every 4th id under a fixed ceiling), never
+    ``limit()`` over an unordered streaming read, so two runs always train
+    on identical rows regardless of block completion order. Then first-k
+    init, fixed iteration count.
     """
     import pyarrow.compute as pc
 
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
-        filter=(pc.bit_wise_and(pc.field("vec_id"), 3) == 0),
-    ).limit(IVF_TRAIN_SAMPLE)
+        filter=((pc.bit_wise_and(pc.field("vec_id"), 3) == 0)
+                & (pc.field("vec_id") < 4 * IVF_TRAIN_SAMPLE)),
+    )
     t = ds.to_pandas().sort_values("vec_id")
     X = np.stack(t["embedding"].to_numpy()).astype(np.float64)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)

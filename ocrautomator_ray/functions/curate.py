@@ -34,7 +34,7 @@ import ray.data as rd
 from ocrautomator_ray.functions.dedup import (
     _fnv1a_strings,
     _ramp,
-    _tokenize_batch,
+    _tokenize_re2,
 )
 from ocrautomator_ray.functions.exchange import tune_exchange
 
@@ -56,7 +56,7 @@ def _batch_kgrams(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     """
     import pyarrow.compute as pc
 
-    flat, counts = _tokenize_batch(texts)
+    flat, counts = _tokenize_re2(texts)
     n = len(counts)
     if n == 0:
         return np.empty(0, np.uint64), np.zeros(0, np.int64)
@@ -98,11 +98,15 @@ def decontaminate(sf_dir: str, k: int = DECONTAM_K,
         gh, cnt = _batch_kgrams(t["text"], k)
         doc = np.repeat(ids, cnt)
         is_eval = doc % eval_modulus == 0
-        # eval rows carry the sentinel -1: membership only, identity unused
-        return pa.table({
+        from ocrautomator_ray.functions.exchange import sentinel_pad
+
+        # eval rows carry -1 (membership only); -2 pads an empty block so it
+        # can't poison the exchange (dropped in match_block)
+        return sentinel_pad(pa.table({
             "gh": pa.array(gh, pa.uint64()),
             "doc_id": pa.array(np.where(is_eval, -1, doc), pa.int64()),
-        })
+        }), pa.table({"gh": pa.array([0], pa.uint64()),
+                      "doc_id": pa.array([-2], pa.int64())}))
 
     grams = ds.map_batches(gram_rows, batch_format="pyarrow",
                            zero_copy_batch=True)
@@ -114,6 +118,8 @@ def decontaminate(sf_dir: str, k: int = DECONTAM_K,
             return partial_schema.empty_table()
         gh = block["gh"].to_numpy(zero_copy_only=False)
         doc = block["doc_id"].to_numpy(zero_copy_only=False)
+        keep = doc != -2  # empty-block sentinels
+        gh, doc = gh[keep], doc[keep]
         ev = doc < 0
         hit = np.isin(gh[~ev], np.unique(gh[ev]))
         d, c = np.unique(doc[~ev][hit], return_counts=True)
@@ -164,25 +170,45 @@ SPLIT_TRAIN_PERMILLE = 980
 SPLIT_VAL_PERMILLE = 990
 
 
+def knuth_bucket(ids: np.ndarray) -> np.ndarray:
+    """knuth_hash(id) mod 1000 — THE canonical split/sample bucket. uint64
+    wrap-around times-then-mod-2^32 equals exact product mod 2^32 (since
+    2^32 divides 2^64), matching the SQL mirror's HUGEINT arithmetic."""
+    with np.errstate(over="ignore"):
+        h = (ids.astype(np.uint64) * np.uint64(_KNUTH)) % np.uint64(1 << 32)
+    return (h % np.uint64(1000)).astype(np.int64)
+
+
+def split_of(bucket: np.ndarray) -> np.ndarray:
+    """bucket → 'train'/'val'/'test' at 98/1/1."""
+    return np.where(bucket < SPLIT_TRAIN_PERMILLE, "train",
+                    np.where(bucket < SPLIT_VAL_PERMILLE, "val", "test"))
+
+
+def sql_bucket(col: str) -> str:
+    """SQL mirror of ``knuth_bucket`` over a BIGINT column expression."""
+    return f"CAST(CAST({col} AS HUGEINT) * {_KNUTH} % 4294967296 % 1000 AS BIGINT)"
+
+
+def sql_split(col: str) -> str:
+    """SQL mirror of ``split_of(knuth_bucket(col))``."""
+    return (f"CASE WHEN {sql_bucket(col)} < {SPLIT_TRAIN_PERMILLE} THEN 'train' "
+            f"WHEN {sql_bucket(col)} < {SPLIT_VAL_PERMILLE} THEN 'val' "
+            f"ELSE 'test' END")
+
+
 def hash_split(sf_dir: str) -> rd.Dataset:
     """(doc_id, bucket, split): bucket = knuth_hash(doc_id) mod 1000 and
-    split = train/val/test at 98/1/1 — deterministic, stateless, shuffle-free
-    (uint64 wrap-around times-then-mod-2^32 equals exact product mod 2^32,
-    since 2^32 divides 2^64)."""
+    split = train/val/test at 98/1/1 — deterministic, stateless,
+    shuffle-free."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def assign(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (ids * np.uint64(_KNUTH)) % np.uint64(1 << 32)
-        bucket = (h % np.uint64(1000)).astype(np.int64)
-        split = np.where(
-            bucket < SPLIT_TRAIN_PERMILLE, "train",
-            np.where(bucket < SPLIT_VAL_PERMILLE, "val", "test"))
+        bucket = knuth_bucket(t["doc_id"].to_numpy(zero_copy_only=False))
         return pa.table({
             "doc_id": t["doc_id"],
             "bucket": pa.array(bucket, pa.int64()),
-            "split": pa.array(split, pa.string()),
+            "split": pa.array(split_of(bucket), pa.string()),
         })
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
@@ -190,15 +216,8 @@ def hash_split(sf_dir: str) -> rd.Dataset:
 
 SQL_HASH_SPLIT = f"""
 SELECT doc_id,
-       CAST(CAST(doc_id AS HUGEINT) * {_KNUTH} % 4294967296 % 1000 AS BIGINT)
-           AS bucket,
-       CASE
-         WHEN CAST(doc_id AS HUGEINT) * {_KNUTH} % 4294967296 % 1000
-              < {SPLIT_TRAIN_PERMILLE} THEN 'train'
-         WHEN CAST(doc_id AS HUGEINT) * {_KNUTH} % 4294967296 % 1000
-              < {SPLIT_VAL_PERMILLE} THEN 'val'
-         ELSE 'test'
-       END AS split
+       {sql_bucket('doc_id')} AS bucket,
+       {sql_split('doc_id')} AS split
 FROM documents
 """
 
@@ -241,7 +260,7 @@ def repetition_stats(sf_dir: str) -> rd.Dataset:
         line_h = _fnv1a_strings(lines.flatten())
         line_distinct = _distinct_per_doc(line_h, line_counts)
 
-        words, word_counts = _tokenize_batch(text)
+        words, word_counts = _tokenize_re2(text)
         word_distinct = _distinct_per_doc(_fnv1a_strings(words), word_counts)
 
         dup_line = 1.0 - line_distinct / line_counts  # ≥1 line always (split of "")
@@ -306,13 +325,11 @@ def stratified_sample(sf_dir: str) -> rd.Dataset:
                          columns=["doc_id", "source"])
 
     def pick(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         srcs = t["source"].to_numpy(zero_copy_only=False)
-        with np.errstate(over="ignore"):
-            bucket = (ids * np.uint64(_KNUTH)) % np.uint64(1 << 32) % np.uint64(1000)
+        bucket = knuth_bucket(t["doc_id"].to_numpy(zero_copy_only=False))
         uniq, inv = np.unique(srcs, return_inverse=True)
         permille = np.array([_stratum_permille(u) for u in uniq],
-                            np.uint64)[inv]
+                            np.int64)[inv]
         keep = bucket < permille
         return pa.table({
             "doc_id": t["doc_id"].filter(pa.array(keep)),
@@ -325,8 +342,7 @@ def stratified_sample(sf_dir: str) -> rd.Dataset:
 SQL_STRATIFIED_SAMPLE = f"""
 SELECT doc_id, source
 FROM documents
-WHERE CAST(doc_id AS HUGEINT) * {_KNUTH} % 4294967296 % 1000
-      < 50 + 90 * (ascii(substr(source, 4, 1)) % 7)
+WHERE {sql_bucket('doc_id')} < 50 + 90 * (ascii(substr(source, 4, 1)) % 7)
 """
 
 
@@ -358,7 +374,7 @@ def top_ngrams(sf_dir: str, n: int = TOP_NGRAM_N,
     tune_exchange(ds, n_parts)
 
     def partial_counts(t: pa.Table) -> pa.Table:
-        flat, counts = _tokenize_batch(t["text"])
+        flat, counts = _tokenize_re2(t["text"])
         nd = len(counts)
         if nd == 0 or len(flat) == 0:
             return pa.table({"gram": pa.array([], pa.string()),

@@ -60,7 +60,13 @@ def _per_key_runs(ds: rd.Dataset, keys: list[str], fn, empty_schema: pa.Schema,
     def per_block(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return empty_schema.empty_table()
+        # self-sort: the exchange co-locates but does not order (sort=False —
+        # the aggregator-side sort crashes on schemaless shards from empty
+        # upstream blocks in Ray 2.49; see exchange.per_key_blocks)
         arrs = [block[k].to_numpy(zero_copy_only=False) for k in keys]
+        order = np.lexsort(arrs[::-1])
+        block = block.take(pa.array(order))
+        arrs = [a[order] for a in arrs]
         n = len(arrs[0])
         change = np.zeros(n, dtype=bool)
         change[0] = True
@@ -70,7 +76,7 @@ def _per_key_runs(ds: rd.Dataset, keys: list[str], fn, empty_schema: pa.Schema,
         outs = [fn(block.slice(s, e - s)) for s, e in zip(bounds[:-1], bounds[1:])]
         return pa.concat_tables(outs) if outs else empty_schema.empty_table()
 
-    return ds.repartition(num_partitions, keys=keys, sort=True).map_batches(
+    return ds.repartition(num_partitions, keys=keys).map_batches(
         per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
@@ -163,7 +169,14 @@ def _tokenize_batch(texts) -> tuple[pa.Array, np.ndarray]:
     import pyarrow.compute as pc
 
     low = pc.utf8_lower(pc.fill_null(texts, ""))
-    words = pc.utf8_split_whitespace(low)
+    return _split_tokens(pc.utf8_split_whitespace(low), len(low))
+
+
+def _split_tokens(words, n_docs: int) -> tuple[pa.Array, np.ndarray]:
+    """(flat tokens, per-doc counts) from a list<string> split result, empty
+    tokens dropped."""
+    import pyarrow.compute as pc
+
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
     flat = words.flatten()
@@ -174,8 +187,25 @@ def _tokenize_batch(texts) -> tuple[pa.Array, np.ndarray]:
     if not ne.all():
         docidx = np.repeat(np.arange(len(counts)), counts)
         flat = flat.filter(nonempty)
-        counts = np.bincount(docidx[ne], minlength=len(counts)).astype(np.int64)
+        counts = np.bincount(docidx[ne], minlength=n_docs).astype(np.int64)
     return flat, counts
+
+
+def _tokenize_re2(texts) -> tuple[pa.Array, np.ndarray]:
+    """(flat lowercase words, per-doc counts) splitting on the RE2 class
+    ``\\s+`` — byte-identical to DuckDB's
+    ``list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')``
+    (both engines run RE2, where ``\\s`` is ASCII-only). Use this tokenizer
+    in every operator whose SQL oracle tokenizes with that expression;
+    ``_tokenize_batch`` (Unicode whitespace, equals Python ``str.split``)
+    differs on e.g. NBSP and is the right reference for the
+    pytest-oracled MinHash/SimHash kernels instead."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    low = pc.utf8_lower(pc.fill_null(texts, ""))
+    return _split_tokens(pc.split_pattern_regex(low, pattern=r"\s+"), len(low))
 
 
 def _ramp(group_sizes: np.ndarray) -> np.ndarray:
@@ -423,6 +453,8 @@ def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD) -> rd.Da
         bid = block["band_id"].to_numpy(zero_copy_only=False)
         key = block["band_key"].to_numpy(zero_copy_only=False)
         ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, bid))  # exchange no longer pre-sorts
+        bid, key, ids = bid[order], key[order], ids[order]
         change = np.zeros(len(ids), dtype=bool)
         change[0] = True
         change[1:] = (bid[1:] != bid[:-1]) | (key[1:] != key[:-1])
@@ -438,6 +470,8 @@ def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD) -> rd.Da
             X = ids[starts[g][:, None] + np.arange(int(s))[None, :]]
             ia, ib = np.triu_indices(int(s), k=1)
             A, B = X[:, ia].ravel(), X[:, ib].ravel()
+            nz = A != B  # duplicate doc_id rows must not yield self-pairs
+            A, B = A[nz], B[nz]
             out_a.append(np.minimum(A, B))
             out_b.append(np.maximum(A, B))
         if not out_a:
@@ -450,7 +484,7 @@ def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD) -> rd.Da
     band_rows = sh_ds.map_batches(sig_rows, batch_format="pyarrow",
                                   zero_copy_batch=True)
     pairs = (  # duplicates across bands — deduped in the attach stage below
-        band_rows.repartition(n_parts, keys=["band_id", "band_key"], sort=True)
+        band_rows.repartition(n_parts, keys=["band_id", "band_key"])
         .map_batches(pairs_block, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
@@ -487,6 +521,9 @@ def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD) -> rd.Da
         if block.num_rows == 0:
             return half_schema.empty_table()
         key = block["key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")  # exchange no longer pre-sorts
+        block = block.take(pa.array(order))
+        key = key[order]
         da = block["doc_a"].to_numpy(zero_copy_only=False)
         db = block["doc_b"].to_numpy(zero_copy_only=False)
         is_sh = da < 0
@@ -508,7 +545,7 @@ def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD) -> rd.Da
                          "shingles": blobs})
 
     halves = (
-        both.repartition(n_parts, keys=["key"], sort=True)
+        both.repartition(n_parts, keys=["key"])
         .map_batches(attach_block, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
@@ -522,6 +559,9 @@ def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD) -> rd.Da
             return out_schema.empty_table()
         da = block["doc_a"].to_numpy(zero_copy_only=False)
         db = block["doc_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((db, da))  # exchange no longer pre-sorts
+        block = block.take(pa.array(order))
+        da, db = da[order], db[order]
         if len(da) % 2 or not (da[0::2] == da[1::2]).all() \
                 or not (db[0::2] == db[1::2]).all():
             raise RuntimeError("pair halves not co-located in one block "
@@ -539,7 +579,7 @@ def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD) -> rd.Da
                          "jaccard": pa.array(jac[keep], pa.float64())})
 
     return (
-        halves.repartition(n_parts, keys=["doc_a", "doc_b"], sort=True)
+        halves.repartition(n_parts, keys=["doc_a", "doc_b"])
         .map_batches(judge_block, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
@@ -590,6 +630,8 @@ def simhash_dups(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> rd.Data
         key = block["band_key"].to_numpy(zero_copy_only=False)
         ids = block["doc_id"].to_numpy(zero_copy_only=False)
         sigs = block["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((key, bid))  # exchange no longer pre-sorts
+        bid, key, ids, sigs = bid[order], key[order], ids[order], sigs[order]
         change = np.zeros(len(ids), dtype=bool)
         change[0] = True
         change[1:] = (bid[1:] != bid[:-1]) | (key[1:] != key[:-1])
@@ -608,8 +650,9 @@ def simhash_dups(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> rd.Data
             x = (S[:, ia] ^ S[:, ib]).ravel()
             ham = np.unpackbits(x.view(np.uint8)).reshape(-1, 64) \
                 .sum(axis=1).astype(np.int64)
-            keep = ham <= max_hamming
-            A, B = X[:, ia].ravel()[keep], X[:, ib].ravel()[keep]
+            A0, B0 = X[:, ia].ravel(), X[:, ib].ravel()
+            keep = (ham <= max_hamming) & (A0 != B0)  # no self-pairs from dup ids
+            A, B = A0[keep], B0[keep]
             out_a.append(np.minimum(A, B))
             out_b.append(np.maximum(A, B))
             out_h.append(ham[keep])
@@ -629,7 +672,7 @@ def simhash_dups(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> rd.Data
     band_rows = ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
     _tune_exchange(band_rows, n_parts)
     return (
-        band_rows.repartition(n_parts, keys=["band_id", "band_key"], sort=True)
+        band_rows.repartition(n_parts, keys=["band_id", "band_key"])
         .map_batches(pairs_block, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
         .groupby(["doc_a", "doc_b"], num_partitions=16)  # dedup pairs, keep hamming

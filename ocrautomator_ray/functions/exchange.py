@@ -72,6 +72,19 @@ def tune_exchange(ds: rd.Dataset, num_partitions: int = 0) -> None:
     ctx.join_operator_actor_num_cpus_per_partition_override = per_part
 
 
+def sentinel_pad(out, sentinel):
+    """Return ``sentinel`` (a 1-row table) when ``out`` is empty.
+
+    Ray 2.49's hash exchange forwards an EMPTY upstream block as a
+    schemaless shard; an aggregator partition fed only such shards then
+    crashes in finalize (``sort_by`` on an empty-schema table). Any UDF that
+    can filter a block down to zero rows and feeds a keyed exchange must
+    therefore pad with one sentinel row — keyed so it lands harmlessly and
+    dropped by the first consumer after the exchange. (Partitions that
+    receive NO shards at all are fine; only empty-block shards poison.)"""
+    return sentinel if out.num_rows == 0 else out
+
+
 def auto_partitions(*paths: str, bytes_per_partition: int = 64 << 20,
                     lo: int = 4, hi: int = 512) -> int:
     """Exchange partition count sized to the input bytes on disk.
@@ -98,12 +111,19 @@ def auto_partitions(*paths: str, bytes_per_partition: int = 64 << 20,
 def per_key_blocks(ds: rd.Dataset, keys: list[str], block_fn: Callable,
                    num_partitions: int = 16,
                    batch_format: str = "pyarrow") -> rd.Dataset:
-    """Hash-partition + sort on ``keys``, then map ``block_fn`` over whole
-    blocks. Each block holds every row of each of its keys, sorted by keys;
-    ``block_fn`` must handle many groups per call (vectorized) and the empty
-    block."""
+    """Hash-partition on ``keys``, then map ``block_fn`` over whole blocks.
+    Each block holds every row of each of its keys in UNSPECIFIED order —
+    ``block_fn`` must sort itself if it needs order, handle many groups per
+    call (vectorized), and handle the empty block.
+
+    sort=False deliberately: the aggregator-side sort (``Concat.finalize``)
+    crashes in Ray 2.49 when a partition's accumulated shards are all
+    schemaless — which happens whenever an upstream block is empty (a
+    filtered-out block, or a starved partition of an earlier exchange).
+    Sorting inside ``block_fn`` costs the same and removes the whole crash
+    class."""
     tune_exchange(ds, num_partitions)
-    return ds.repartition(num_partitions, keys=keys, sort=True).map_batches(
+    return ds.repartition(num_partitions, keys=keys).map_batches(
         block_fn, batch_format=batch_format, batch_size=None,
         zero_copy_batch=True,
     )

@@ -448,8 +448,10 @@ def sliding_window_activity(sf_dir: str) -> rd.Dataset:
 SQL_SLIDING_WINDOW = f"""
 WITH j AS (SELECT unnest(generate_series(0, {WINDOW_S // SLIDE_S - 1})) AS j),
 x AS (
-    SELECT (epoch_us(ts) // {SLIDE_S * 1_000_000} - j.j) * {SLIDE_S}
-               AS window_start_s,
+    -- FLOOR, not //: DuckDB's // truncates toward zero while the engine's
+    -- int64 division floors, and they disagree for pre-1970 timestamps
+    SELECT (CAST(FLOOR(epoch_us(ts) / {SLIDE_S * 1_000_000}.0) AS BIGINT)
+                - j.j) * {SLIDE_S} AS window_start_s,
            user_id
     FROM events, j
 )

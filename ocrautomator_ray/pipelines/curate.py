@@ -22,15 +22,26 @@ import pyarrow as pa
 import ray.data as rd
 
 from ocrautomator_ray.functions.curate import (
-    _KNUTH,
-    SPLIT_TRAIN_PERMILLE,
-    SPLIT_VAL_PERMILLE,
     _distinct_per_doc,
+    knuth_bucket,
+    split_of,
+    sql_split,
 )
-from ocrautomator_ray.functions.dedup import _fnv1a_strings, _tokenize_batch
+from ocrautomator_ray.functions.dedup import _fnv1a_strings, _split_tokens
 
 CURATE_MIN_WORDS = 5
 CURATE_MAX_DUP_WORD_U = 300_000  # drop docs with >30% repeated words
+
+# 1-row pad for UDF outputs feeding a keyed exchange (see
+# exchange.sentinel_pad); the NULL doc_id marks it — dedup_block and the
+# resumable sink both drop null-key rows
+_SENTINEL_ROW = pa.table({
+    "doc_id": pa.array([None], pa.int64()),
+    "norm_text": pa.array([""], pa.string()),
+    "n_words": pa.array([0], pa.int64()),
+    "dup_word_frac_u": pa.array([0], pa.int64()),
+    "nt_hash": pa.array([0], pa.uint64()),
+})
 
 
 def build_curated(sf_dir: str) -> rd.Dataset:
@@ -48,7 +59,12 @@ def build_curated(sf_dir: str) -> rd.Dataset:
             pc.utf8_lower(pc.fill_null(t["text"], "")),
             pattern=r"\s+", replacement=" ")
         s = pc.replace_substring_regex(s, pattern=r"^ | $", replacement="")
-        words, counts = _tokenize_batch(s)
+        # single-space split (empties dropped) — exactly the SQL oracle's
+        # string_split(norm_text, ' '); normalization already collapsed all
+        # RE2 whitespace, so this is the only split that stays in lockstep
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        words, counts = _split_tokens(pc.split_pattern(s, pattern=" "), len(s))
         distinct = _distinct_per_doc(_fnv1a_strings(words), counts)
         with np.errstate(invalid="ignore"):
             dup = np.where(counts > 0,
@@ -64,19 +80,25 @@ def build_curated(sf_dir: str) -> rd.Dataset:
             "dup_word_frac_u": pa.array(dup_u[keep], pa.int64()),
         })
         # 8-byte exchange key for the dedup stage (text rides as payload)
-        return out.append_column(
+        out = out.append_column(
             "nt_hash", pa.array(_fnv1a_strings(out["norm_text"]), pa.uint64()))
+        from ocrautomator_ray.functions.exchange import sentinel_pad
+
+        # a fully-filtered block must not enter the exchange empty; the
+        # null doc_id marks the sentinel (dropped downstream; the sink
+        # treats null-key rows as sentinels too)
+        return sentinel_pad(out, _SENTINEL_ROW)
 
     def dedup_block(block: pa.Table) -> pa.Table:
         # block holds every row of each of its nt_hash keys; keep the lowest
         # doc_id per distinct norm_text (compare the text itself inside the
         # hash group, so a hash collision cannot merge two documents)
-        if block.num_rows == 0:
-            return pa.schema([
-                ("doc_id", pa.int64()), ("norm_text", pa.string()),
-                ("n_words", pa.int64()), ("dup_word_frac_u", pa.int64()),
-                ("nt_hash", pa.uint64()),
-            ]).empty_table()
+        from ocrautomator_ray.functions.exchange import sentinel_pad
+
+        if block.num_rows > 0:  # drop incoming empty-block sentinels
+            block = block.drop_null()
+        if block.num_rows == 0:  # and pad our own output (feeds the sink's
+            return _SENTINEL_ROW  # part_id exchange next)
         h = block["nt_hash"].to_numpy(zero_copy_only=False)
         ids = block["doc_id"].to_numpy(zero_copy_only=False)
         txt = block["norm_text"].to_numpy(zero_copy_only=False)
@@ -87,14 +109,12 @@ def build_curated(sf_dir: str) -> rd.Dataset:
         return block.take(pa.array(order[first]))
 
     def add_split(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            bucket = (ids * np.uint64(_KNUTH)) % np.uint64(1 << 32) % np.uint64(1000)
-        split = np.where(
-            bucket < SPLIT_TRAIN_PERMILLE, "train",
-            np.where(bucket < SPLIT_VAL_PERMILLE, "val", "test"))
+        # fill_null: sentinel rows get a split computed and stay sentinels
+        # (null doc_id); the sink drops them
+        ids = pc.fill_null(t["doc_id"], 0).to_numpy(zero_copy_only=False)
+        bucket = knuth_bucket(ids)
         return t.drop_columns(["nt_hash"]).append_column(
-            "split", pa.array(split, pa.string()))
+            "split", pa.array(split_of(bucket), pa.string()))
 
     scored = ds.map_batches(normalize_and_score, batch_format="pyarrow",
                             zero_copy_batch=True)
@@ -133,13 +153,7 @@ d AS (
 )
 SELECT f.doc_id, f.norm_text, CAST(f.n_words AS BIGINT) AS n_words,
        f.dup_word_frac_u,
-       CASE
-         WHEN CAST(f.doc_id AS HUGEINT) * {_KNUTH} % 4294967296 % 1000
-              < {SPLIT_TRAIN_PERMILLE} THEN 'train'
-         WHEN CAST(f.doc_id AS HUGEINT) * {_KNUTH} % 4294967296 % 1000
-              < {SPLIT_VAL_PERMILLE} THEN 'val'
-         ELSE 'test'
-       END AS split
+       {sql_split('f.doc_id')} AS split
 FROM f JOIN d ON f.doc_id = d.doc_id AND f.norm_text = d.norm_text
 """
 

@@ -118,7 +118,8 @@ def build_pipeline(ds: rd.Dataset, cfg: PipelineConfig) -> rd.Dataset:
         exchanged = extracted.repartition(
             cfg.exchange_partitions or min(16, cfg.num_partitions),
             keys=["part_id"],
-            sort=True,
+            # no aggregator-side sort: commit_blocks self-sorts (Ray 2.49's
+            # finalize sort crashes on schemaless shards from empty blocks)
         )
         return exchanged.map_batches(
             make_commit_blocks(cfg.out_dir, cfg.num_partitions, cfg.input_desc,
@@ -263,6 +264,10 @@ def read_output(out_dir: str) -> rd.Dataset:
         for m in load_manifests(out_dir).values()
         if m.get("status") == "committed"
     ]
+    if not paths:
+        # a legitimate outcome (e.g. every input row filtered before the
+        # sink): an empty dataset, not a read_parquet([]) crash
+        return rd.from_items([])
     return rd.read_parquet(sorted(paths))
 
 

@@ -71,10 +71,13 @@ def _make_commit(out_dir: str, num_partitions: int, input_desc: str,
         if block.num_rows == 0:
             return _SUMMARY_SCHEMA.empty_table()
         pids = block["part_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pids, kind="stable")  # exchange no longer sorts
+        block, pids = block.take(pa.array(order)), pids[order]
         bounds = [0] + (np.nonzero(np.diff(pids))[0] + 1).tolist() + [len(pids)]
         outs = [commit_one(block.slice(a, b - a))
-                for a, b in zip(bounds[:-1], bounds[1:])]
-        return pa.concat_tables(outs)
+                for a, b in zip(bounds[:-1], bounds[1:])
+                if pids[a] >= 0]  # skip empty-block sentinels
+        return pa.concat_tables(outs) if outs else _SUMMARY_SCHEMA.empty_table()
 
     return commit_blocks
 
@@ -100,20 +103,40 @@ def resumable_write(ds: rd.Dataset, out_dir: str, num_partitions: int = 16,
     done = completed_parts(out_dir, num_partitions) if resume else set()
 
     def assign(t: pa.Table) -> pa.Table:
-        pids = partition_ids(t[key], num_partitions)
+        import pyarrow.compute as pc
+
+        # sink contract: null-key rows are sentinels (upstream stages pad
+        # otherwise-empty blocks with them — see exchange.sentinel_pad);
+        # they ride the exchange as part_id=-1 and are never committed
+        arr = t[key]
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        if valid.all():
+            pids = partition_ids(arr, num_partitions).astype(np.int32)
+        else:
+            pids = np.full(t.num_rows, -1, np.int32)
+            if valid.any():
+                pids[valid] = partition_ids(
+                    arr.filter(pa.array(valid)), num_partitions)
         if done:
             keep = ~np.isin(pids, list(done))
             t, pids = t.filter(pa.array(keep)), pids[keep]
-        return t.append_column("part_id", pa.array(pids, pa.int32()))
+        out = t.append_column("part_id", pa.array(pids, pa.int32()))
+        if out.num_rows == 0:
+            # resume pruning emptied this block; pad with a part_id=-1
+            # sentinel (skipped by the commit) so the empty block can't
+            # poison the exchange
+            cols = {f.name: pa.nulls(1, f.type) for f in t.schema}
+            cols["part_id"] = pa.array([-1], pa.int32())
+            return pa.table(cols)
+        return out
 
-    tagged = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
-    # empty stream (empty input or fully-resumed) must not reach the exchange
-    if tagged.limit(1).count() == 0:
+    if len(done) == num_partitions:  # fully-resumed run: nothing to recompute
         return _summary(out_dir, 0)
+    tagged = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
     n_ex = exchange_partitions or min(16, num_partitions)
     tune_exchange(tagged, n_ex)
     summary = (
-        tagged.repartition(n_ex, keys=["part_id"], sort=True)
+        tagged.repartition(n_ex, keys=["part_id"])
         .map_batches(_make_commit(out_dir, num_partitions, input_desc,
                                   drop_cols=("part_id",)),
                      batch_format="pyarrow", batch_size=None,

@@ -146,9 +146,11 @@ def make_commit_blocks(
 ) -> Callable[[pa.Table], pa.Table]:
     """Block-level commit for the hash-exchange path.
 
-    Input blocks come from ``repartition(keys=["part_id"], sort=True)``: each
-    block holds one or more *complete* partitions as contiguous runs (the
-    aggregator emits a partition only after seeing all of its rows). The
+    Input blocks come from ``repartition(keys=["part_id"])``: each block
+    holds one or more *complete* partitions (the aggregator emits a
+    partition only after seeing all of its rows); the wrapper sorts the
+    block by part_id itself — the aggregator-side sort is off because it
+    crashes on schemaless shards from empty upstream blocks in Ray 2.49. The
     wrapper splits the block into runs and commits each. run_extraction
     asserts no part_id was committed twice in a run — the loud failure mode
     if a partition ever spanned blocks (e.g. finalization splitting at
@@ -160,6 +162,8 @@ def make_commit_blocks(
         if block.num_rows == 0:
             return SUMMARY_SCHEMA.empty_table()
         pids = block["part_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pids, kind="stable")  # exchange no longer sorts
+        block, pids = block.take(pa.array(order)), pids[order]
         bounds = [0] + (np.nonzero(np.diff(pids))[0] + 1).tolist() + [len(pids)]
         outs = [
             commit(block.slice(a, b - a)) for a, b in zip(bounds[:-1], bounds[1:])

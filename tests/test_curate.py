@@ -88,3 +88,38 @@ def test_stratified_sample_rates_and_determinism(docs):
     # rerun → identical selection
     again = C.stratified_sample(SF).to_pandas()
     assert set(again["doc_id"]) == expected
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_unicode_whitespace_matches_sql_oracle(tmp_path):
+    """Engine tokenization must follow the SQL oracles' RE2 '\\s+' (ASCII
+    whitespace) — NBSP/ideographic-space documents previously diverged
+    between Arrow's Unicode splitter and DuckDB."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["foo bar baz foo bar",     # NBSP inside tokens
+             "left　right left　right",  # ideographic space
+             "plain ascii words only plain",
+             "tab\tand\nnewline mix tab"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+
+    import __ray_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    for name in ["repetition_stats", "top_ngrams", "curate_pipeline"]:
+        got = qs[name](str(tmp_path)).to_pandas()
+        exp = con.execute(osql[name]).df()
+        got = got[sorted(got.columns)].sort_values(sorted(got.columns)) \
+            .reset_index(drop=True)
+        exp = exp[sorted(exp.columns)].sort_values(sorted(exp.columns)) \
+            .reset_index(drop=True)
+        assert got.shape == exp.shape, (name, got.shape, exp.shape)
+        for c in got.columns:
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), (name, c)

@@ -215,3 +215,25 @@ def test_hll_within_tolerance_of_exact():
     assert len(m) == len(exact)
     rel_err = ((m["approx_users"] - m["n"]).abs() / m["n"]).max()
     assert rel_err <= 0.05, rel_err
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duplicate_doc_ids_produce_no_self_pairs(tmp_path):
+    """Duplicate doc_id rows co-locate in every band bucket; the pair stage
+    must drop the degenerate (a, a) pair instead of emitting it (simhash) or
+    tripping the verify stage's co-location check (minhash)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["the quick brown fox jumps over the lazy dog again and again",
+             "a completely different document about ships and harbors"]
+    t = pa.table({
+        "doc_id": pa.array([7, 7, 8, 9], pa.int64()),
+        "text": pa.array([texts[0], texts[0], texts[0], texts[1]]),
+        "source": pa.array(["s", "s", "s", "s"]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    sh = D.simhash_dups(str(tmp_path)).to_pandas()
+    assert set(zip(sh["doc_a"], sh["doc_b"])) == {(7, 8)}
+    mh = D.minhash_lsh_dups(str(tmp_path)).to_pandas()
+    assert set(zip(mh["doc_a"], mh["doc_b"])) == {(7, 8)}
