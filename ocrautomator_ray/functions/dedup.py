@@ -50,13 +50,6 @@ def _per_key_runs(ds: rd.Dataset, keys: list[str], fn, empty_schema: pa.Schema,
     oversized-partition fixture so a future Ray that implements the TODO
     fails loudly instead of silently dropping cross-fragment pairs.
     """
-    try:
-        _tune_exchange(ds, num_partitions)
-    except ImportError:
-        return ds.groupby(keys).map_groups(
-            lambda g: fn(pa.Table.from_pandas(g)), batch_format="pandas"
-        )
-
     def per_block(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return empty_schema.empty_table()
@@ -76,9 +69,15 @@ def _per_key_runs(ds: rd.Dataset, keys: list[str], fn, empty_schema: pa.Schema,
         outs = [fn(block.slice(s, e - s)) for s, e in zip(bounds[:-1], bounds[1:])]
         return pa.concat_tables(outs) if outs else empty_schema.empty_table()
 
-    return ds.repartition(num_partitions, keys=keys).map_batches(
-        per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    )
+    try:
+        from ocrautomator_ray.functions.exchange import per_key_blocks
+
+        return per_key_blocks(ds, keys, per_block,
+                              num_partitions=num_partitions)
+    except ImportError:  # pre-HASH_SHUFFLE Ray: portable sort-based fallback
+        return ds.groupby(keys).map_groups(
+            lambda g: fn(pa.Table.from_pandas(g)), batch_format="pandas"
+        )
 
 
 from ocrautomator_ray.functions.exchange import (
