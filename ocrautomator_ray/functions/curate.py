@@ -34,6 +34,7 @@ import ray.data as rd
 from ocrautomator_ray.functions.dedup import (
     _fnv1a_strings,
     _ramp,
+    _split_tokens,
     _tokenize_re2,
 )
 from ocrautomator_ray.functions.exchange import tune_exchange
@@ -435,12 +436,149 @@ ORDER BY n DESC, gram LIMIT {TOP_NGRAM_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_spans — corpus-wide exact span dedup with document reconstruction
+# ---------------------------------------------------------------------------
+
+SPAN_WORDS = 8  # non-overlapping span width, in words
+
+
+def dedup_spans(sf_dir: str) -> rd.Dataset:
+    """(doc_id, clean_text, n_spans_kept): split every document into
+    non-overlapping SPAN_WORDS-word spans, keep exactly ONE occurrence of
+    each distinct span corpus-wide (the lexicographically first
+    (doc_id, span_idx)), and rebuild each document from its surviving spans
+    — exact-substring span deduplication in the spirit of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), at span
+    rather than suffix-array granularity.
+
+    Two hash exchanges: (1) spans co-located by span hash (span text rides
+    as payload; the winner per distinct span is picked inside the block),
+    (2) survivors co-located by doc_id and joined back into text with one
+    vectorized ``binary_join``. Span construction itself is 8 masked
+    gathers + one null-skipping element-wise join — no per-doc Python loop.
+    """
+    import pyarrow.compute as pc
+
+    from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    n_parts = auto_partitions(f"{sf_dir}/documents.parquet",
+                              bytes_per_partition=16 << 20)
+
+
+    def explode_spans(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        words = pc.split_pattern(pc.fill_null(text, ""), pattern=" ")
+        flat, counts = _split_tokens(words, len(text))
+        n_spans = -(-counts // SPAN_WORDS)  # ceil
+        offs = np.zeros(len(counts) + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        span_start = (np.repeat(offs[:-1], n_spans)
+                      + _ramp(n_spans) * SPAN_WORDS)
+        span_doc = np.repeat(np.arange(len(counts), dtype=np.int64), n_spans)
+        span_end = np.minimum(np.repeat(offs[1:], n_spans),
+                              span_start + SPAN_WORDS)
+        cols = []
+        for j in range(SPAN_WORDS):
+            idx = span_start + j
+            valid = idx < span_end
+            took = flat.take(pa.array(np.where(valid, idx, 0)))
+            cols.append(pc.if_else(pa.array(valid), took,
+                                   pa.scalar(None, pa.string())))
+        spans = pc.binary_join_element_wise(
+            *cols, " ", null_handling="skip")
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "sh": pa.array(_fnv1a_strings(spans), pa.uint64()),
+            "doc_id": pa.array(ids[span_doc], pa.int64()),
+            "span_idx": pa.array(_ramp(n_spans), pa.int64()),
+            "span": spans,
+        })
+
+    def keep_first(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()), ("span_idx", pa.int64()),
+                              ("span", pa.string())]).empty_table()
+        sh = block["sh"].to_numpy(zero_copy_only=False)
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        sidx = block["span_idx"].to_numpy(zero_copy_only=False)
+        txt = block["span"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sidx, ids, txt, sh))
+        first = np.ones(len(order), dtype=bool)
+        oh, ot = sh[order], txt[order]
+        first[1:] = (oh[1:] != oh[:-1]) | (ot[1:] != ot[:-1])
+        return block.take(pa.array(order[first])).drop_columns(["sh"])
+
+    def reassemble(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("clean_text", pa.string()),
+                              ("n_spans_kept", pa.int64())]).empty_table()
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        sidx = block["span_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sidx, ids))
+        spans = block["span"].combine_chunks() if isinstance(block["span"], pa.ChunkedArray) else block["span"]
+        spans = spans.take(pa.array(order))
+        ids = ids[order]
+        uniq, starts_idx, per_doc = np.unique(ids, return_index=True,
+                                              return_counts=True)
+        loffs = np.zeros(len(uniq) + 1, np.int32)
+        np.cumsum(per_doc, out=loffs[1:])
+        lst = pa.ListArray.from_arrays(pa.array(loffs, pa.int32()), spans)
+        return pa.table({
+            "doc_id": pa.array(uniq, pa.int64()),
+            "clean_text": pc.binary_join(lst, " "),
+            "n_spans_kept": pa.array(per_doc.astype(np.int64), pa.int64()),
+        })
+
+    rows = ds.map_batches(explode_spans, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    kept = per_key_blocks(rows, ["sh"], keep_first, num_partitions=n_parts)
+    return per_key_blocks(kept, ["doc_id"], reassemble,
+                          num_partitions=n_parts)
+
+
+SQL_DEDUP_SPANS = f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, i.i AS span_idx,
+         array_to_string(w[(i.i) * {SPAN_WORDS} + 1 :
+                           (i.i + 1) * {SPAN_WORDS}], ' ') AS span
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(
+           0, CAST(CEIL(len(w) / {SPAN_WORDS}.0) AS BIGINT) - 1)) AS i) i
+),
+winner_doc AS (
+  SELECT span, MIN(doc_id) AS doc_id FROM spans GROUP BY span
+),
+winner AS (
+  SELECT s.span, s.doc_id, MIN(s.span_idx) AS span_idx
+  FROM spans s JOIN winner_doc w ON s.span = w.span AND s.doc_id = w.doc_id
+  GROUP BY s.span, s.doc_id
+)
+SELECT s.doc_id,
+       string_agg(s.span, ' ' ORDER BY s.span_idx) AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_spans_kept
+FROM spans s
+JOIN winner k ON s.span = k.span AND s.doc_id = k.doc_id
+             AND s.span_idx = k.span_idx
+GROUP BY s.doc_id
+"""
+
+
 QUERIES = {
     "decontaminate": decontaminate,
     "hash_split": hash_split,
     "repetition_stats": repetition_stats,
     "stratified_sample": stratified_sample,
     "top_ngrams": top_ngrams,
+    "dedup_spans": dedup_spans,
 }
 
 SQL = {
@@ -449,4 +587,5 @@ SQL = {
     "repetition_stats": SQL_REPETITION_STATS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "top_ngrams": SQL_TOP_NGRAMS,
+    "dedup_spans": SQL_DEDUP_SPANS,
 }

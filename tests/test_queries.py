@@ -52,7 +52,8 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "top_events_per_user", "distinct_users_per_type", "asof_last_order", "quantiles_qty_by_flag",
                "decontaminate", "hash_split", "repetition_stats",
                "stratified_sample", "sliding_window_activity",
-               "top_ngrams", "normalize_text", "curate_pipeline"]
+               "top_ngrams", "normalize_text", "curate_pipeline",
+               "dedup_spans"]
 
 
 @pytest.mark.usefixtures("ray_session")
