@@ -28,6 +28,8 @@ def read_docs(uri: str, assert_schema: bool = True, **kwargs) -> rd.Dataset:
     mid-pipeline."""
     if uri.endswith(".lance") and _lance_available():
         ds = rd.read_lance(uri, **kwargs)
+    elif uri.endswith((".jsonl", ".json")):
+        ds = rd.read_json(uri, **kwargs)
     else:
         ds = rd.read_parquet(uri, **kwargs)
     if assert_schema:

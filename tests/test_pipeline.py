@@ -147,3 +147,22 @@ def test_progress_reporter_tails_manifests(tmp_path):
     assert "parts 2/4" in text.splitlines()[-1]
     assert "docs 7" in text.splitlines()[-1]
     assert rep._counters == {"docs": 7, "pages_ocrd": 11}
+
+
+def test_jsonl_source_runs_pipeline(tmp_path):
+    """S1: a JSONL document table drives the same pipeline as parquet."""
+    import ray.data as rd
+
+    from ocrautomator_ray import oracle, synth
+    from ocrautomator_ray.pipelines.extract import PipelineConfig, run_extraction
+    from ocrautomator_ray.sources.io import read_docs
+
+    from .util import spans_from_output
+
+    t = synth.gen_table("sf-test", rows=30)
+    path = str(tmp_path / "docs.jsonl")
+    t.to_pandas().to_json(path, orient="records", lines=True)
+    out = str(tmp_path / "o")
+    run_extraction(read_docs(path),
+                   PipelineConfig(out_dir=out, num_partitions=4, work_factor=0))
+    assert spans_from_output(out) == oracle.oracle_table(t).spans_by_doc
