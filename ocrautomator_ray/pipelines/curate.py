@@ -159,14 +159,24 @@ FROM f JOIN d ON f.doc_id = d.doc_id AND f.norm_text = d.norm_text
 
 
 def run_curation(sf_dir: str, out_dir: str, num_partitions: int = 16,
-                 resume: bool = True) -> dict:
+                 resume: bool = True, progress: bool = False) -> dict:
     """Execute the curation pipeline into the resumable sink."""
     from ocrautomator_ray.sinks.parquet_commit import resumable_write
 
-    return resumable_write(build_curated(sf_dir), out_dir,
-                           num_partitions=num_partitions, key="doc_id",
-                           input_desc=f"{sf_dir}/documents.parquet",
-                           resume=resume)
+    def _run():
+        return resumable_write(build_curated(sf_dir), out_dir,
+                               num_partitions=num_partitions, key="doc_id",
+                               input_desc=f"{sf_dir}/documents.parquet",
+                               resume=resume)
+
+    if not progress:
+        return _run()
+    from ocrautomator_ray.state.manifest import completed_parts
+    from ocrautomator_ray.state.progress import ProgressReporter
+
+    skip = completed_parts(out_dir, num_partitions) if resume else set()
+    with ProgressReporter(out_dir, num_partitions, skip_parts=skip):
+        return _run()
 
 
 def run_curate_flagship(sf_dir: str, scratch_root: str = "/tmp/ocrautomator_ray",

@@ -75,7 +75,8 @@ def main(argv: list[str] | None = None) -> dict:
 
             return run_curation(args.input, args.out,
                                 num_partitions=args.partitions,
-                                resume=not args.no_resume)
+                                resume=not args.no_resume,
+                                progress=not args.quiet)
 
         from ocrautomator_ray.pipelines.extract import PipelineConfig, run_extraction
         from ocrautomator_ray.sources.io import read_docs

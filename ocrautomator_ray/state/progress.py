@@ -81,16 +81,17 @@ class ProgressReporter:
     def _render(self, final: bool = False) -> None:
         elapsed = max(time.monotonic() - self._t0, 1e-9)
         remaining = max(self.total - len(self.skip) - self._done, 0)
-        docs = self._counters.get("docs", 0)
-        pages = self._counters.get("pages_ocrd", 0)
         if self._done and remaining and not final:
             eta = f"{elapsed / self._done * remaining:5.0f}s"
         else:
             eta = "    -"
-        line = (f"[extract] parts {self._done + len(self.skip)}/{self.total}"
-                f" | docs {docs:,} ({docs / elapsed:,.0f}/s)"
-                f" | pages {pages:,} ({pages / elapsed:,.0f}/s)"
-                f" | elapsed {elapsed:4.0f}s | eta {eta}")
+        # render whichever volume counters this pipeline's manifests carry
+        vols = [(k, self._counters[k])
+                for k in ("docs", "pages_ocrd", "rows") if k in self._counters]
+        vol = " | ".join(f"{k} {v:,} ({v / elapsed:,.0f}/s)" for k, v in vols) \
+            or "warming up"
+        line = (f"[progress] parts {self._done + len(self.skip)}/{self.total}"
+                f" | {vol} | elapsed {elapsed:4.0f}s | eta {eta}")
         if self._is_tty:
             self.stream.write("\r" + line + ("\n" if final else ""))
         else:

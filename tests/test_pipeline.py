@@ -145,7 +145,7 @@ def test_progress_reporter_tails_manifests(tmp_path):
     text = buf.getvalue()
     # skip-part 0 counts toward position but not rate; error part ignored
     assert "parts 2/4" in text.splitlines()[-1]
-    assert "docs 7" in text.splitlines()[-1]
+    assert "docs 7" in text.splitlines()[-1]  # extraction-style counters render
     assert rep._counters == {"docs": 7, "pages_ocrd": 11}
 
 
