@@ -16,6 +16,7 @@ from typing import Any
 from ocrautomator_ray.functions import ann as _ann
 from ocrautomator_ray.functions import curate as _curate
 from ocrautomator_ray.functions import dedup as _dedup
+from ocrautomator_ray.functions import media as _media
 from ocrautomator_ray.functions import relational as _relational
 from ocrautomator_ray.functions import relational2 as _relational2
 from ocrautomator_ray.functions import sketch as _sketch
@@ -47,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(_dedup.QUERIES)
     q.update(_ann.QUERIES)
     q.update(_curate.QUERIES)
+    q.update(_media.QUERIES)
     q["extract_pipeline"] = _flagship_query
     q["curate_pipeline"] = run_curate_flagship
     return q

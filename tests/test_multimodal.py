@@ -95,3 +95,36 @@ def test_resize_and_frame_sample_as_pool_stages():
         .to_pandas()
     )
     assert frames.shape[0] == 8 * 2  # frames 0 and 4 of each 8-page container
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_queries_match_direct_actor_calls():
+    """The graded media queries reproduce direct (pool-free) actor output."""
+    from ocrautomator_ray.functions import media as M
+    from ocrautomator_ray.stages.multimodal import ImageDecodeActor
+
+    sf = "/root/testdata/sf0.001"
+    got = M.media_decode_stats(sf).to_pandas().set_index("media_ref")
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+    direct = ImageDecodeActor()(M._media_rows(ids, "image/synm")).to_pandas() \
+        .set_index("media_ref")
+    assert len(got) == len(direct) == 500
+    for c in ("width", "height", "n_frames", "status"):
+        assert (got[c].sort_index() == direct[c].sort_index()).all(), c
+
+    fc = M.media_frame_counts(sf).to_pandas().set_index("media_ref")
+    # every-4th-frame count = ceil(pages/4); pages = 1 + doc_id % 5
+    for ref, n in fc["n_frames_sampled"].items():
+        import re
+
+        pages = int(re.search(r"pages=(\d+)", ref).group(1))
+        assert n == -(-pages // 4), ref
+
+    feats = M.media_features(sf).to_pandas()
+    assert len(feats) == 500 and feats["feat_u"].abs().max() > 0
+    # deterministic across runs
+    again = M.media_features(sf).to_pandas()
+    assert feats.sort_values("media_ref").reset_index(drop=True) \
+        .equals(again.sort_values("media_ref").reset_index(drop=True))

@@ -76,7 +76,8 @@ def test_sql_oracled_query(name, ddb, contract):
 
 ROWS_ONLY = ["lang_id", "doc_fingerprint", "minhash_lsh_dups", "simhash_dups",
              "lsh_ann_topk", "ivf_ann_topk", "minhash_dup_clusters",
-             "approx_distinct_users_per_type"]
+             "approx_distinct_users_per_type", "media_decode_stats",
+             "media_features", "media_frame_counts"]
 
 
 @pytest.mark.usefixtures("ray_session")
