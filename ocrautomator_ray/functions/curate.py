@@ -436,6 +436,37 @@ ORDER BY n DESC, gram LIMIT {TOP_NGRAM_K}
 """
 
 
+def first_per_hash_group(h: np.ndarray, txt: np.ndarray,
+                         *tiebreak: np.ndarray) -> np.ndarray:
+    """Indices of the first row of each distinct (hash, text) group, "first"
+    by the tiebreak columns (e.g. doc_id, span_idx).
+
+    Sorts by NUMERIC keys only (hash + tiebreaks) — O(n log n) integer
+    comparisons — then sub-sorts the rare equal-hash runs by the text column
+    so a 64-bit collision can never merge two distinct texts. String
+    comparisons are confined to duplicate/collision runs (O(duplicates)),
+    never the whole block.
+    """
+    order = np.lexsort(tuple(reversed(tiebreak)) + (h,))
+    if order.size == 0:
+        return order
+    hs = h[order]
+    run_starts = np.nonzero(np.concatenate(
+        ([True], hs[1:] != hs[:-1])))[0]
+    run_ends = np.concatenate((run_starts[1:], [order.size]))
+    for a, b in zip(run_starts, run_ends):
+        if b - a > 1:
+            sub = order[a:b]
+            order[a:b] = sub[np.argsort(txt[sub], kind="stable")]
+    ot = txt[order]
+    first = np.ones(order.size, dtype=bool)
+    first[1:] = (hs[1:] != hs[:-1])
+    eq_h = ~first[1:]
+    if eq_h.any():  # compare text only at equal-hash adjacencies
+        first[1:][eq_h] = ot[1:][eq_h] != ot[:-1][eq_h]
+    return order[first]
+
+
 # ---------------------------------------------------------------------------
 # dedup_spans — corpus-wide exact span dedup with document reconstruction
 # ---------------------------------------------------------------------------
@@ -455,7 +486,9 @@ def dedup_spans(sf_dir: str) -> rd.Dataset:
     Two hash exchanges: (1) spans co-located by span hash (span text rides
     as payload; the winner per distinct span is picked inside the block),
     (2) survivors co-located by doc_id and joined back into text with one
-    vectorized ``binary_join``. Span construction itself is 8 masked
+    vectorized ``binary_join``. Empty upstream blocks (whitespace-only
+    batches) are tolerated by the engine-wide sort=False exchange policy
+    (see exchange.per_key_blocks) — no sentinel padding needed here. Span construction itself is 8 masked
     gathers + one null-skipping element-wise join — no per-doc Python loop.
     """
     import pyarrow.compute as pc
@@ -475,8 +508,8 @@ def dedup_spans(sf_dir: str) -> rd.Dataset:
         n_spans = -(-counts // SPAN_WORDS)  # ceil
         offs = np.zeros(len(counts) + 1, np.int64)
         np.cumsum(counts, out=offs[1:])
-        span_start = (np.repeat(offs[:-1], n_spans)
-                      + _ramp(n_spans) * SPAN_WORDS)
+        span_ramp = _ramp(n_spans)
+        span_start = np.repeat(offs[:-1], n_spans) + span_ramp * SPAN_WORDS
         span_doc = np.repeat(np.arange(len(counts), dtype=np.int64), n_spans)
         span_end = np.minimum(np.repeat(offs[1:], n_spans),
                               span_start + SPAN_WORDS)
@@ -493,7 +526,7 @@ def dedup_spans(sf_dir: str) -> rd.Dataset:
         return pa.table({
             "sh": pa.array(_fnv1a_strings(spans), pa.uint64()),
             "doc_id": pa.array(ids[span_doc], pa.int64()),
-            "span_idx": pa.array(_ramp(n_spans), pa.int64()),
+            "span_idx": pa.array(span_ramp, pa.int64()),
             "span": spans,
         })
 
@@ -505,11 +538,8 @@ def dedup_spans(sf_dir: str) -> rd.Dataset:
         ids = block["doc_id"].to_numpy(zero_copy_only=False)
         sidx = block["span_idx"].to_numpy(zero_copy_only=False)
         txt = block["span"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((sidx, ids, txt, sh))
-        first = np.ones(len(order), dtype=bool)
-        oh, ot = sh[order], txt[order]
-        first[1:] = (oh[1:] != oh[:-1]) | (ot[1:] != ot[:-1])
-        return block.take(pa.array(order[first])).drop_columns(["sh"])
+        keep = first_per_hash_group(sh, txt, ids, sidx)
+        return block.take(pa.array(keep)).drop_columns(["sh"])
 
     def reassemble(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
@@ -522,8 +552,7 @@ def dedup_spans(sf_dir: str) -> rd.Dataset:
         spans = block["span"].combine_chunks() if isinstance(block["span"], pa.ChunkedArray) else block["span"]
         spans = spans.take(pa.array(order))
         ids = ids[order]
-        uniq, starts_idx, per_doc = np.unique(ids, return_index=True,
-                                              return_counts=True)
+        uniq, per_doc = np.unique(ids, return_counts=True)
         loffs = np.zeros(len(uniq) + 1, np.int32)
         np.cumsum(per_doc, out=loffs[1:])
         lst = pa.ListArray.from_arrays(pa.array(loffs, pa.int32()), spans)

@@ -1,10 +1,11 @@
 """Shared streaming hash-exchange helpers.
 
 ``per_key_blocks`` is the engine's fast replacement for
-``groupby(keys).map_groups(fn)``: one hash repartition co-locates and sorts
-the keys, then a single block-level ``map_batches`` processes ALL groups in a
-block with vectorized (pandas/Arrow) ops — no per-group function-call
-overhead, no sort-based shuffle.
+``groupby(keys).map_groups(fn)``: one hash repartition co-locates the keys
+(UNSORTED — block functions self-sort when they need order; see
+``per_key_blocks``), then a single block-level ``map_batches`` processes ALL
+groups in a block with vectorized (pandas/Arrow) ops — no per-group
+function-call overhead, no sort-based shuffle.
 
 Group-completeness invariant: a key group must never straddle two blocks.
 Ray 2.49's hash-shuffle finalize emits exactly ONE block per partition
@@ -77,11 +78,12 @@ def sentinel_pad(out, sentinel):
 
     Ray 2.49's hash exchange forwards an EMPTY upstream block as a
     schemaless shard; an aggregator partition fed only such shards then
-    crashes in finalize (``sort_by`` on an empty-schema table). Any UDF that
-    can filter a block down to zero rows and feeds a keyed exchange must
-    therefore pad with one sentinel row — keyed so it lands harmlessly and
-    dropped by the first consumer after the exchange. (Partitions that
-    receive NO shards at all are fine; only empty-block shards poison.)"""
+    crashes in finalize when the exchange sorts (``sort_by`` on an
+    empty-schema table). The PRIMARY fix is the engine-wide sort=False
+    policy (block functions self-sort), which removes the crash; sentinel
+    padding is defense-in-depth for pipelines where fully-filtered blocks
+    are routine (e.g. curation) — one sentinel row keyed to land harmlessly
+    and dropped by the first consumer after the exchange."""
     return sentinel if out.num_rows == 0 else out
 
 

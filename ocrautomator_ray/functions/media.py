@@ -58,7 +58,6 @@ def media_features(sf_dir: str) -> rd.Dataset:
     """(media_ref, feat_u): first component of the 16-d resize-feature
     vector per container, integerized at 1e-6 for a stable compare."""
     import numpy as np
-    import pyarrow.compute as pc  # noqa: F401
 
     feats = _media_ds(sf_dir).map_batches(
         ResizeFeatureActor, batch_format="pyarrow", batch_size=32,

@@ -35,6 +35,12 @@ CURATE_MAX_DUP_WORD_U = 300_000  # drop docs with >30% repeated words
 # 1-row pad for UDF outputs feeding a keyed exchange (see
 # exchange.sentinel_pad); the NULL doc_id marks it — dedup_block and the
 # resumable sink both drop null-key rows
+CURATED_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("norm_text", pa.string()),
+    ("n_words", pa.int64()), ("dup_word_frac_u", pa.int64()),
+    ("split", pa.string()),
+])
+
 _SENTINEL_ROW = pa.table({
     "doc_id": pa.array([None], pa.int64()),
     "norm_text": pa.array([""], pa.string()),
@@ -74,8 +80,7 @@ def build_curated(sf_dir: str) -> rd.Dataset:
         kmask = pa.array(keep)
         out = pa.table({
             "doc_id": t["doc_id"].filter(kmask),
-            "norm_text": s.filter(kmask) if not isinstance(s, pa.ChunkedArray)
-            else s.combine_chunks().filter(kmask),
+            "norm_text": s.filter(kmask),
             "n_words": pa.array(counts[keep], pa.int64()),
             "dup_word_frac_u": pa.array(dup_u[keep], pa.int64()),
         })
@@ -102,11 +107,9 @@ def build_curated(sf_dir: str) -> rd.Dataset:
         h = block["nt_hash"].to_numpy(zero_copy_only=False)
         ids = block["doc_id"].to_numpy(zero_copy_only=False)
         txt = block["norm_text"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, txt, h))
-        first = np.ones(len(order), dtype=bool)
-        oh, ot = h[order], txt[order]
-        first[1:] = (oh[1:] != oh[:-1]) | (ot[1:] != ot[:-1])
-        return block.take(pa.array(order[first]))
+        from ocrautomator_ray.functions.curate import first_per_hash_group
+
+        return block.take(pa.array(first_per_hash_group(h, txt, ids)))
 
     def add_split(t: pa.Table) -> pa.Table:
         # fill_null: sentinel rows get a split computed and stay sentinels
@@ -194,4 +197,4 @@ def run_curate_flagship(sf_dir: str, scratch_root: str = "/tmp/ocrautomator_ray"
     if fresh and os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     run_curation(sf_dir, out_dir)
-    return read_output(out_dir)
+    return read_output(out_dir, empty_schema=CURATED_SCHEMA)

@@ -248,7 +248,7 @@ def run_extraction(ds: rd.Dataset, cfg: PipelineConfig) -> dict:
     return _summary_dict(cfg.out_dir, int(summary.shape[0]))
 
 
-def read_output(out_dir: str) -> rd.Dataset:
+def read_output(out_dir: str, empty_schema=None) -> rd.Dataset:
     """Read back the committed document table.
 
     Reads exactly the fragments named in committed manifests (the lineage),
@@ -266,8 +266,14 @@ def read_output(out_dir: str) -> rd.Dataset:
     ]
     if not paths:
         # a legitimate outcome (e.g. every input row filtered before the
-        # sink): an empty dataset, not a read_parquet([]) crash
-        return rd.from_items([])
+        # sink) — but the schema is gone with the data, so callers that know
+        # their output shape pass empty_schema to keep downstream column
+        # selection working on the empty result
+        if empty_schema is not None:
+            return rd.from_arrow(empty_schema.empty_table())
+        raise FileNotFoundError(
+            f"no committed partitions in {out_dir!r}; pass empty_schema= to "
+            "read an empty-but-typed result")
     return rd.read_parquet(sorted(paths))
 
 
