@@ -16,9 +16,11 @@ from typing import Any
 from ocrautomator_ray.functions import ann as _ann
 from ocrautomator_ray.functions import curate as _curate
 from ocrautomator_ray.functions import dedup as _dedup
+from ocrautomator_ray.functions import filters as _filters
 from ocrautomator_ray.functions import media as _media
 from ocrautomator_ray.functions import relational as _relational
 from ocrautomator_ray.functions import relational2 as _relational2
+from ocrautomator_ray.functions import relational3 as _relational3
 from ocrautomator_ray.functions import sketch as _sketch
 from ocrautomator_ray.functions import text as _text
 from ocrautomator_ray.pipelines.curate import SQL_CURATE, run_curate_flagship
@@ -43,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     q.update(_relational.QUERIES)
     q.update(_relational2.QUERIES)
+    q.update(_relational3.QUERIES)
+    q.update(_filters.QUERIES)
     q.update(_sketch.QUERIES)
     q.update(_text.QUERIES)
     q.update(_dedup.QUERIES)
@@ -58,6 +62,8 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
     sql.update(_relational.SQL)
     sql.update(_relational2.SQL)
+    sql.update(_relational3.SQL)
+    sql.update(_filters.SQL)
     sql.update(_text.SQL)
     sql.update(_dedup.SQL)
     sql.update(_ann.SQL)

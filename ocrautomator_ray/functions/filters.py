@@ -1,0 +1,233 @@
+"""Corpus quality filters for training-data curation, all SQL-oracled:
+
+- ``stopword_filter``: Gopher-style stopword screen (Rae et al. 2021 keep a
+  doc only if it contains ≥2 of a small stopword list) — documents whose text
+  shows function-word structure. Defined BY a single RE2 alternation with
+  ``\\b`` token boundaries so the engine (pyarrow ``count_substring_regex``)
+  and the DuckDB oracle (``regexp_extract_all``) run the identical automaton.
+- ``type_token_ratio``: lexical-diversity signal (distinct words / words),
+  the repetition screen complementary to functions/curate.py's
+  ``repetition_stats`` — a low TTR flags machine-generated or looping text.
+- ``percentile_filter_docs``: filter against a CORPUS-relative threshold
+  (n_chars ≥ discrete p90). Two stages: an exact distributed quantile via
+  value-counting (the shuffle moves (value, count) partials, never rows —
+  same design as ``quantiles_qty_by_flag``), then a predicate-pushdown read
+  with the resolved threshold. The driver-side step touches only the
+  aggregated (distinct-value, count) table — bounded by the value domain,
+  not the row count.
+- ``pii_scrub``: email/phone redaction with RE2 patterns (count + replace per
+  batch). The synthetic corpus contains no PII, so the driver query checks
+  zero-hit pass-through parity; actual redaction behavior is pinned in
+  tests/test_filters.py on crafted strings against the same DuckDB oracle
+  expressions.
+
+All ratios are one double division of two exact int64s — bit-identical in
+numpy and DuckDB — and every count is int64, so the driver's value-hash
+compare is exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+WORD_RE = r"\S+"
+
+# Longest-first so the RE2 alternation's match choice is unambiguous on both
+# engines (both are RE2, so any order agrees — this is belt and braces).
+STOPWORDS = sorted(
+    ["the", "a", "an", "and", "of", "to", "in", "is", "it", "that", "for",
+     "on", "with", "as"],
+    key=len, reverse=True,
+)
+STOP_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+MIN_STOP_HITS = 2
+
+
+def stopword_filter(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def screen(t: pa.Table) -> pa.Table:
+        n_words = pc.cast(pc.count_substring_regex(t["text"], WORD_RE),
+                          pa.int64())
+        hits = pc.cast(pc.count_substring_regex(t["text"], STOP_RE),
+                       pa.int64())
+        out = pa.table({
+            "doc_id": t["doc_id"], "n_words": n_words, "stop_hits": hits,
+            "stop_ratio": pc.divide(pc.cast(hits, pa.float64()),
+                                    pc.cast(n_words, pa.float64())),
+        })
+        return out.filter(pc.greater_equal(out["stop_hits"], MIN_STOP_HITS))
+
+    return ds.map_batches(screen, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_STOPWORD_FILTER = f"""
+SELECT doc_id, n_words, stop_hits,
+       CAST(stop_hits AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio
+FROM (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{WORD_RE}')) AS n_words,
+           len(regexp_extract_all(text, '{STOP_RE}')) AS stop_hits
+    FROM documents
+)
+WHERE stop_hits >= {MIN_STOP_HITS}
+"""
+
+
+def type_token_ratio(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def ttr(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(WORD_RE)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_words": lens,
+                "n_distinct": np.zeros(len(df), dtype=np.int64),
+                "ttr": np.full(len(df), np.nan),
+            })
+        flat = pd.DataFrame({
+            "i": np.repeat(np.arange(len(df), dtype=np.int64), lens),
+            "w": np.concatenate([np.asarray(x, dtype=object) for x in toks]),
+        })
+        nd = np.zeros(len(df), dtype=np.int64)
+        g = flat.groupby("i")["w"].nunique()
+        nd[g.index.to_numpy()] = g.to_numpy()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_words": lens,
+            "n_distinct": nd,
+            "ttr": nd.astype(np.float64) / lens.astype(np.float64),
+        })
+
+    return ds.map_batches(ttr, batch_format="pandas")
+
+
+SQL_TYPE_TOKEN_RATIO = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{WORD_RE}')) AS n_words,
+       len(list_distinct(regexp_extract_all(text, '{WORD_RE}'))) AS n_distinct,
+       CAST(len(list_distinct(regexp_extract_all(text, '{WORD_RE}'))) AS DOUBLE)
+           / CAST(len(regexp_extract_all(text, '{WORD_RE}')) AS DOUBLE) AS ttr
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# percentile_filter_docs — corpus-relative threshold filter.
+# Discrete-quantile rule pinned to DuckDB quantile_disc (the value at 1-based
+# rank ceil(n*q), integer math) — the same rule quantiles_qty_by_flag pins.
+# --------------------------------------------------------------------------
+
+PCTL_NUM, PCTL_DEN = 9, 10  # p90
+
+
+def _disc_threshold(vals: np.ndarray, counts: np.ndarray,
+                    num: int, den: int) -> int:
+    order = np.argsort(vals)
+    vals, counts = vals[order], counts[order]
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    rank = -(-(n * num) // den)  # ceil(n*q) without floats
+    return int(vals[np.searchsorted(cum, rank)])
+
+
+def percentile_filter_docs(sf_dir: str) -> rd.Dataset:
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "n_chars").aggregate([([], "count_all")])
+        return g.rename_columns(["n_chars", "n"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_chars")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # aggregated (distinct n_chars, count) — value-domain sized
+    )
+    thr = _disc_threshold(
+        np.array([r["n_chars"] for r in counts], dtype=np.int64),
+        np.array([r["n"] for r in counts], dtype=np.int64),
+        PCTL_NUM, PCTL_DEN,
+    )
+    return rd.read_parquet(
+        path, columns=["doc_id", "n_chars"],
+        filter=pc.field("n_chars") >= thr,  # predicate pushdown at the read
+    )
+
+
+SQL_PERCENTILE_FILTER = f"""
+SELECT doc_id, n_chars
+FROM documents
+WHERE n_chars >= (SELECT quantile_disc(n_chars, {PCTL_NUM / PCTL_DEN})
+                  FROM documents)
+"""
+
+
+# --------------------------------------------------------------------------
+# pii_scrub — RE2 redaction: count then replace, emails first so a phone-like
+# digit run inside an address can't double-fire.
+# --------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d\-() ]{7,}\d"
+
+
+def pii_scrub(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(scrub_block, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def scrub_block(t: pa.Table) -> pa.Table:
+    """Redaction kernel, shared by the query and the pytest oracle."""
+    n_emails = pc.cast(pc.count_substring_regex(t["text"], EMAIL_RE),
+                       pa.int64())
+    t1 = pc.replace_substring_regex(t["text"], pattern=EMAIL_RE,
+                                    replacement="<EMAIL>")
+    n_phones = pc.cast(pc.count_substring_regex(t1, PHONE_RE), pa.int64())
+    clean = pc.replace_substring_regex(t1, pattern=PHONE_RE,
+                                       replacement="<PHONE>")
+    return pa.table({
+        "doc_id": t["doc_id"], "clean_text": clean,
+        "n_emails": n_emails, "n_phones": n_phones,
+    })
+
+
+SQL_PII_SCRUB = f"""
+SELECT doc_id,
+       regexp_replace(t1, '{PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       n_emails,
+       len(regexp_extract_all(t1, '{PHONE_RE}')) AS n_phones
+FROM (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+           regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+    FROM documents
+)
+"""
+
+
+QUERIES = {
+    "stopword_filter": stopword_filter,
+    "type_token_ratio": type_token_ratio,
+    "percentile_filter_docs": percentile_filter_docs,
+    "pii_scrub": pii_scrub,
+}
+
+SQL = {
+    "stopword_filter": SQL_STOPWORD_FILTER,
+    "type_token_ratio": SQL_TYPE_TOKEN_RATIO,
+    "percentile_filter_docs": SQL_PERCENTILE_FILTER,
+    "pii_scrub": SQL_PII_SCRUB,
+}

@@ -1,0 +1,220 @@
+"""Third batch of relational operators: interval (range) self-join, running
+cumulative window, semi-structured JSON extraction — all SQL-oracled.
+
+Same determinism conventions as functions/relational.py: money/value doubles
+are integerized per row (``FLOOR(x*scale + 0.5) AS BIGINT``) BEFORE any sum so
+distributed partial sums are bit-exact regardless of combine order; aggregate
+column names match the oracle SQL aliases exactly.
+
+``followers_within_window`` is the range-join custom operator Ray Data has no
+primitive for (SURVEY.md §2 J2 extension): an equi-key on ``user_id`` plus an
+interval predicate on ``ts``. The composition is ONE hash exchange on the
+equi-key (``per_key_blocks``), then a fully vectorized per-block interval
+count via rank-combined ``np.searchsorted`` — no per-key Python loop and no
+key×key pair expansion, so a hot user costs O(n log n) in its block, not
+O(n²). Partitioning assumption (documented per the custom-operator contract):
+all rows of one ``user_id`` fit one exchange block — the same per-user-history
+bound the as-of join relies on; billion-event users would need a secondary
+time-bucket split of the window arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Max, Min, Sum
+
+from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks
+
+# --------------------------------------------------------------------------
+# followers_within_window — interval self-join: for each 'click' event, count
+# and value-sum the same user's OTHER events in [ts, ts + 6h). Anchors with
+# zero followers are dropped (inner-join semantics, keeps NULLs out of the
+# driver hash).
+# --------------------------------------------------------------------------
+
+ANCHOR_TYPE = "click"
+FOLLOW_WINDOW_US = 6 * 3600 * 1_000_000  # 6 hours
+
+
+def followers_within_window(sf_dir: str) -> rd.Dataset:
+    ev_path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(
+        ev_path, columns=["event_id", "user_id", "ts", "value", "event_type"]
+    )
+
+    def window_block(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "n_follow": pa.array([], pa.int64()),
+            "sum_value_micros": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        vint = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 1e6 + 0.5
+        ).astype(np.int64)
+        is_anchor = pc.equal(t["event_type"], ANCHOR_TYPE).to_numpy(
+            zero_copy_only=False
+        )
+
+        order = np.lexsort((eid, ts, user))
+        user, ts, eid, vint, is_anchor = (
+            user[order], ts[order], eid[order], vint[order], is_anchor[order]
+        )
+
+        # Rank-combined key: (user_rank, ts_rank) folded into one int64 so a
+        # single searchsorted resolves the per-user interval bounds for every
+        # anchor at once. Ranks (not raw values) keep the fold overflow-free:
+        # both factors are bounded by the block's row count.
+        uniq_users = np.unique(user)
+        uniq_ts = np.unique(ts)
+        shift = np.int64(len(uniq_ts) + 1)
+        urank = np.searchsorted(uniq_users, user)
+        combined = urank * shift + np.searchsorted(uniq_ts, ts)
+
+        a_urank = urank[is_anchor]
+        a_ts = ts[is_anchor]
+        lo = np.searchsorted(
+            combined, a_urank * shift + np.searchsorted(uniq_ts, a_ts, "left")
+        )
+        hi = np.searchsorted(
+            combined,
+            a_urank * shift
+            + np.searchsorted(uniq_ts, a_ts + FOLLOW_WINDOW_US, "left"),
+        )
+
+        csum = np.concatenate(([0], np.cumsum(vint)))
+        n_follow = (hi - lo) - 1  # own row always lies in [ts, ts+W)
+        sums = (csum[hi] - csum[lo]) - vint[is_anchor]
+        keep = n_follow > 0
+        return pa.table({
+            "event_id": pa.array(eid[is_anchor][keep], pa.int64()),
+            "n_follow": pa.array(n_follow[keep], pa.int64()),
+            "sum_value_micros": pa.array(sums[keep], pa.int64()),
+        })
+
+    return per_key_blocks(ds, ["user_id"], window_block,
+                          num_partitions=auto_partitions(ev_path))
+
+
+SQL_FOLLOWERS = f"""
+SELECT a.event_id,
+       COUNT(*) AS n_follow,
+       CAST(SUM(CAST(FLOOR(b.value*1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_value_micros
+FROM events a
+JOIN events b
+  ON b.user_id = a.user_id
+ AND b.ts >= a.ts
+ AND b.ts < a.ts + INTERVAL 6 HOUR
+ AND b.event_id <> a.event_id
+WHERE a.event_type = '{ANCHOR_TYPE}'
+GROUP BY a.event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# cumulative_user_value — running total per user ordered by (ts, event_id):
+# the classic SUM(...) OVER (PARTITION BY ... ORDER BY ... ROWS UNBOUNDED
+# PRECEDING) window. One hash exchange, then a vectorized grouped cumsum.
+# --------------------------------------------------------------------------
+
+def cumulative_user_value(sf_dir: str) -> rd.Dataset:
+    ev_path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(ev_path, columns=["event_id", "user_id", "ts", "value"])
+
+    def cum_block(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "cum_value_micros": pd.Series([], dtype=np.int64),
+            })
+        g = block.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        vint = np.floor(g["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        cum = pd.Series(vint).groupby(g["user_id"].to_numpy()).cumsum()
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "cum_value_micros": cum.to_numpy(),
+        })
+
+    return per_key_blocks(ds, ["user_id"], cum_block, batch_format="pandas",
+                          num_partitions=auto_partitions(ev_path))
+
+
+SQL_CUMULATIVE = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_micros
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# props_value_stats — semi-structured extraction: pull the integer field "k"
+# out of the JSON ``props`` column (RE2 extract per batch — both engines run
+# the identical regex, and the field is machine-generated flat JSON, so the
+# regex is exact), then a partial+final aggregate per event_type.
+# --------------------------------------------------------------------------
+
+_PROPS_K_RE = r'"k":\s*(?P<k>-?\d+)'
+
+
+def props_value_stats(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = pc.cast(
+            pc.struct_field(pc.extract_regex(t["props"], _PROPS_K_RE), "k"),
+            pa.int64(),
+        )
+        tt = pa.table({"event_type": t["event_type"], "k": k})
+        g = pa.TableGroupBy(tt, "event_type").aggregate(
+            [("k", "sum"), ("k", "min"), ("k", "max"), ([], "count_all")]
+        )
+        return g.rename_columns(["event_type", "sum_k", "min_k", "max_k", "n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+
+SQL_PROPS_STATS = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "followers_within_window": followers_within_window,
+    "cumulative_user_value": cumulative_user_value,
+    "props_value_stats": props_value_stats,
+}
+
+SQL = {
+    "followers_within_window": SQL_FOLLOWERS,
+    "cumulative_user_value": SQL_CUMULATIVE,
+    "props_value_stats": SQL_PROPS_STATS,
+}

@@ -53,7 +53,10 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "decontaminate", "hash_split", "repetition_stats",
                "stratified_sample", "sliding_window_activity",
                "top_ngrams", "normalize_text", "curate_pipeline",
-               "dedup_spans"]
+               "dedup_spans",
+               "followers_within_window", "cumulative_user_value",
+               "props_value_stats", "stopword_filter", "type_token_ratio",
+               "percentile_filter_docs", "pii_scrub"]
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -63,7 +63,10 @@ def main() -> int:
         df, odf = _canon(df), _canon(odf)
         rows = len(df) == len(odf)
         schema = list(df.columns) == list(odf.columns)
-        hm = rows and schema and _hash(df) == _hash(odf.astype(df.dtypes.to_dict(), errors="ignore"))
+        # NO dtype coercion: the driver hashes raw values, so an int64 engine
+        # column vs a float64 oracle column (DuckDB HUGEINT sums) must FAIL
+        # here too, not be masked by an astype.
+        hm = rows and schema and _hash(df) == _hash(odf)
         status = "OK" if (rows and schema and hm) else "FAIL"
         print(f"{name:32s} rows={len(df):7d}/{len(odf):<7d} schema={schema} "
               f"hash={hm}  {status}")
