@@ -14,6 +14,7 @@ from collections.abc import Callable
 from typing import Any
 
 from ocrautomator_ray.functions import ann as _ann
+from ocrautomator_ray.functions import corpus as _corpus
 from ocrautomator_ray.functions import curate as _curate
 from ocrautomator_ray.functions import dedup as _dedup
 from ocrautomator_ray.functions import filters as _filters
@@ -47,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(_relational2.QUERIES)
     q.update(_relational3.QUERIES)
     q.update(_filters.QUERIES)
+    q.update(_corpus.QUERIES)
     q.update(_sketch.QUERIES)
     q.update(_text.QUERIES)
     q.update(_dedup.QUERIES)
@@ -64,6 +66,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_relational2.SQL)
     sql.update(_relational3.SQL)
     sql.update(_filters.SQL)
+    sql.update(_corpus.SQL)
     sql.update(_text.SQL)
     sql.update(_dedup.SQL)
     sql.update(_ann.SQL)

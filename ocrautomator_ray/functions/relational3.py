@@ -207,14 +207,212 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# user_event_sequences — ordered behavior-sequence extraction: per user, the
+# comma-joined event-type string in (ts, event_id) order. The string-agg /
+# collect_list(ORDER BY ...) shape used to build session-sequence training
+# data. One hash exchange; join is a per-user pandas agg inside the block.
+# --------------------------------------------------------------------------
+
+def user_event_sequences(sf_dir: str) -> rd.Dataset:
+    ev_path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(ev_path, columns=["user_id", "ts", "event_id",
+                                           "event_type"])
+
+    def seq_block(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "seq": pd.Series([], dtype=object),
+            })
+        g = block.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        out = g.groupby("user_id", as_index=False).agg(
+            n_events=("event_id", "count"), seq=("event_type", ",".join)
+        )
+        return out.astype({"user_id": np.int64, "n_events": np.int64})
+
+    return per_key_blocks(ds, ["user_id"], seq_block, batch_format="pandas",
+                          num_partitions=auto_partitions(ev_path))
+
+
+SQL_EVENT_SEQUENCES = """
+SELECT user_id, COUNT(*) AS n_events,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# event_gaps — lag window: microseconds since the user's previous event
+# (first event per user dropped: inner semantics keep NULLs out of the hash).
+# --------------------------------------------------------------------------
+
+def event_gaps(sf_dir: str) -> rd.Dataset:
+    ev_path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(ev_path, columns=["event_id", "user_id", "ts"])
+
+    def gaps_block(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "gap_us": pd.Series([], dtype=np.int64),
+            })
+        g = block.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same_user = g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
+        gap = np.diff(ts_us)
+        keep = np.concatenate(([False], same_user))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[keep],
+            "user_id": g["user_id"].to_numpy()[keep],
+            "gap_us": gap[keep[1:]],
+        })
+
+    return per_key_blocks(ds, ["user_id"], gaps_block, batch_format="pandas",
+                          num_partitions=auto_partitions(ev_path))
+
+
+SQL_EVENT_GAPS = """
+SELECT event_id, user_id, gap_us FROM (
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+) WHERE gap_us IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# user_event_pivot — wide-format pivot: one row per user, one count column
+# per (fixed, enumerable) event type. Partial crosstab per batch, then a
+# columnwise Sum finalize — the shuffle moves one row per user per batch.
+# --------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def user_event_pivot(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        ct = ct.reindex(columns=EVENT_TYPES, fill_value=0)
+        ct.columns = [f"n_{c}" for c in ct.columns]
+        return ct.reset_index().astype(np.int64)
+
+    aggs = [Sum(f"n_{c}", alias_name=f"n_{c}") for c in EVENT_TYPES]
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(*aggs)
+    )
+
+
+SQL_EVENT_PIVOT = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# revenue_rollup — GROUPING SETS ((status, priority), (status), ()) computed
+# by re-aggregating the (small) finest-level result: the raw table is read
+# and shuffled exactly ONCE; the coarser levels reduce the already-aggregated
+# partials. 'ALL' stands in for the rolled-up dimension (no NULLs in the
+# driver hash).
+# --------------------------------------------------------------------------
+
+def revenue_rollup(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        tt = pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "o_orderpriority": t["o_orderpriority"],
+            "total_cents": cents,
+        })
+        g = pa.TableGroupBy(tt, ["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("total_cents", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(
+            ["o_orderstatus", "o_orderpriority", "total_cents", "n"]
+        )
+
+    base = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("total_cents", alias_name="total_cents"),
+                   Sum("n", alias_name="n"))
+    )
+
+    def roll_priority(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            t.select(["o_orderstatus", "total_cents", "n"]), "o_orderstatus"
+        ).aggregate([("total_cents", "sum"), ("n", "sum")])
+        g = g.rename_columns(["o_orderstatus", "total_cents", "n"])
+        return g.add_column(
+            1, "o_orderpriority", pa.array(["ALL"] * g.num_rows, pa.string())
+        )
+
+    def roll_all(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": pa.array(["ALL"], pa.string()),
+            "o_orderpriority": pa.array(["ALL"], pa.string()),
+            "total_cents": pa.array(
+                [pc.sum(t["total_cents"]).as_py() or 0], pa.int64()),
+            "n": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64()),
+        })
+
+    # base is dimension-cardinality-sized; repartition(1) makes each coarser
+    # level a single exact pass over the full partial set.
+    small = base.repartition(1)
+    lvl1 = small.map_batches(roll_priority, batch_format="pyarrow",
+                             batch_size=None)
+    lvl0 = small.map_batches(roll_all, batch_format="pyarrow", batch_size=None)
+    return base.union(lvl1, lvl0)
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
 QUERIES = {
     "followers_within_window": followers_within_window,
     "cumulative_user_value": cumulative_user_value,
     "props_value_stats": props_value_stats,
+    "user_event_sequences": user_event_sequences,
+    "event_gaps": event_gaps,
+    "user_event_pivot": user_event_pivot,
+    "revenue_rollup": revenue_rollup,
 }
 
 SQL = {
     "followers_within_window": SQL_FOLLOWERS,
     "cumulative_user_value": SQL_CUMULATIVE,
     "props_value_stats": SQL_PROPS_STATS,
+    "user_event_sequences": SQL_EVENT_SEQUENCES,
+    "event_gaps": SQL_EVENT_GAPS,
+    "user_event_pivot": SQL_EVENT_PIVOT,
+    "revenue_rollup": SQL_ROLLUP,
 }

@@ -56,7 +56,9 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "dedup_spans",
                "followers_within_window", "cumulative_user_value",
                "props_value_stats", "stopword_filter", "type_token_ratio",
-               "percentile_filter_docs", "pii_scrub"]
+               "percentile_filter_docs", "pii_scrub",
+               "tfidf_top_terms", "user_event_sequences", "event_gaps",
+               "user_event_pivot", "revenue_rollup"]
 
 
 @pytest.mark.usefixtures("ray_session")
