@@ -88,7 +88,7 @@ def run_benchmarks() -> dict:
 
     from ocrautomator_ray.pipelines.extract import PipelineConfig, run_extraction
     from ocrautomator_ray.functions import (
-        ann, curate, dedup, relational, relational2, text,
+        ann, corpus, curate, dedup, relational, relational2, relational3, text,
     )
 
     bench_path = _bench_input(SF_DIR)
@@ -162,6 +162,9 @@ def run_benchmarks() -> dict:
     timed("embedding_neardup", dedup.embedding_neardup, consume="count")
     timed("decontaminate", curate.decontaminate, consume="count")
     timed("ann_topk", ann.ann_topk)
+    timed("followers_within_window", relational3.followers_within_window,
+          consume="count")
+    timed("tfidf_top_terms", corpus.tfidf_top_terms, consume="count")
 
     from ocrautomator_ray.pipelines.curate import run_curate_flagship
     from ocrautomator_ray.pipelines.extract import run_flagship

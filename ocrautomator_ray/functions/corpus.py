@@ -7,12 +7,17 @@ no single batch can score a term without the global DF table. The layout:
 1. TF: one vectorized pandas pass per batch. Each document's text lives in
    exactly one input row, so a per-batch explode + group count yields FINAL
    (doc_id, term, tf) rows — no cross-batch combine needed.
-2. DF: partial per-batch term counts over the tf rows, then one small
-   ``groupby(term)`` finalize — the classic partial+final shape; the shuffle
-   moves (term, count) partials, never token rows.
-3. tf ⋈ df on ``term`` via ``Dataset.join`` — hash-partitions BOTH sides (the
-   vocabulary can be huge at corpus scale; no broadcast).
-4. Per-doc ranking: one hash exchange on ``doc_id``, vectorized sort + rank.
+2. DF attach: ONE hash exchange on ``term`` co-locates every (doc, term) row
+   of a term, so the block computes df (= the term's row count, since rows
+   are doc-distinct) and attaches it in place — no separate DF aggregation,
+   no join, and the tf lineage executes exactly once. (A first cut used
+   ``Dataset.join(tf, df_table)``: Ray re-ran the tokenize lineage for each
+   consumer and added a 200-partition aggregate + join — ~2× the work for
+   the same answer.) Skew note: a universal stopword's rows all land in one
+   partition; at extreme corpus sizes heavy terms would need a salted
+   two-phase count with the heavy-hitter df table broadcast back.
+3. Per-doc ranking: a second hash exchange on ``doc_id``, vectorized
+   sort + rank, top-k emitted.
 
 Ranking uses the raw rational tf/df as an IEEE double (ORDER BY tf/df DESC,
 term): with N fixed per corpus, tf·N/df and tf/df induce the same order, both
@@ -26,8 +31,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks
 from ocrautomator_ray.functions.filters import WORD_RE
@@ -39,33 +44,35 @@ def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
     path = f"{sf_dir}/documents.parquet"
     docs = rd.read_parquet(path, columns=["doc_id", "text"])
 
-    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.findall(WORD_RE)
-        lens = toks.str.len().to_numpy(dtype=np.int64)
-        flat = pd.DataFrame({
-            "doc_id": np.repeat(df["doc_id"].to_numpy(), lens),
-            "term": np.concatenate(
-                [np.asarray(x, dtype=object) for x in toks]
-            ) if lens.sum() else np.array([], dtype=object),
-        })
-        out = flat.groupby(["doc_id", "term"], as_index=False).size()
-        return out.rename(columns={"size": "tf"}).astype({"tf": np.int64})
-
-    tf = docs.map_batches(tf_rows, batch_format="pandas")
-
-    def df_partial(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t.select(["term"]), "term").aggregate(
+    def tf_rows(t: pa.Table) -> pa.Table:
+        # '\S+' extraction == split on '\s+' minus empty strings — all-C++
+        # kernels, no per-doc Python lists
+        toks = pc.split_pattern_regex(t["text"], pattern=r"\s+")
+        flat = pa.table({
+            "doc_id": pc.take(t["doc_id"], pc.list_parent_indices(toks)),
+            "term": pc.list_flatten(toks),
+        }).filter(pc.not_equal(pc.list_flatten(toks), ""))
+        g = pa.TableGroupBy(flat, ["doc_id", "term"]).aggregate(
             [([], "count_all")]
         )
-        return g.rename_columns(["term", "df"])
+        return g.rename_columns(["doc_id", "term", "tf"])
 
-    df_tbl = (
-        tf.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"))
-    )
+    tf = docs.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    joined = tf.join(df_tbl, join_type="inner", num_partitions=8, on=("term",))
+    def attach_df(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "term": pd.Series([], dtype=object),
+                "tf": pd.Series([], dtype=np.int64),
+                "df": pd.Series([], dtype=np.int64),
+            })
+        # rows are (doc, term)-distinct, so the term's row count IS its df
+        df = block.groupby("term")["doc_id"].transform("size")
+        return block.assign(df=df.to_numpy(dtype=np.int64))
+
+    joined = per_key_blocks(tf, ["term"], attach_df, batch_format="pandas",
+                            num_partitions=auto_partitions(path))
 
     def rank_block(block: pd.DataFrame) -> pd.DataFrame:
         if block.empty:
