@@ -280,12 +280,78 @@ def ivf_ann_topk(sf_dir: str, num_queries: int = ANN_NUM_QUERIES,
     )
 
 
+# --------------------------------------------------------------------------
+# label_centroids — exact per-label elementwise vector aggregation (the
+# centroid building block of IVF/k-means and class-prototype computation),
+# demonstrating aggregation OVER a vector column, which Ray Data has no
+# native aggregate for. Per batch: flatten the fixed-dim list column to an
+# (n, dim) matrix (zero-copy), integerize each element to micros, and
+# scatter-add per label — the shuffle then moves labels × dim partial-sum
+# rows per batch, never embedding rows. Element-wise integerization keeps
+# the distributed sum bit-exact under any combine order (float sums are
+# order-dependent; int64 sums are not).
+# --------------------------------------------------------------------------
+
+def label_centroids(sf_dir: str) -> rd.Dataset:
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False)
+        dim = len(flat) // t.num_rows
+        micros = np.floor(
+            flat.astype(np.float64).reshape(t.num_rows, dim) * 1e6 + 0.5
+        ).astype(np.int64)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, inv, micros)
+        counts = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                                    len(uniq)), pa.int64()),
+            "sum_micros": pa.array(sums.reshape(-1), pa.int64()),
+            "n": pa.array(np.repeat(counts, dim), pa.int64()),
+        })
+
+    from ocrautomator_ray.functions.exchange import tune_exchange
+
+    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    tune_exchange(out)
+    return out.groupby(["label", "dim"]).aggregate(
+        Sum("sum_micros", alias_name="sum_micros"), Sum("n", alias_name="n")
+    )
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(dim AS BIGINT) AS dim,
+       -- CAST first: bare v*1000000 would round in float32 before promotion
+       CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_micros,
+       COUNT(*) AS n
+FROM (
+    SELECT label, generate_subscripts(embedding, 1) AS dim,
+           unnest(embedding) AS v
+    FROM embeddings
+)
+GROUP BY label, dim
+"""
+
+
 QUERIES = {
     "ann_topk": ann_topk,
     "lsh_ann_topk": lsh_ann_topk,
     "ivf_ann_topk": ivf_ann_topk,
+    "label_centroids": label_centroids,
 }
 
 SQL = {
     "ann_topk": SQL_ANN_TOPK,
+    "label_centroids": SQL_LABEL_CENTROIDS,
 }
