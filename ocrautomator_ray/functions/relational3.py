@@ -397,6 +397,103 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
 
 
+# --------------------------------------------------------------------------
+# rolling_value_sum — bounded window frame: per event, the integerized value
+# summed over the user's last ROLL_N events (ROWS BETWEEN n-1 PRECEDING AND
+# CURRENT ROW). Grouped cumsum minus its shift-by-n — exact int math, no
+# float rolling kernel.
+# --------------------------------------------------------------------------
+
+ROLL_N = 3
+
+
+def rolling_value_sum(sf_dir: str) -> rd.Dataset:
+    ev_path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(ev_path, columns=["event_id", "user_id", "ts",
+                                           "value"])
+
+    def roll_block(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "roll_value_micros": pd.Series([], dtype=np.int64),
+            })
+        g = block.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        vint = pd.Series(
+            np.floor(g["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        )
+        users = g["user_id"].to_numpy()
+        cum = vint.groupby(users).cumsum()
+        lag = cum.groupby(users).shift(ROLL_N)  # cum[i-n] within the user
+        roll = cum.to_numpy() - lag.fillna(0).to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "roll_value_micros": roll,
+        })
+
+    return per_key_blocks(ds, ["user_id"], roll_block, batch_format="pandas",
+                          num_partitions=auto_partitions(ev_path))
+
+
+SQL_ROLLING = f"""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {ROLL_N - 1} PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS roll_value_micros
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# customer_order_counts — LEFT OUTER join coverage: every customer with its
+# order count, zero included. The fact side pre-aggregates to one row per
+# customer key BEFORE the join (partial+final), so the outer join matches
+# dimension rows against counts, never raw orders.
+# --------------------------------------------------------------------------
+
+def customer_order_counts(sf_dir: str) -> rd.Dataset:
+    from ocrautomator_ray.functions.exchange import tune_exchange
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "o_custkey").aggregate([([], "count_all")])
+        return g.rename_columns(["o_custkey", "n_orders"])
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+    tune_exchange(cust)
+    joined = cust.join(agg, join_type="left_outer", num_partitions=16,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"].cast(pa.int64()),
+            "n_orders": pc.fill_null(t["n_orders"], 0).cast(pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+SQL_CUSTOMER_ORDER_COUNTS = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       COUNT(o_custkey) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
 QUERIES = {
     "followers_within_window": followers_within_window,
     "cumulative_user_value": cumulative_user_value,
@@ -405,6 +502,8 @@ QUERIES = {
     "event_gaps": event_gaps,
     "user_event_pivot": user_event_pivot,
     "revenue_rollup": revenue_rollup,
+    "rolling_value_sum": rolling_value_sum,
+    "customer_order_counts": customer_order_counts,
 }
 
 SQL = {
@@ -415,4 +514,6 @@ SQL = {
     "event_gaps": SQL_EVENT_GAPS,
     "user_event_pivot": SQL_EVENT_PIVOT,
     "revenue_rollup": SQL_ROLLUP,
+    "rolling_value_sum": SQL_ROLLING,
+    "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
 }

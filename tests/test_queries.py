@@ -58,7 +58,8 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "props_value_stats", "stopword_filter", "type_token_ratio",
                "percentile_filter_docs", "pii_scrub",
                "tfidf_top_terms", "user_event_sequences", "event_gaps",
-               "user_event_pivot", "revenue_rollup", "label_centroids"]
+               "user_event_pivot", "revenue_rollup", "label_centroids",
+               "rolling_value_sum", "customer_order_counts"]
 
 
 @pytest.mark.usefixtures("ray_session")
