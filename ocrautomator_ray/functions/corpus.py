@@ -48,10 +48,11 @@ def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
         # '\S+' extraction == split on '\s+' minus empty strings — all-C++
         # kernels, no per-doc Python lists
         toks = pc.split_pattern_regex(t["text"], pattern=r"\s+")
+        terms = pc.list_flatten(toks)
         flat = pa.table({
             "doc_id": pc.take(t["doc_id"], pc.list_parent_indices(toks)),
-            "term": pc.list_flatten(toks),
-        }).filter(pc.not_equal(pc.list_flatten(toks), ""))
+            "term": terms,
+        }).filter(pc.not_equal(terms, ""))
         g = pa.TableGroupBy(flat, ["doc_id", "term"]).aggregate(
             [([], "count_all")]
         )

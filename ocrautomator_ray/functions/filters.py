@@ -132,12 +132,11 @@ PCTL_NUM, PCTL_DEN = 9, 10  # p90
 
 def _disc_threshold(vals: np.ndarray, counts: np.ndarray,
                     num: int, den: int) -> int:
+    from ocrautomator_ray.functions.relational2 import disc_quantile
+
     order = np.argsort(vals)
     vals, counts = vals[order], counts[order]
-    cum = np.cumsum(counts)
-    n = int(cum[-1])
-    rank = -(-(n * num) // den)  # ceil(n*q) without floats
-    return int(vals[np.searchsorted(cum, rank)])
+    return int(disc_quantile(vals, np.cumsum(counts), num, den))
 
 
 def percentile_filter_docs(sf_dir: str) -> rd.Dataset:

@@ -349,6 +349,16 @@ SELECT event_id, user_id, last_order_date FROM (
 # 1-based rank ceil(n*q), computed with integer math (no float rank).
 # --------------------------------------------------------------------------
 
+def disc_quantile(vals: np.ndarray, cum: np.ndarray, num: int, den: int):
+    """The engine's pinned DuckDB ``quantile_disc`` rule, shared by every
+    discrete-quantile consumer: the value at 1-based rank ceil(n·q), with the
+    rank computed in integer math (no float rank). ``vals`` ascending,
+    ``cum`` its inclusive cumulative counts."""
+    n = int(cum[-1])
+    rank = -(-(n * num) // den)
+    return vals[np.searchsorted(cum, rank)]
+
+
 def quantiles_qty_by_flag(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_returnflag", "l_quantity"])
@@ -372,8 +382,7 @@ def quantiles_qty_by_flag(sf_dir: str) -> rd.Dataset:
         vals = g["l_quantity"].to_numpy()
 
         def disc(num: int, den: int) -> float:
-            rank = -(-(n * num) // den)  # ceil(n*q), integer math
-            return float(vals[np.searchsorted(cum, rank)])
+            return float(disc_quantile(vals, cum, num, den))
 
         return pd.DataFrame({
             "l_returnflag": [g["l_returnflag"].iloc[0]],

@@ -425,8 +425,10 @@ def rolling_value_sum(sf_dir: str) -> rd.Dataset:
         )
         users = g["user_id"].to_numpy()
         cum = vint.groupby(users).cumsum()
-        lag = cum.groupby(users).shift(ROLL_N)  # cum[i-n] within the user
-        roll = cum.to_numpy() - lag.fillna(0).to_numpy().astype(np.int64)
+        # fill_value=0 keeps the shift int64 end to end — a NaN round-trip
+        # through float64 would quietly lose exactness past 2^53
+        lag = cum.groupby(users).shift(ROLL_N, fill_value=0)
+        roll = cum.to_numpy() - lag.to_numpy()
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(),
             "user_id": g["user_id"].to_numpy(),
@@ -457,10 +459,10 @@ FROM events
 def customer_order_counts(sf_dir: str) -> rd.Dataset:
     from ocrautomator_ray.functions.exchange import tune_exchange
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey"])
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_custkey"])
+    cust_path = f"{sf_dir}/customer.parquet"
+    orders_path = f"{sf_dir}/orders.parquet"
+    cust = rd.read_parquet(cust_path, columns=["c_custkey"])
+    orders = rd.read_parquet(orders_path, columns=["o_custkey"])
 
     def partial(t: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(t, "o_custkey").aggregate([([], "count_all")])
@@ -473,7 +475,8 @@ def customer_order_counts(sf_dir: str) -> rd.Dataset:
         .aggregate(Sum("n_orders", alias_name="n_orders"))
     )
     tune_exchange(cust)
-    joined = cust.join(agg, join_type="left_outer", num_partitions=16,
+    joined = cust.join(agg, join_type="left_outer",
+                       num_partitions=auto_partitions(cust_path, orders_path),
                        on=("c_custkey",), right_on=("o_custkey",))
 
     def finish(t: pa.Table) -> pa.Table:
