@@ -22,6 +22,7 @@ from ocrautomator_ray.functions import media as _media
 from ocrautomator_ray.functions import relational as _relational
 from ocrautomator_ray.functions import relational2 as _relational2
 from ocrautomator_ray.functions import relational3 as _relational3
+from ocrautomator_ray.functions import relational4 as _relational4
 from ocrautomator_ray.functions import sketch as _sketch
 from ocrautomator_ray.functions import text as _text
 from ocrautomator_ray.pipelines.curate import SQL_CURATE, run_curate_flagship
@@ -47,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(_relational.QUERIES)
     q.update(_relational2.QUERIES)
     q.update(_relational3.QUERIES)
+    q.update(_relational4.QUERIES)
     q.update(_filters.QUERIES)
     q.update(_corpus.QUERIES)
     q.update(_sketch.QUERIES)
@@ -65,8 +67,10 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_relational.SQL)
     sql.update(_relational2.SQL)
     sql.update(_relational3.SQL)
+    sql.update(_relational4.SQL)
     sql.update(_filters.SQL)
     sql.update(_corpus.SQL)
+    sql.update(_sketch.SQL)
     sql.update(_text.SQL)
     sql.update(_dedup.SQL)
     sql.update(_ann.SQL)

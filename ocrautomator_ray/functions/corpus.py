@@ -128,5 +128,74 @@ SELECT doc_id, term, tf, df, rank FROM s WHERE rank <= {TFIDF_TOP_K}
 """
 
 
-QUERIES = {"tfidf_top_terms": tfidf_top_terms}
-SQL = {"tfidf_top_terms": SQL_TFIDF}
+# --------------------------------------------------------------------------
+# doc_chunks — fixed-size token-window chunking (the LLM sequence-packing
+# explode): each document splits into consecutive CHUNK_TOKENS-token chunks.
+# Fully vectorized: one split kernel, chunk boundaries computed by numpy
+# offset arithmetic over the FLAT token buffer, and the chunk strings
+# re-joined with a single Arrow binary_join over a re-offsetted ListArray —
+# no per-document Python loop and no copy of the token values. Embarrassingly
+# parallel (no shuffle at all); output rows ≈ tokens/CHUNK_TOKENS.
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+
+
+def doc_chunks(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_no": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+            "n_chunk_tokens": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        # split on the single literal space, matching SQL string_split —
+        # consecutive spaces would produce empty tokens identically on both
+        # engines (the corpus is single-spaced)
+        toks = pc.split_pattern(t["text"], " ").combine_chunks()
+        flat = toks.values
+        off = toks.offsets.to_numpy().astype(np.int64)
+        ntok = np.diff(off)
+        nchunks = -(-ntok // CHUNK_TOKENS)          # ceil; ≥1 (split ≥1 token)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+
+        total = int(nchunks.sum())
+        starts = np.repeat(np.cumsum(nchunks) - nchunks, nchunks)
+        chunk_no = np.arange(total, dtype=np.int64) - starts
+        c_start = np.repeat(off[:-1], nchunks) + chunk_no * CHUNK_TOKENS
+        c_end = np.minimum(c_start + CHUNK_TOKENS, np.repeat(off[1:], nchunks))
+        # chunks tile each doc contiguously and docs are contiguous in the
+        # flat buffer, so c_start plus the final end is a valid offsets array
+        offsets = np.append(c_start, off[-1]).astype(np.int32)
+        chunk_lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                               flat)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(doc_ids, nchunks), pa.int64()),
+            "chunk_no": pa.array(chunk_no, pa.int64()),
+            "chunk_text": pc.binary_join(chunk_lists, " "),
+            "n_chunk_tokens": pa.array(c_end - c_start, pa.int64()),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DOC_CHUNKS = f"""
+SELECT doc_id, chunk_no,
+       array_to_string(toks[chunk_no*{CHUNK_TOKENS}+1 :
+                            chunk_no*{CHUNK_TOKENS}+{CHUNK_TOKENS}], ' ')
+           AS chunk_text,
+       least(len(toks) - chunk_no*{CHUNK_TOKENS}, {CHUNK_TOKENS})
+           AS n_chunk_tokens
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+     LATERAL (SELECT unnest(range(0,
+         CAST(ceil(len(toks)/{CHUNK_TOKENS}.0) AS BIGINT))) AS chunk_no) u
+"""
+
+
+QUERIES = {"tfidf_top_terms": tfidf_top_terms, "doc_chunks": doc_chunks}
+SQL = {"tfidf_top_terms": SQL_TFIDF, "doc_chunks": SQL_DOC_CHUNKS}

@@ -99,8 +99,202 @@ def approx_distinct_users_per_type(sf_dir: str) -> rd.Dataset:
     )
 
 
+# --------------------------------------------------------------------------
+# approx_top_tokens — Misra-Gries heavy hitters (Misra & Gries 1982) over the
+# corpus token stream. Each batch compresses its exact token counts to MG_K
+# counters (subtract the (k+1)-th largest count, drop ≤0) and records the
+# subtracted amount as its error contribution; a groupby then merges the
+# per-batch counters (the shuffle moves ≤ MG_K rows per batch, never tokens),
+# and a final single-block compress re-caps the union. Estimates are LOWER
+# bounds: est ≤ true ≤ est + err_ub. Rows-only driver check; the pytest
+# oracle asserts the sandwich bound against exact counts.
+# --------------------------------------------------------------------------
+
+MG_K = 16          # counters per sketch (vocab here ~40 → real compression)
+MG_TOP = 10        # reported heavy hitters
+
+_ERR_TOKEN = "\x00__mg_err__"
+
+
+def _mg_compress(tokens: np.ndarray, counts: np.ndarray,
+                 k: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Keep at most ``k`` counters; returns (tokens, counts, err_added)."""
+    if len(tokens) <= k:
+        return tokens, counts, 0
+    order = np.argsort(-counts, kind="stable")
+    tau = int(counts[order[k]])          # (k+1)-th largest
+    reduced = counts - tau
+    keep = reduced > 0
+    return tokens[keep], reduced[keep], tau
+
+
+def approx_top_tokens(sf_dir: str) -> rd.Dataset:
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(t["text"], pattern=r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        tokens = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        tokens, counts, err = _mg_compress(tokens, counts, MG_K)
+        return pa.table({
+            "token": pa.array(list(tokens) + [_ERR_TOKEN], pa.string()),
+            "cnt": pa.array(list(counts) + [err], pa.int64()),
+        })
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        tok = np.asarray(t["token"].to_pylist(), dtype=object)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_err = tok == _ERR_TOKEN
+        err = int(cnt[is_err].sum())
+        tok, cnt = tok[~is_err], cnt[~is_err]
+        tok, cnt, tau = _mg_compress(tok, cnt, MG_K)
+        err += tau
+        # deterministic report order: estimate desc, then token
+        order = np.lexsort((tok.astype(str), -cnt))[:MG_TOP]
+        return pa.table({
+            "token": pa.array(list(tok[order]), pa.string()),
+            "est_count": pa.array(cnt[order], pa.int64()),
+            "err_ub": pa.array(np.full(len(order), err), pa.int64()),
+        })
+
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+# --------------------------------------------------------------------------
+# approx_quantiles_value — mergeable fixed-bin histogram quantiles (p50/p95/
+# p99 of the event value per event_type). Two passes: an O(1) global min/max,
+# then exact per-(type, bin) counts — the shuffle moves ≤ NBINS rows per type
+# per batch. The estimate (lower edge of the bin holding the k-th value) is
+# exact integer arithmetic end to end, so unlike a randomized KLL sketch it
+# is deterministic AND SQL-expressible: the DuckDB oracle mirrors the same
+# binning, giving a hash-exact check of an approximate operator. Error bound:
+# |est − true quantile| ≤ (hi−lo+1)/NBINS, pinned in pytest.
+# --------------------------------------------------------------------------
+
+QUANT_NBINS = 2048
+QUANT_PS = (0.5, 0.95, 0.99)
+
+
+def approx_quantiles_value(sf_dir: str) -> rd.Dataset:
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max as RMax
+    from ray.data.aggregate import Min as RMin
+    from ray.data.aggregate import Sum as RSum
+
+    from ocrautomator_ray.functions.exchange import per_key_blocks
+
+    path = f"{sf_dir}/events.parquet"
+
+    def to_micros(t: pa.Table) -> pa.Table:
+        vm = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 1e6), 0.5)),
+                     pa.int64())
+        return pa.table({"event_type": t["event_type"], "vm": vm})
+
+    base = rd.read_parquet(path, columns=["event_type", "value"]).map_batches(
+        to_micros, batch_format="pyarrow", zero_copy_batch=True
+    )
+    bounds = base.aggregate(RMin("vm"), RMax("vm"))
+    lo, hi = int(bounds["min(vm)"]), int(bounds["max(vm)"])
+    width_dom = hi - lo + 1
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vm = t["vm"].to_numpy(zero_copy_only=False)
+        b = (vm - lo) * QUANT_NBINS // width_dom
+        tt = pa.table({"event_type": t["event_type"],
+                       "bin": pa.array(b, pa.int64())})
+        g = pa.TableGroupBy(tt, ["event_type", "bin"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["event_type", "bin", "cnt"])
+
+    hist = (
+        base.map_batches(hist_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby(["event_type", "bin"], num_partitions=32)
+        .aggregate(RSum("cnt", alias_name="cnt"))
+    )
+
+    def finish(block: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": pd.Series([], dtype=object)}
+        for p in QUANT_PS:
+            cols[f"p{int(p*100)}_est_micros"] = pd.Series([], dtype=np.int64)
+        if block.empty:
+            return pd.DataFrame(cols)
+        out = []
+        for etype, g in block.sort_values(["event_type", "bin"]).groupby(
+            "event_type", sort=True
+        ):
+            bins = g["bin"].to_numpy()
+            cum = g["cnt"].to_numpy().cumsum()
+            n = int(cum[-1])
+            row = {"event_type": etype}
+            for p in QUANT_PS:
+                kth = int(np.ceil(p * n))
+                b = int(bins[np.searchsorted(cum, max(kth, 1))])
+                row[f"p{int(p*100)}_est_micros"] = lo + b * width_dom // QUANT_NBINS
+            out.append(row)
+        return pd.DataFrame(out)
+
+    return per_key_blocks(hist, ["event_type"], finish, batch_format="pandas",
+                          num_partitions=4)
+
+
+SQL_APPROX_QUANTILES = f"""
+WITH v AS (
+    SELECT event_type, CAST(FLOOR(value*1000000 + 0.5) AS BIGINT) AS vm
+    FROM events
+),
+b AS (SELECT min(vm) AS lo, max(vm) AS hi FROM v),
+h AS (
+    SELECT event_type, (vm - lo) * {QUANT_NBINS} // (hi - lo + 1) AS bin,
+           COUNT(*) AS cnt
+    FROM v, b GROUP BY event_type, bin
+),
+c AS (
+    SELECT event_type, bin,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+           SUM(cnt) OVER (PARTITION BY event_type) AS n
+    FROM h
+),
+q AS (
+    SELECT event_type,
+           min(CASE WHEN cum >= greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+                    THEN bin END) AS b50,
+           min(CASE WHEN cum >= greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
+                    THEN bin END) AS b95,
+           min(CASE WHEN cum >= greatest(CAST(ceil(0.99 * n) AS BIGINT), 1)
+                    THEN bin END) AS b99
+    FROM c GROUP BY event_type
+)
+SELECT event_type,
+       lo + b50 * (hi - lo + 1) // {QUANT_NBINS} AS p50_est_micros,
+       lo + b95 * (hi - lo + 1) // {QUANT_NBINS} AS p95_est_micros,
+       lo + b99 * (hi - lo + 1) // {QUANT_NBINS} AS p99_est_micros
+FROM q, b
+"""
+
+
 QUERIES = {
     "approx_distinct_users_per_type": approx_distinct_users_per_type,
+    "approx_top_tokens": approx_top_tokens,
+    "approx_quantiles_value": approx_quantiles_value,
 }
 
-SQL: dict[str, str] = {}
+SQL: dict[str, str] = {
+    "approx_quantiles_value": SQL_APPROX_QUANTILES,
+}

@@ -59,7 +59,11 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "percentile_filter_docs", "pii_scrub",
                "tfidf_top_terms", "user_event_sequences", "event_gaps",
                "user_event_pivot", "revenue_rollup", "label_centroids",
-               "rolling_value_sum", "customer_order_counts"]
+               "rolling_value_sum", "customer_order_counts",
+               "repeat_customers", "churned_customers", "customer_value_ntile",
+               "customer_era_revenue", "conversion_funnel",
+               "qty_price_corr_by_flag", "orders_of_big_buyers", "doc_chunks",
+               "approx_quantiles_value"]
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -83,7 +87,7 @@ def test_sql_oracled_query(name, ddb, contract):
 ROWS_ONLY = ["lang_id", "doc_fingerprint", "minhash_lsh_dups", "simhash_dups",
              "lsh_ann_topk", "ivf_ann_topk", "minhash_dup_clusters",
              "approx_distinct_users_per_type", "media_decode_stats",
-             "media_features", "media_frame_counts"]
+             "media_features", "media_frame_counts", "approx_top_tokens"]
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -1,0 +1,136 @@
+"""Semantic oracles for the fourth relational batch + new sketches — checks
+that go beyond the SQL-equivalence test in test_queries.py: the NTILE bucket
+formula, the Misra-Gries sandwich bound, the histogram-quantile error bound,
+and bloom-prefilter exactness (no false positives survive the semi-join)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pdf(res):
+    return res.to_pandas() if hasattr(res, "to_pandas") else res
+
+
+def test_ntile_formula_matches_sql_semantics():
+    from ocrautomator_ray.functions.relational4 import NTILE_N, _ntile
+
+    con = duckdb.connect()
+    for n in [1, 2, 3, 4, 5, 7, 8, 9, 16, 17]:
+        rn0 = np.arange(n)
+        got = _ntile(rn0, np.full(n, n))
+        exp = [r[0] for r in con.sql(
+            f"SELECT NTILE({NTILE_N}) OVER (ORDER BY i) FROM range({n}) t(i)"
+        ).fetchall()]
+        assert list(got) == exp, n
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_set_ops_disjoint_and_consistent():
+    from ocrautomator_ray.functions.relational4 import (
+        churned_customers,
+        repeat_customers,
+    )
+
+    rep = set(_pdf(repeat_customers(SF))["o_custkey"])
+    chu = set(_pdf(churned_customers(SF))["o_custkey"])
+    assert rep and chu
+    assert not (rep & chu)  # INTERSECT and EXCEPT partition the 1995 set
+    con = duckdb.connect()
+    y95 = {r[0] for r in con.sql(
+        f"SELECT DISTINCT o_custkey FROM '{SF}/orders.parquet' "
+        "WHERE year(o_orderdate)=1995").fetchall()}
+    assert rep | chu == y95
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_misra_gries_sandwich_bound():
+    from ocrautomator_ray.functions.sketch import approx_top_tokens
+
+    got = _pdf(approx_top_tokens(SF))
+    con = duckdb.connect()
+    true = dict(con.sql(f"""
+        SELECT tok, COUNT(*) FROM (
+            SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok
+            FROM '{SF}/documents.parquet') WHERE tok <> ''
+        GROUP BY tok""").fetchall())
+    assert len(got) > 0
+    for _, row in got.iterrows():
+        t = true[row["token"]]
+        assert row["est_count"] <= t <= row["est_count"] + row["err_ub"], (
+            row["token"], row["est_count"], row["err_ub"], t)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_histogram_quantile_error_bound():
+    from ocrautomator_ray.functions.sketch import QUANT_NBINS, QUANT_PS
+    from ocrautomator_ray.functions.sketch import approx_quantiles_value
+
+    got = _pdf(approx_quantiles_value(SF)).set_index("event_type")
+    con = duckdb.connect()
+    lo, hi = con.sql(f"""
+        SELECT min(CAST(FLOOR(value*1000000+0.5) AS BIGINT)),
+               max(CAST(FLOOR(value*1000000+0.5) AS BIGINT))
+        FROM '{SF}/events.parquet'""").fetchall()[0]
+    width = (hi - lo + 1) / QUANT_NBINS
+    for p in QUANT_PS:
+        exact = dict(con.sql(f"""
+            SELECT event_type,
+                   quantile_disc(CAST(FLOOR(value*1000000+0.5) AS BIGINT), {p})
+            FROM '{SF}/events.parquet' GROUP BY event_type""").fetchall())
+        col = f"p{int(p * 100)}_est_micros"
+        for etype, est in got[col].items():
+            assert abs(est - exact[etype]) <= width + 1, (etype, p, est,
+                                                          exact[etype])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_semi_join_is_exact():
+    from ocrautomator_ray.functions.relational4 import (
+        BIG_BUYER_BAL,
+        orders_of_big_buyers,
+    )
+
+    got = _pdf(orders_of_big_buyers(SF))
+    con = duckdb.connect()
+    keys = {r[0] for r in con.sql(
+        f"SELECT c_custkey FROM '{SF}/customer.parquet' "
+        f"WHERE c_acctbal > {BIG_BUYER_BAL}").fetchall()}
+    assert set(got["o_custkey"]) <= keys          # no false positive survives
+    n_exp = con.sql(
+        f"SELECT count(*) FROM '{SF}/orders.parquet' WHERE o_custkey IN "
+        f"(SELECT c_custkey FROM '{SF}/customer.parquet' "
+        f"WHERE c_acctbal > {BIG_BUYER_BAL})").fetchall()[0][0]
+    assert len(got) == n_exp                      # and none is lost
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_chunks_reconstruct_documents():
+    from ocrautomator_ray.functions.corpus import doc_chunks
+
+    got = _pdf(doc_chunks(SF)).sort_values(["doc_id", "chunk_no"])
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    rebuilt = got.groupby("doc_id")["chunk_text"].agg(" ".join)
+    for _, row in docs.iterrows():
+        assert rebuilt[row["doc_id"]] == row["text"]
+    assert (got["n_chunk_tokens"] >= 1).all()
+    assert (got["n_chunk_tokens"] <= 32).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corr_matches_numpy():
+    from ocrautomator_ray.functions.relational4 import qty_price_corr_by_flag
+
+    got = _pdf(qty_price_corr_by_flag(SF)).set_index("l_returnflag")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"])
+    li["q"] = np.floor(li["l_quantity"] + 0.5)
+    li["p"] = np.floor(li["l_extendedprice"] + 0.5)
+    for flag, g in li.groupby("l_returnflag"):
+        ref = np.corrcoef(g["q"], g["p"])[0, 1]
+        assert abs(got.loc[flag, "corr_micros"] / 1e6 - ref) < 1e-4, flag
+        assert got.loc[flag, "n"] == len(g)
