@@ -197,5 +197,105 @@ FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 """
 
 
-QUERIES = {"tfidf_top_terms": tfidf_top_terms, "doc_chunks": doc_chunks}
-SQL = {"tfidf_top_terms": SQL_TFIDF, "doc_chunks": SQL_DOC_CHUNKS}
+# --------------------------------------------------------------------------
+# pack_sequences — LLM sequence packing: assign each document (in doc_id
+# order) to the training sequence its running token budget lands in
+# (seq_id = exclusive-prefix-sum(n_tokens) // SEQ_LEN). This is the one
+# window shape nothing else in the engine needed: a GLOBAL ordered prefix
+# sum with no partition key. Distributed as the classic two-phase scan:
+#
+#   1. per-doc token counts, bucketed by doc_id // PACK_BUCKET;
+#   2. per-bucket sums (a tiny groupby — one row per bucket) pulled to the
+#      driver and turned into exclusive bucket offsets (driver holds
+#      #docs / PACK_BUCKET rows, NOT docs — pick PACK_BUCKET so that stays
+#      millions at worst; offsets broadcast once via ray.put);
+#   3. one hash exchange on bucket, then a vectorized in-block cumsum plus
+#      the bucket's offset.
+#
+# Every float-free step is exact int64, so the SQL window oracle
+# (SUM() OVER (ORDER BY doc_id)) matches hash-exactly.
+# --------------------------------------------------------------------------
+
+SEQ_LEN = 512
+PACK_BUCKET = 64
+
+
+def pack_sequences(sf_dir: str) -> rd.Dataset:
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ocrautomator_ray.functions.text import TOKEN_RE
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def counts(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"], TOKEN_RE), pa.int64())
+        bucket = pc.divide(t["doc_id"], PACK_BUCKET)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n,
+                         "bucket": pc.cast(bucket, pa.int64())})
+
+    cnt = rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    bucket_rows = (
+        cnt.select_columns(["bucket", "n_tokens"])
+        .groupby("bucket")
+        .aggregate(Sum("n_tokens", alias_name="s"))
+        .take_all()
+    )
+    bucket_rows.sort(key=lambda r: r["bucket"])
+    buckets = np.array([r["bucket"] for r in bucket_rows], dtype=np.int64)
+    sums = np.array([r["s"] for r in bucket_rows], dtype=np.int64)
+    offsets = np.cumsum(sums) - sums          # exclusive prefix per bucket
+    off_ref = ray.put((buckets, offsets))
+
+    def assign(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_tokens": pd.Series([], dtype=np.int64),
+                "seq_id": pd.Series([], dtype=np.int64),
+            })
+        bks, offs = ray.get(off_ref)
+        g = block.sort_values("doc_id", kind="stable")
+        n = g["n_tokens"].to_numpy()
+        bucket = g["bucket"].to_numpy()
+        ex_cum = np.cumsum(n) - n
+        # doc_id order implies bucket order, so the first row of each bucket
+        # marks where the in-block cumsum must restart from the bucket offset
+        first = np.concatenate(([True], bucket[1:] != bucket[:-1]))
+        run_len = np.diff(np.append(np.flatnonzero(first), len(bucket)))
+        in_bucket = ex_cum - np.repeat(ex_cum[first], run_len)
+        prefix = offs[np.searchsorted(bks, bucket)] + in_bucket
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": n,
+            "seq_id": prefix // SEQ_LEN,
+        })
+
+    return per_key_blocks(cnt, ["bucket"], assign, batch_format="pandas",
+                          num_partitions=auto_partitions(path))
+
+
+def _pack_sql() -> str:
+    from ocrautomator_ray.functions.text import TOKEN_RE
+
+    return f"""
+SELECT doc_id, n_tokens,
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             - n_tokens) // {SEQ_LEN} AS BIGINT) AS seq_id
+FROM (
+    SELECT doc_id, len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens
+    FROM documents
+)
+"""
+
+
+SQL_PACK_SEQUENCES = _pack_sql()
+
+
+QUERIES = {"tfidf_top_terms": tfidf_top_terms, "doc_chunks": doc_chunks,
+           "pack_sequences": pack_sequences}
+SQL = {"tfidf_top_terms": SQL_TFIDF, "doc_chunks": SQL_DOC_CHUNKS,
+       "pack_sequences": SQL_PACK_SEQUENCES}

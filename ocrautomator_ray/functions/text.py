@@ -206,6 +206,47 @@ FROM documents
 """
 
 
+# lang_id SQL oracle — exact on THIS corpus: the driver's documents table is
+# pure [a-z ] (probed), where RE2's ASCII `[^\W\d_]+` and Python's Unicode
+# variant tokenize identically; hit counts are list_filter IN-counts, the
+# argmax tie-break mirrors np.argmax over the sorted language order, and the
+# ratio is one IEEE division of two exact ints. On non-ASCII corpora the
+# heuristic itself still works but the oracle would need RE2/Unicode parity.
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_PROFILES)
+    hit_cols = ",\n           ".join(
+        "len(list_filter(toks, t -> t IN ({}))) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang])), lang
+        )
+        for lang in langs
+    )
+    best = "greatest({})".format(", ".join(f"h_{lang}" for lang in langs))
+    first_max = "\n            ".join(
+        f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[^\\W\\d_]+') AS toks
+    FROM documents
+),
+h AS (
+    SELECT doc_id, toks,
+           {hit_cols}
+    FROM t
+)
+SELECT doc_id,
+       CASE WHEN {best} = 0 THEN 'und'
+            {first_max}
+       END AS pred_lang,
+       CAST({best} AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE)
+           AS stop_hit_ratio
+FROM h
+"""
+
+
+SQL_LANG_ID = _lang_id_sql()
+
+
 QUERIES = {
     "token_stats": token_stats,
     "quality_score": quality_score,
@@ -217,5 +258,6 @@ QUERIES = {
 SQL = {
     "token_stats": SQL_TOKEN_STATS,
     "quality_score": SQL_QUALITY_SCORE,
+    "lang_id": SQL_LANG_ID,
     "normalize_text": SQL_NORMALIZE_TEXT,
 }
