@@ -88,7 +88,8 @@ def run_benchmarks() -> dict:
 
     from ocrautomator_ray.pipelines.extract import PipelineConfig, run_extraction
     from ocrautomator_ray.functions import (
-        ann, corpus, curate, dedup, relational, relational2, relational3, text,
+        ann, corpus, curate, dedup, relational, relational2, relational3,
+        relational4, text,
     )
 
     bench_path = _bench_input(SF_DIR)
@@ -165,6 +166,12 @@ def run_benchmarks() -> dict:
     timed("followers_within_window", relational3.followers_within_window,
           consume="count")
     timed("tfidf_top_terms", corpus.tfidf_top_terms, consume="count")
+    timed("doc_chunks", corpus.doc_chunks, consume="count")
+    timed("pack_sequences", corpus.pack_sequences, consume="count")
+    timed("customer_value_ntile", relational4.customer_value_ntile,
+          consume="count")
+    timed("orders_of_big_buyers", relational4.orders_of_big_buyers,
+          consume="count")
 
     from ocrautomator_ray.pipelines.curate import run_curate_flagship
     from ocrautomator_ray.pipelines.extract import run_flagship
