@@ -222,7 +222,6 @@ PACK_BUCKET = 64
 
 def pack_sequences(sf_dir: str) -> rd.Dataset:
     import ray
-    from ray.data.aggregate import Sum
 
     from ocrautomator_ray.functions.text import TOKEN_RE
 
@@ -234,19 +233,28 @@ def pack_sequences(sf_dir: str) -> rd.Dataset:
         return pa.table({"doc_id": t["doc_id"], "n_tokens": n,
                          "bucket": pc.cast(bucket, pa.int64())})
 
+    # materialize the REDUCED table (three int64 columns, one row per doc —
+    # never the text) so the two phases don't tokenize the corpus twice; at
+    # 100 TB this is ~24 B/doc in the object store, spillable
     cnt = rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
         counts, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).materialize()
 
-    bucket_rows = (
-        cnt.select_columns(["bucket", "n_tokens"])
-        .groupby("bucket")
-        .aggregate(Sum("n_tokens", alias_name="s"))
-        .take_all()
-    )
-    bucket_rows.sort(key=lambda r: r["bucket"])
-    buckets = np.array([r["bucket"] for r in bucket_rows], dtype=np.int64)
-    sums = np.array([r["s"] for r in bucket_rows], dtype=np.int64)
+    # bucket sums: per-batch partials merged on the driver — the partial set
+    # is ≤ blocks × buckets-per-block rows, so no shuffle is needed at all
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["bucket", "n_tokens"]),
+                            "bucket").aggregate([("n_tokens", "sum")])
+        return g.rename_columns(["bucket", "s"])
+
+    rows = cnt.map_batches(bucket_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    bk = np.array([r["bucket"] for r in rows], dtype=np.int64)
+    sm = np.array([r["s"] for r in rows], dtype=np.int64)
+    order = np.argsort(bk, kind="stable")
+    bk, sm = bk[order], sm[order]
+    buckets, starts = np.unique(bk, return_index=True)
+    sums = np.add.reduceat(sm, starts)
     offsets = np.cumsum(sums) - sums          # exclusive prefix per bucket
     off_ref = ray.put((buckets, offsets))
 
