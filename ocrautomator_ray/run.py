@@ -50,6 +50,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="optional repartition between explode and the pool")
     p.add_argument("--no-resume", action="store_true",
                    help="ignore existing checkpoint manifests")
+    p.add_argument("--watch", action="store_true",
+                   help="incremental mode: poll --input for new fragment "
+                        "files and extract each batch into a new epoch "
+                        "(extract pipeline only)")
+    p.add_argument("--watch-rounds", type=int, default=None,
+                   help="number of watch rounds to run (default: forever)")
+    p.add_argument("--poll-interval", type=float, default=5.0,
+                   help="seconds between input scans when idle in --watch")
     p.add_argument("--quiet", action="store_true",
                    help="suppress the live progress/ETA line on stderr")
     p.add_argument("--num-cpus", type=int, default=None,
@@ -85,6 +93,21 @@ def main(argv: list[str] | None = None) -> dict:
         if concurrency is None:
             total = int(ray.cluster_resources().get("CPU", 4))
             concurrency = max(2, total - 2)
+
+        if args.watch:
+            from ocrautomator_ray.pipelines.watch import run_watch
+
+            return run_watch(
+                args.input, args.out,
+                rounds=args.watch_rounds,
+                poll_interval=args.poll_interval,
+                num_partitions=args.partitions,
+                ocr_batch_size=args.batch_size,
+                concurrency=concurrency,
+                work_factor=args.work_factor,
+                psm_override=args.psm,
+                progress=not args.quiet,
+            )
         cfg = PipelineConfig(
             out_dir=args.out,
             num_partitions=args.partitions,
