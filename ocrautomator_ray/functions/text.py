@@ -206,6 +206,59 @@ FROM documents
 """
 
 
+# doc_fingerprint SQL oracle — the winnowing pipeline is pure modular
+# integer arithmetic, so DuckDB can mirror it exactly: the k-gram polynomial
+# hash is Σ byte_j · BASE^(K-1-j) (mod 2^64), evaluated with HUGEINT
+# products and inlined power constants; window minima via a ROWS frame;
+# distinct minima aggregated with COUNT + bit_xor (the HUGEINT value is
+# re-twos-complemented to BIGINT to match numpy's uint64→int64 view).
+def _fp_sql() -> str:
+    base, m = 1099511628211, 1 << 64
+    powers = [pow(base, FP_K - 1 - j, m) for j in range(FP_K)]
+    poly = " + ".join(
+        f"CAST(ascii(substr(text, i+{j}, 1)) AS HUGEINT) * {p}"
+        for j, p in enumerate(powers)
+    )
+    half, full = 1 << 63, 1 << 64
+    return f"""
+WITH pos AS (
+    SELECT doc_id, text,
+           unnest(range(1, len(text) - {FP_K} + 2)) AS i
+    FROM documents WHERE len(text) >= {FP_K}
+),
+g AS (
+    SELECT doc_id, i, ({poly}) % {m} AS h FROM pos
+),
+m AS (
+    SELECT doc_id, i AS w,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW
+                        AND {FP_W - 1} FOLLOWING) AS hmin,
+           COUNT(*) OVER (PARTITION BY doc_id) AS n
+    FROM g
+),
+u AS (
+    SELECT DISTINCT doc_id, hmin FROM m WHERE w + {FP_W - 1} <= n
+    UNION ALL
+    SELECT doc_id, MIN(h) AS hmin FROM g GROUP BY doc_id
+    HAVING COUNT(*) < {FP_W}
+),
+f AS (
+    SELECT doc_id, COUNT(*) AS n_fingerprints,
+           bit_xor(CAST(CASE WHEN hmin >= {half} THEN hmin - {full}
+                             ELSE hmin END AS BIGINT)) AS fp_xor
+    FROM u GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_fingerprints, 0) AS n_fingerprints,
+       COALESCE(fp_xor, 0) AS fp_xor
+FROM documents d LEFT JOIN f USING (doc_id)
+"""
+
+
+SQL_DOC_FINGERPRINT = _fp_sql()
+
+
 # lang_id SQL oracle — exact on THIS corpus: the driver's documents table is
 # pure [a-z ] (probed), where RE2's ASCII `[^\W\d_]+` and Python's Unicode
 # variant tokenize identically; hit counts are list_filter IN-counts, the
@@ -259,5 +312,6 @@ SQL = {
     "token_stats": SQL_TOKEN_STATS,
     "quality_score": SQL_QUALITY_SCORE,
     "lang_id": SQL_LANG_ID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "normalize_text": SQL_NORMALIZE_TEXT,
 }

@@ -63,7 +63,8 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "repeat_customers", "churned_customers", "customer_value_ntile",
                "customer_era_revenue", "conversion_funnel",
                "qty_price_corr_by_flag", "orders_of_big_buyers", "doc_chunks",
-               "approx_quantiles_value", "pack_sequences", "lang_id"]
+               "approx_quantiles_value", "pack_sequences", "lang_id",
+               "doc_fingerprint"]
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -84,7 +85,7 @@ def test_sql_oracled_query(name, ddb, contract):
             assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
 
 
-ROWS_ONLY = ["doc_fingerprint", "minhash_lsh_dups", "simhash_dups",
+ROWS_ONLY = ["minhash_lsh_dups", "simhash_dups",
              "lsh_ann_topk", "ivf_ann_topk", "minhash_dup_clusters",
              "approx_distinct_users_per_type", "media_decode_stats",
              "media_features", "media_frame_counts", "approx_top_tokens"]
