@@ -76,8 +76,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_ann.SQL)
     sql.update(_curate.SQL)
     sql["curate_pipeline"] = SQL_CURATE
-    # Rows-only (non-SQL-expressible): minhash_lsh_dups, simhash_dups,
-    # minhash_dup_clusters, lsh_ann_topk, ivf_ann_topk,
+    # Rows-only (non-SQL-expressible): lsh_ann_topk, ivf_ann_topk,
     # approx_distinct_users_per_type, approx_top_tokens, media_*,
     # extract_pipeline — each has a pytest oracle instead (tests/).
     return sql

@@ -950,6 +950,186 @@ def minhash_dup_clusters(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
                      batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# Exact SQL oracles for the MinHash and SimHash pipelines. Every step is
+# modular integer arithmetic (FNV-1a mod 2^64, universal hashing mod 2^61-1,
+# bit majorities), so DuckDB mirrors them bit-for-bit: the byte/value FNV
+# fold is a list_reduce lambda over HUGEINT with an xor round-trip through
+# BIGINT two's complement, the 64 permutation constants are inlined from the
+# module's deterministic _A/_B, and the final jaccard/hamming filters are
+# the same single IEEE division / bit_count both engines compute. Caveats
+# (both irrelevant to the driver corpus — pure [a-z ], ≥10 words per doc):
+# the engine tokenizes with Unicode whitespace (str.split) vs the oracle's
+# RE2 '\\s+' (identical on ASCII), and a fully EMPTY document gets sentinel
+# band keys in the engine but produces no SQL rows.
+# ---------------------------------------------------------------------------
+
+_SQL_M64 = 1 << 64
+_SQL_HALF = 1 << 63
+
+
+def _sql_signed(v: str) -> str:
+    """uint64-as-HUGEINT → BIGINT two's complement."""
+    return (f"CAST(CASE WHEN {v} >= {_SQL_HALF} THEN {v} - {_SQL_M64} "
+            f"ELSE {v} END AS BIGINT)")
+
+
+def _sql_fnv_fold() -> str:
+    """(acc, x) lambda body: one FNV-1a round, acc/x HUGEINT in [0, 2^64)."""
+    x2 = f"xor({_sql_signed('acc')}, CAST(x AS BIGINT))"
+    return (f"((CASE WHEN {x2} < 0 THEN CAST({x2} AS HUGEINT) + {_SQL_M64} "
+            f"ELSE CAST({x2} AS HUGEINT) END) * {_FNV_PRIME_INT}) % {_SQL_M64}")
+
+
+def _sql_fnv1a(expr: str) -> str:
+    """FNV-1a of a string expression's bytes (== _hash_tokens/_fnv1a_strings)."""
+    return (f"list_reduce(list_prepend(CAST({_FNV_OFFSET_INT} AS HUGEINT), "
+            f"list_transform(range(1, len({expr})+1), "
+            f"j -> CAST(ascii(substr({expr}, j, 1)) AS HUGEINT))), "
+            f"(acc, x) -> {_sql_fnv_fold()})")
+
+
+def _minhash_ctes() -> str:
+    """The shared CTE chain ending in a ``ver`` relation (candidate pairs
+    with exact intersection/union sizes)."""
+    m61 = int(_MERSENNE)
+    perm_rows = ",\n    ".join(
+        f"({i}, CAST({int(a)} AS HUGEINT), CAST({int(b)} AS HUGEINT))"
+        for i, (a, b) in enumerate(zip(_A, _B))
+    )
+    return f"""perm(i, a, b) AS (VALUES
+    {perm_rows}
+),
+toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 3
+                THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                ELSE array_to_string(w, ' ') END AS s
+    FROM toks,
+         LATERAL (SELECT unnest(range(1,
+             CASE WHEN len(w) >= 3 THEN len(w) - 1
+                  WHEN len(w) > 0 THEN 2 ELSE 1 END)) AS i) u
+),
+sh AS (SELECT DISTINCT doc_id, {_sql_fnv1a('s')} AS h FROM grams),
+sig AS (
+    SELECT doc_id, i, min(((a * h) % {_SQL_M64} + b) % {_SQL_M64} % {m61}) AS s
+    FROM sh, perm GROUP BY doc_id, i
+),
+bk AS (
+    SELECT p0.doc_id, CAST(p0.i // {_ROWS_PER_BAND} AS INT) AS band_id,
+           list_reduce(
+               list_prepend(CAST({_FNV_OFFSET_INT} AS HUGEINT),
+                            [p0.s, p1.s, p2.s, p3.s]),
+               (acc, x) -> {_sql_fnv_fold()}) AS band_key
+    FROM sig p0
+    JOIN sig p1 ON p1.doc_id = p0.doc_id AND p1.i = p0.i + 1
+    JOIN sig p2 ON p2.doc_id = p0.doc_id AND p2.i = p0.i + 2
+    JOIN sig p3 ON p3.doc_id = p0.doc_id AND p3.i = p0.i + 3
+    WHERE p0.i % {_ROWS_PER_BAND} = 0
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bk x JOIN bk y
+      ON x.band_id = y.band_id AND x.band_key = y.band_key
+     AND x.doc_id < y.doc_id
+),
+shl AS (SELECT doc_id, list(h) AS hs FROM sh GROUP BY doc_id),
+ver AS (
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.hs, sb.hs)) AS inter,
+           len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)) AS uni
+    FROM cand
+    JOIN shl sa ON sa.doc_id = doc_a
+    JOIN shl sb ON sb.doc_id = doc_b
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_minhash_ctes()}
+SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+FROM ver
+WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= {MINHASH_THRESHOLD}
+"""
+
+
+def _clusters_sql() -> str:
+    """Connected components over the verified pair set: a recursive
+    transitive closure (the pair graphs are near-clique and tiny, so the
+    closure is small); cluster_id = min doc_id of the component."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+dup AS (
+    SELECT doc_a, doc_b FROM ver
+    WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= {MINHASH_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM dup
+    UNION
+    SELECT doc_b, doc_a FROM dup
+),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+)
+SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+"""
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS w
+    FROM documents
+),
+th AS (SELECT doc_id, {_sql_fnv1a('w')} AS h FROM tok),
+bits AS (
+    SELECT doc_id, b,
+           CASE WHEN 2 * SUM((h // CAST(pow2 AS HUGEINT)) % 2) > COUNT(*)
+                THEN CAST(pow2 AS HUGEINT) ELSE 0 END AS contrib
+    FROM th,
+         LATERAL (SELECT unnest(range(0, 64)) AS b,
+                         unnest(list_transform(range(0, 64),
+                                i -> CAST(1 AS HUGEINT) << CAST(i AS INT)))
+                             AS pow2) u
+    GROUP BY doc_id, b, pow2
+),
+sig AS (SELECT doc_id, SUM(contrib) AS s FROM bits GROUP BY doc_id),
+bk AS (
+    SELECT doc_id, s, CAST(band AS INT) AS band_id,
+           CAST((s // (CAST(1 AS HUGEINT) << CAST(16 * band AS INT))) % 65536
+                AS INT) AS band_key
+    FROM sig, LATERAL (SELECT unnest(range(0, 4)) AS band) u
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           x.s AS sa, y.s AS sb
+    FROM bk x JOIN bk y
+      ON x.band_id = y.band_id AND x.band_key = y.band_key
+     AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor({_sql_signed('sa')}, {_sql_signed('sb')}))
+            AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor({_sql_signed('sa')}, {_sql_signed('sb')}))
+      <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+SQL_MINHASH_LSH_DUPS = _minhash_sql()
+SQL_MINHASH_DUP_CLUSTERS = _clusters_sql()
+SQL_SIMHASH_DUPS = _simhash_sql()
+
+
 QUERIES = {
     "minhash_lsh_dups": minhash_lsh_dups,
     "minhash_dup_clusters": minhash_dup_clusters,
@@ -959,6 +1139,9 @@ QUERIES = {
 }
 
 SQL = {
+    "minhash_lsh_dups": SQL_MINHASH_LSH_DUPS,
+    "minhash_dup_clusters": SQL_MINHASH_DUP_CLUSTERS,
+    "simhash_dups": SQL_SIMHASH_DUPS,
     "chargram_jaccard_dups": SQL_CHARGRAM,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
 }

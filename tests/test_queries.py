@@ -64,7 +64,8 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "customer_era_revenue", "conversion_funnel",
                "qty_price_corr_by_flag", "orders_of_big_buyers", "doc_chunks",
                "approx_quantiles_value", "pack_sequences", "lang_id",
-               "doc_fingerprint"]
+               "doc_fingerprint", "minhash_lsh_dups", "minhash_dup_clusters",
+               "simhash_dups"]
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -85,8 +86,7 @@ def test_sql_oracled_query(name, ddb, contract):
             assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
 
 
-ROWS_ONLY = ["minhash_lsh_dups", "simhash_dups",
-             "lsh_ann_topk", "ivf_ann_topk", "minhash_dup_clusters",
+ROWS_ONLY = ["lsh_ann_topk", "ivf_ann_topk",
              "approx_distinct_users_per_type", "media_decode_stats",
              "media_features", "media_frame_counts", "approx_top_tokens"]
 
