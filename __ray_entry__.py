@@ -77,6 +77,6 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_curate.SQL)
     sql["curate_pipeline"] = SQL_CURATE
     # Rows-only (non-SQL-expressible): lsh_ann_topk, ivf_ann_topk,
-    # approx_distinct_users_per_type, approx_top_tokens, media_*,
-    # extract_pipeline — each has a pytest oracle instead (tests/).
+    # approx_distinct_users_per_type, media_*, extract_pipeline — each has
+    # a pytest oracle instead (tests/).
     return sql

@@ -101,13 +101,16 @@ def approx_distinct_users_per_type(sf_dir: str) -> rd.Dataset:
 
 # --------------------------------------------------------------------------
 # approx_top_tokens — Misra-Gries heavy hitters (Misra & Gries 1982) over the
-# corpus token stream. Each batch compresses its exact token counts to MG_K
-# counters (subtract the (k+1)-th largest count, drop ≤0) and records the
-# subtracted amount as its error contribution; a groupby then merges the
-# per-batch counters (the shuffle moves ≤ MG_K rows per batch, never tokens),
-# and a final single-block compress re-caps the union. Estimates are LOWER
-# bounds: est ≤ true ≤ est + err_ub. Rows-only driver check; the pytest
-# oracle asserts the sandwich bound against exact counts.
+# corpus token stream. The sketch granularity is the DOCUMENT, not the batch:
+# each doc's exact token counts compress to MG_K counters (subtract the
+# (k+1)-th largest count — a multiset VALUE, so tie order can't matter —
+# and drop ≤0), recording the subtracted tau as the doc's error
+# contribution; a groupby sums the per-doc counters (order-free), and a
+# final single-block compress re-caps the union. Per-doc granularity makes
+# the result independent of batch partitioning — fully deterministic —
+# which is what lets an approximate sketch carry an exact SQL oracle.
+# Estimates are LOWER bounds: est ≤ true ≤ est + err_ub (pytest-pinned).
+# The shuffle moves ≤ MG_K rows per doc, never tokens.
 # --------------------------------------------------------------------------
 
 MG_K = 16          # counters per sketch (vocab here ~40 → real compression)
@@ -129,22 +132,43 @@ def _mg_compress(tokens: np.ndarray, counts: np.ndarray,
 
 
 def approx_top_tokens(sf_dir: str) -> rd.Dataset:
+    import pandas as pd
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        toks = pc.list_flatten(pc.split_pattern_regex(t["text"], pattern=r"\s+"))
-        toks = toks.filter(pc.not_equal(toks, ""))
-        vc = toks.value_counts()
-        tokens = np.asarray(vc.field("values").to_pylist(), dtype=object)
-        counts = vc.field("counts").to_numpy(zero_copy_only=False)
-        tokens, counts, err = _mg_compress(tokens, counts, MG_K)
+        toks = pc.split_pattern_regex(t["text"], pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        ndoc = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        docidx = np.repeat(np.arange(len(ndoc)), ndoc)
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "d": docidx[ne],
+            "w": np.asarray(flat.to_pylist(), dtype=object)[ne],
+        })
+        tc = df.groupby(["d", "w"], sort=False).size().reset_index(name="c")
+        # per-doc MG: tau = (k+1)-th largest count VALUE of the doc (0 when
+        # the doc has ≤ k distinct tokens), kept = counts - tau where > 0
+        tc = tc.sort_values(["d", "c"], ascending=[True, False],
+                            kind="stable")
+        rn = tc.groupby("d", sort=False).cumcount()
+        c = tc["c"].to_numpy()
+        d = tc["d"].to_numpy()
+        tau_rows = rn.to_numpy() == MG_K
+        taus = np.zeros(len(ndoc), dtype=np.int64)
+        taus[d[tau_rows]] = c[tau_rows]
+        kept = c - taus[d]
+        m = kept > 0
         return pa.table({
-            "token": pa.array(list(tokens) + [_ERR_TOKEN], pa.string()),
-            "cnt": pa.array(list(counts) + [err], pa.int64()),
+            "token": pa.array(
+                list(tc["w"].to_numpy()[m]) + [_ERR_TOKEN], pa.string()),
+            "cnt": pa.array(list(kept[m]) + [int(taus.sum())], pa.int64()),
         })
 
     merged = (
@@ -172,6 +196,40 @@ def approx_top_tokens(sf_dir: str) -> rd.Dataset:
     return merged.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+# Exact SQL mirror of the deterministic per-doc MG sketch: tau is a multiset
+# value (the (k+1)-th largest count), so row_number tie order can't change
+# it; the merge is an order-free sum; the final compress and the
+# (est DESC, token) top-k are identical in both engines (binary ASCII
+# collation). An approximate operator with a hash-exact oracle.
+SQL_APPROX_TOP_TOKENS = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS w
+    FROM documents
+),
+tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+rk AS (SELECT doc_id, w, c,
+              row_number() OVER (PARTITION BY doc_id ORDER BY c DESC) AS rn
+       FROM tc),
+tau AS (SELECT doc_id,
+               COALESCE(MAX(CASE WHEN rn = {MG_K + 1} THEN c END), 0) AS tau
+        FROM rk GROUP BY doc_id),
+kept AS (SELECT rk.doc_id, w, c - tau AS c2
+         FROM rk JOIN tau USING (doc_id) WHERE c - tau > 0),
+merged AS (SELECT w, CAST(SUM(c2) AS BIGINT) AS c FROM kept GROUP BY w),
+err1 AS (SELECT CAST(COALESCE(SUM(tau), 0) AS BIGINT) AS e FROM tau),
+mrk AS (SELECT w, c, row_number() OVER (ORDER BY c DESC) AS rn FROM merged),
+tau2 AS (SELECT COALESCE(MAX(CASE WHEN rn = {MG_K + 1} THEN c END), 0) AS t2
+         FROM mrk)
+SELECT w AS token, CAST(c - t2 AS BIGINT) AS est_count,
+       CAST(e + t2 AS BIGINT) AS err_ub
+FROM mrk, tau2, err1
+WHERE c - t2 > 0
+ORDER BY est_count DESC, token
+LIMIT {MG_TOP}
+"""
 
 
 # --------------------------------------------------------------------------
@@ -297,4 +355,5 @@ QUERIES = {
 
 SQL: dict[str, str] = {
     "approx_quantiles_value": SQL_APPROX_QUANTILES,
+    "approx_top_tokens": SQL_APPROX_TOP_TOKENS,
 }

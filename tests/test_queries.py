@@ -65,7 +65,7 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "qty_price_corr_by_flag", "orders_of_big_buyers", "doc_chunks",
                "approx_quantiles_value", "pack_sequences", "lang_id",
                "doc_fingerprint", "minhash_lsh_dups", "minhash_dup_clusters",
-               "simhash_dups"]
+               "simhash_dups", "approx_top_tokens"]
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -88,7 +88,7 @@ def test_sql_oracled_query(name, ddb, contract):
 
 ROWS_ONLY = ["lsh_ann_topk", "ivf_ann_topk",
              "approx_distinct_users_per_type", "media_decode_stats",
-             "media_features", "media_frame_counts", "approx_top_tokens"]
+             "media_features", "media_frame_counts"]
 
 
 @pytest.mark.usefixtures("ray_session")
