@@ -35,6 +35,7 @@ from ocrautomator_ray.functions.exchange import (
     per_key_blocks,
     tune_exchange,
 )
+from ocrautomator_ray.functions.relational import _cents
 
 # --------------------------------------------------------------------------
 # repeat_customers / churned_customers — distributed INTERSECT / EXCEPT over
@@ -200,11 +201,8 @@ def _era_revenue(ds: rd.Dataset, late: bool, out_col: str) -> rd.Dataset:
         mask = pc.greater_equal(y, _ERA_SPLIT) if late else pc.less(
             y, _ERA_SPLIT)
         t = t.filter(mask)
-        cents = pc.cast(
-            pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)),
-            pa.int64(),
-        )
-        tt = pa.table({"o_custkey": t["o_custkey"], out_col: cents})
+        tt = pa.table({"o_custkey": t["o_custkey"],
+                       out_col: _cents(t["o_totalprice"])})
         g = pa.TableGroupBy(tt, "o_custkey").aggregate([(out_col, "sum")])
         return g.rename_columns(["o_custkey", out_col])
 
@@ -479,15 +477,11 @@ def orders_of_big_buyers(sf_dir: str) -> rd.Dataset:
         for j in range(pos.shape[1]):
             p = pos[:, j]
             hit &= (bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1 > 0
-        cents = pc.cast(
-            pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)),
-            pa.int64(),
-        )
-        out = pa.table({
+        t = t.filter(pa.array(hit))  # drop rejects BEFORE the money math
+        return pa.table({
             "o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"],
-            "total_cents": cents,
+            "total_cents": _cents(t["o_totalprice"]),
         })
-        return out.filter(pa.array(hit))
 
     orders = rd.read_parquet(
         orders_path, columns=["o_orderkey", "o_custkey", "o_totalprice"]

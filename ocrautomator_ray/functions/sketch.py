@@ -132,7 +132,6 @@ def _mg_compress(tokens: np.ndarray, counts: np.ndarray,
 
 
 def approx_top_tokens(sf_dir: str) -> rd.Dataset:
-    import pandas as pd
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Sum
@@ -147,28 +146,36 @@ def approx_top_tokens(sf_dir: str) -> rd.Dataset:
         flat = toks.values
         ndoc = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         docidx = np.repeat(np.arange(len(ndoc)), ndoc)
-        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({
-            "d": docidx[ne],
-            "w": np.asarray(flat.to_pylist(), dtype=object)[ne],
-        })
-        tc = df.groupby(["d", "w"], sort=False).size().reset_index(name="c")
+        ne = pc.not_equal(flat, "")
+        tt = pa.table({
+            "d": pa.array(docidx, pa.int64()),
+            "w": flat,
+        }).filter(ne)
+        g = pa.TableGroupBy(tt, ["d", "w"]).aggregate([([], "count_all")])
+        d = g["d"].to_numpy(zero_copy_only=False)
+        c = g["c_count"] if "c_count" in g.column_names else g.column(2)
+        c = c.to_numpy(zero_copy_only=False).astype(np.int64)
         # per-doc MG: tau = (k+1)-th largest count VALUE of the doc (0 when
-        # the doc has ≤ k distinct tokens), kept = counts - tau where > 0
-        tc = tc.sort_values(["d", "c"], ascending=[True, False],
-                            kind="stable")
-        rn = tc.groupby("d", sort=False).cumcount()
-        c = tc["c"].to_numpy()
-        d = tc["d"].to_numpy()
-        tau_rows = rn.to_numpy() == MG_K
+        # the doc has ≤ k distinct tokens), kept = counts - tau where > 0 —
+        # entirely Arrow/numpy, no per-token Python objects
+        order = np.lexsort((-c, d))
+        d, c = d[order], c[order]
+        first = np.concatenate(([True], d[1:] != d[:-1])) if len(d) else \
+            np.zeros(0, dtype=bool)
+        run_starts = np.flatnonzero(first)
+        run_len = np.diff(np.append(run_starts, len(d)))
+        rn = np.arange(len(d)) - np.repeat(run_starts, run_len)
         taus = np.zeros(len(ndoc), dtype=np.int64)
+        tau_rows = rn == MG_K
         taus[d[tau_rows]] = c[tau_rows]
         kept = c - taus[d]
         m = kept > 0
+        tokens = g.column(1).take(pa.array(order[m]))
         return pa.table({
-            "token": pa.array(
-                list(tc["w"].to_numpy()[m]) + [_ERR_TOKEN], pa.string()),
-            "cnt": pa.array(list(kept[m]) + [int(taus.sum())], pa.int64()),
+            "token": pa.concat_arrays(
+                [tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray)
+                 else tokens, pa.array([_ERR_TOKEN], pa.string())]),
+            "cnt": pa.array(np.append(kept[m], taus.sum()), pa.int64()),
         })
 
     merged = (
@@ -259,9 +266,10 @@ def approx_quantiles_value(sf_dir: str) -> rd.Dataset:
     path = f"{sf_dir}/events.parquet"
 
     def to_micros(t: pa.Table) -> pa.Table:
-        vm = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 1e6), 0.5)),
-                     pa.int64())
-        return pa.table({"event_type": t["event_type"], "vm": vm})
+        from ocrautomator_ray.functions.relational import _cents
+
+        return pa.table({"event_type": t["event_type"],
+                         "vm": _cents(t["value"], 1_000_000)})
 
     base = rd.read_parquet(path, columns=["event_type", "value"]).map_batches(
         to_micros, batch_format="pyarrow", zero_copy_batch=True

@@ -62,6 +62,8 @@ def _store_manifest(out_dir: str, manifest: dict[str, Any]) -> None:
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())       # data durable before the rename is
     os.replace(tmp, path)          # atomic on POSIX
 
 
@@ -78,9 +80,17 @@ def list_fragments(input_dir: str) -> list[str]:
 
 
 def _read_fragments(paths: list[str]) -> rd.Dataset:
-    if paths[0].endswith((".jsonl", ".json")):
-        return rd.read_json(paths)
-    return rd.read_parquet(paths)
+    # a round may pick up mixed formats — read each family with its own
+    # reader and union (one wrong reader would wedge the epoch forever:
+    # pending epochs re-run first, so a deterministic crash blocks ingestion)
+    js = [p for p in paths if p.endswith((".jsonl", ".json"))]
+    pq_paths = [p for p in paths if p not in js]
+    parts = []
+    if pq_paths:
+        parts.append(rd.read_parquet(pq_paths))
+    if js:
+        parts.append(rd.read_json(js))
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
 
 def run_watch(
@@ -113,7 +123,10 @@ def run_watch(
         else:
             frags = [p for p in list_fragments(input_dir) if p not in seen]
             if not frags:
-                if rounds is None:
+                # idle: honor the poll interval whenever another scan
+                # follows (finite-round runs would otherwise busy-spin
+                # through their remaining rounds in milliseconds)
+                if rounds is None or rnd < rounds:
                     time.sleep(poll_interval)
                 continue
             epoch = len(manifest["epochs"])

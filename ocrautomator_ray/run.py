@@ -102,10 +102,12 @@ def main(argv: list[str] | None = None) -> dict:
                 rounds=args.watch_rounds,
                 poll_interval=args.poll_interval,
                 num_partitions=args.partitions,
+                resume=not args.no_resume,
                 ocr_batch_size=args.batch_size,
                 concurrency=concurrency,
                 work_factor=args.work_factor,
                 psm_override=args.psm,
+                ocr_repartition=args.repartition,
                 progress=not args.quiet,
             )
         cfg = PipelineConfig(

@@ -104,6 +104,21 @@ def test_watch_pending_epoch_resumes_after_crash(tmp_path):
     assert all(e["status"] == "committed" for e in man["epochs"])
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_watch_mixed_format_round(tmp_path):
+    """One round may pick up parquet AND jsonl fragments — each family gets
+    its own reader (a single wrong reader would wedge the pending epoch)."""
+    input_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    full = synth.gen_table("sf-test", seed=11, rows=24)
+    a, b = full.slice(0, 12), full.slice(12, 12)
+    _write_fragment(input_dir, "part-0.parquet", a)
+    b.to_pandas().to_json(os.path.join(input_dir, "part-1.jsonl"),
+                          orient="records", lines=True)
+    r = run_watch(input_dir, out_dir, rounds=1, **CFG)
+    assert r["epochs_run"] == 1 and r["docs"] == 24
+    assert _spans(out_dir) == _expected(a, b)
+
+
 def test_list_fragments_filters_and_sorts(tmp_path):
     d = str(tmp_path)
     for name in ["b.parquet", "a.parquet", "x.txt", ".hidden.parquet"]:
