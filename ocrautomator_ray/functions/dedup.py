@@ -1130,10 +1130,67 @@ SQL_MINHASH_DUP_CLUSTERS = _clusters_sql()
 SQL_SIMHASH_DUPS = _simhash_sql()
 
 
+# ---------------------------------------------------------------------------
+# neardup_removed_docs — the near-dup REMOVAL step: keep every document that
+# is either not in any verified near-dup cluster or is its cluster's
+# canonical member (min doc_id). The drop side can be a large fraction of a
+# web corpus — far too big for a broadcast set — so this is the large×large
+# LEFT ANTI join: documents hash-partitioned against the non-canonical
+# member list with Dataset.join("left_anti").
+# ---------------------------------------------------------------------------
+
+def neardup_removed_docs(sf_dir: str) -> rd.Dataset:
+    import pyarrow.compute as pc
+
+    drop = minhash_dup_clusters(sf_dir).map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t["doc_id"], t["cluster_id"])
+        ).select(["doc_id"]).rename_columns(["drop_id"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    _tune_exchange(docs)
+    return docs.join(drop, join_type="left_anti",
+                     num_partitions=_auto_partitions(
+                         f"{sf_dir}/documents.parquet"),
+                     on=("doc_id",), right_on=("drop_id",))
+
+
+def _neardup_removed_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+dup AS (
+    SELECT doc_a, doc_b FROM ver
+    WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= {MINHASH_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM dup
+    UNION
+    SELECT doc_b, doc_a FROM dup
+),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+clusters AS (
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+"""
+
+
+SQL_NEARDUP_REMOVED = _neardup_removed_sql()
+
+
 QUERIES = {
     "minhash_lsh_dups": minhash_lsh_dups,
     "minhash_dup_clusters": minhash_dup_clusters,
     "simhash_dups": simhash_dups,
+    "neardup_removed_docs": neardup_removed_docs,
     "chargram_jaccard_dups": chargram_jaccard_dups,
     "embedding_neardup": embedding_neardup,
 }
@@ -1142,6 +1199,7 @@ SQL = {
     "minhash_lsh_dups": SQL_MINHASH_LSH_DUPS,
     "minhash_dup_clusters": SQL_MINHASH_DUP_CLUSTERS,
     "simhash_dups": SQL_SIMHASH_DUPS,
+    "neardup_removed_docs": SQL_NEARDUP_REMOVED,
     "chargram_jaccard_dups": SQL_CHARGRAM,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
 }

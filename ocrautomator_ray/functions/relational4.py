@@ -501,6 +501,86 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer
 """
 
 
+# --------------------------------------------------------------------------
+# revenue_by_region — star join: fact orders ⋈ customer (large×large hash
+# join on custkey, with the fact side pre-aggregated to one row per
+# customer) → nation → region (two genuinely small dims, broadcast once via
+# ray.put and resolved with a numpy lookup inside the batch). The canonical
+# warehouse topology: exactly ONE all-to-all for the big sides, zero
+# shuffles for the small ones.
+# --------------------------------------------------------------------------
+
+def revenue_by_region(sf_dir: str) -> rd.Dataset:
+    cust_path = f"{sf_dir}/customer.parquet"
+    orders_path = f"{sf_dir}/orders.parquet"
+
+    # broadcast nationkey → region name (25 × tiny)
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    nk = nation["n_nationkey"].to_numpy()
+    nr = nation["n_regionkey"].to_numpy()
+    rk = region["r_regionkey"].to_numpy()
+    rn = np.asarray(region["r_name"].to_pylist(), dtype=object)
+    order = np.argsort(rk)
+    rk, rn = rk[order], rn[order]
+    n2r = np.empty(nk.max() + 1, dtype=object)
+    n2r[nk] = rn[np.searchsorted(rk, nr)]
+    lookup_ref = ray.put(n2r)
+
+    orders = rd.read_parquet(orders_path, columns=["o_custkey",
+                                                   "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({"o_custkey": t["o_custkey"],
+                       "rev_cents": _cents(t["o_totalprice"])})
+        g = pa.TableGroupBy(tt, "o_custkey").aggregate([("rev_cents", "sum")])
+        return g.rename_columns(["o_custkey", "rev_cents"])
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Sum("rev_cents", alias_name="rev_cents"))
+    )
+    cust = rd.read_parquet(cust_path, columns=["c_custkey", "c_nationkey"])
+    tune_exchange(per_cust)
+    joined = per_cust.join(cust, join_type="inner",
+                           num_partitions=auto_partitions(cust_path,
+                                                          orders_path),
+                           on=("o_custkey",), right_on=("c_custkey",))
+
+    def to_region(t: pa.Table) -> pa.Table:
+        lut = ray.get(lookup_ref)
+        names = lut[t["c_nationkey"].to_numpy(zero_copy_only=False)]
+        tt = pa.table({"r_name": pa.array(list(names), pa.string()),
+                       "revenue_cents": t["rev_cents"]})
+        g = pa.TableGroupBy(tt, "r_name").aggregate([("revenue_cents", "sum")])
+        return g.rename_columns(["r_name", "revenue_cents"])
+
+    return (
+        joined.map_batches(to_region, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("r_name")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
+SQL_REVENUE_BY_REGION = """
+SELECT r_name,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY r_name
+"""
+
+
 QUERIES = {
     "repeat_customers": repeat_customers,
     "churned_customers": churned_customers,
@@ -509,9 +589,11 @@ QUERIES = {
     "conversion_funnel": conversion_funnel,
     "qty_price_corr_by_flag": qty_price_corr_by_flag,
     "orders_of_big_buyers": orders_of_big_buyers,
+    "revenue_by_region": revenue_by_region,
 }
 
 SQL = {
+    "revenue_by_region": SQL_REVENUE_BY_REGION,
     "repeat_customers": SQL_REPEAT_CUSTOMERS,
     "churned_customers": SQL_CHURNED_CUSTOMERS,
     "customer_value_ntile": SQL_NTILE,

@@ -65,7 +65,8 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "qty_price_corr_by_flag", "orders_of_big_buyers", "doc_chunks",
                "approx_quantiles_value", "pack_sequences", "lang_id",
                "doc_fingerprint", "minhash_lsh_dups", "minhash_dup_clusters",
-               "simhash_dups", "approx_top_tokens"]
+               "simhash_dups", "approx_top_tokens", "neardup_removed_docs",
+               "revenue_by_region"]
 
 
 @pytest.mark.usefixtures("ray_session")
