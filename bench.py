@@ -172,6 +172,7 @@ def run_benchmarks() -> dict:
           consume="count")
     timed("orders_of_big_buyers", relational4.orders_of_big_buyers,
           consume="count")
+    timed("revenue_by_region", relational4.revenue_by_region)
 
     from ocrautomator_ray.pipelines.curate import run_curate_flagship
     from ocrautomator_ray.pipelines.extract import run_flagship
