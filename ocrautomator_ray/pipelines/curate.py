@@ -162,15 +162,19 @@ FROM f JOIN d ON f.doc_id = d.doc_id AND f.norm_text = d.norm_text
 
 
 def run_curation(sf_dir: str, out_dir: str, num_partitions: int = 16,
-                 resume: bool = True, progress: bool = False) -> dict:
-    """Execute the curation pipeline into the resumable sink."""
+                 resume: bool = True, progress: bool = False,
+                 partition_by: str | None = None) -> dict:
+    """Execute the curation pipeline into the resumable sink.
+
+    ``partition_by`` (e.g. ``"split"``) lays the output out hive-style so a
+    training job can read one value directory (train/val/test) directly."""
     from ocrautomator_ray.sinks.parquet_commit import resumable_write
 
     def _run():
         return resumable_write(build_curated(sf_dir), out_dir,
                                num_partitions=num_partitions, key="doc_id",
                                input_desc=f"{sf_dir}/documents.parquet",
-                               resume=resume)
+                               resume=resume, partition_by=partition_by)
 
     if not progress:
         return _run()

@@ -260,9 +260,14 @@ def read_output(out_dir: str, empty_schema=None) -> rd.Dataset:
     import os
 
     paths = [
-        os.path.join(out_dir, m["lineage"]["output_fragment"])
+        os.path.join(out_dir, frag)
         for m in load_manifests(out_dir).values()
         if m.get("status") == "committed"
+        # singular: extraction commits; plural: the generic sink (which may
+        # write several hive-partitioned fragments per hash partition)
+        for frag in m["lineage"].get(
+            "output_fragments", [m["lineage"].get("output_fragment")])
+        if frag
     ]
     if not paths:
         # a legitimate outcome (e.g. every input row filtered before the

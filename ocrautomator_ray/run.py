@@ -58,6 +58,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="number of watch rounds to run (default: forever)")
     p.add_argument("--poll-interval", type=float, default=5.0,
                    help="seconds between input scans when idle in --watch")
+    p.add_argument("--partition-by", default=None,
+                   help="curate pipeline: hive-partition the output by this "
+                        "column (e.g. split → data/split=train/...)")
     p.add_argument("--quiet", action="store_true",
                    help="suppress the live progress/ETA line on stderr")
     p.add_argument("--num-cpus", type=int, default=None,
@@ -84,7 +87,8 @@ def main(argv: list[str] | None = None) -> dict:
             return run_curation(args.input, args.out,
                                 num_partitions=args.partitions,
                                 resume=not args.no_resume,
-                                progress=not args.quiet)
+                                progress=not args.quiet,
+                                partition_by=args.partition_by)
 
         from ocrautomator_ray.pipelines.extract import PipelineConfig, run_extraction
         from ocrautomator_ray.sources.io import read_docs

@@ -42,15 +42,38 @@ _SUMMARY_SCHEMA = pa.schema([("part_id", pa.int32()), ("rows", pa.int64()),
 
 
 def _make_commit(out_dir: str, num_partitions: int, input_desc: str,
-                 drop_cols: tuple[str, ...]):
+                 drop_cols: tuple[str, ...],
+                 partition_by: str | None = None):
+    def _write_fragment(data: pa.Table, final: str) -> None:
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        tmp = f"{final}.tmp.{os.getpid()}"
+        pq.write_table(data, tmp)
+        os.replace(tmp, final)
+
     def commit_one(part: pa.Table) -> pa.Table:
         pid = int(part["part_id"][0].as_py())
         data = part.drop_columns(list(drop_cols))
         os.makedirs(data_dir(out_dir), exist_ok=True)
-        final = part_data_path(out_dir, pid)
-        tmp = f"{final}.tmp.{os.getpid()}"
-        pq.write_table(data, tmp)
-        os.replace(tmp, final)
+        base = part_data_path(out_dir, pid)
+        if partition_by is None:
+            _write_fragment(data, base)
+            frags = [os.path.relpath(base, out_dir)]
+        else:
+            # hive-style layout: one fragment per column value, under
+            # data/<col>=<val>/part-NNNNN.parquet — selective readers scan a
+            # single value directory; the COMMIT unit (and thus resume) is
+            # still the hash partition, whose manifest lists every fragment
+            import pyarrow.compute as pc
+
+            frags = []
+            vals = data[partition_by]
+            for v in pc.unique(vals).to_pylist():
+                sel = data.filter(pc.equal(vals, v))
+                final = os.path.join(
+                    data_dir(out_dir), f"{partition_by}={v}",
+                    os.path.basename(base))
+                _write_fragment(sel, final)
+                frags.append(os.path.relpath(final, out_dir))
         write_part_manifest(out_dir, pid, {
             "part_id": pid,
             "status": "committed",
@@ -60,11 +83,12 @@ def _make_commit(out_dir: str, num_partitions: int, input_desc: str,
                 "num_partitions": num_partitions,
                 "part_id": pid,
                 "input": input_desc,
-                "output_fragment": os.path.relpath(final, out_dir),
+                "output_fragments": frags,
             },
         })
         return pa.Table.from_pydict(
-            {"part_id": [pid], "rows": [data.num_rows], "output_path": [final]},
+            {"part_id": [pid], "rows": [data.num_rows],
+             "output_path": [os.path.join(out_dir, frags[0])]},
             schema=_SUMMARY_SCHEMA)
 
     def commit_blocks(block: pa.Table) -> pa.Table:
@@ -85,8 +109,18 @@ def _make_commit(out_dir: str, num_partitions: int, input_desc: str,
 def resumable_write(ds: rd.Dataset, out_dir: str, num_partitions: int = 16,
                     key: str = "doc_id", input_desc: str = "",
                     resume: bool = True,
-                    exchange_partitions: int | None = None) -> dict:
+                    exchange_partitions: int | None = None,
+                    partition_by: str | None = None) -> dict:
     """Write ``ds`` as ``out_dir/data/part-NNNNN.parquet`` + manifests.
+
+    With ``partition_by=<col>`` the layout becomes hive-style
+    ``data/<col>=<val>/part-NNNNN.parquet`` (one fragment per value per hash
+    partition): selective consumers read one value directory; full reads and
+    O(P) resume are unchanged because the commit unit stays the hash
+    partition. Caveat: a DIRECTORY read of one value trades the
+    manifest-driven guarantee for layout convenience — it can see orphaned
+    fragments if the same out_dir was re-used with different input rows
+    (manifest-driven ``read_output`` never does).
 
     Returns the merged summary (partitions committed, row counters). The
     exchange guarantees a partition arrives as one contiguous run in one
@@ -138,7 +172,8 @@ def resumable_write(ds: rd.Dataset, out_dir: str, num_partitions: int = 16,
     summary = (
         tagged.repartition(n_ex, keys=["part_id"])
         .map_batches(_make_commit(out_dir, num_partitions, input_desc,
-                                  drop_cols=("part_id",)),
+                                  drop_cols=("part_id",),
+                                  partition_by=partition_by),
                      batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
         .to_pandas()

@@ -139,10 +139,17 @@ def completed_parts(out_dir: str, num_partitions: int) -> set[int]:
     """
     done = set()
     for pid, m in load_manifests(out_dir).items():
+        lineage = m.get("lineage", {})
+        # singular: extraction commits; plural: the generic sink (hive
+        # partition_by writes several fragments per hash partition)
+        frags = lineage.get("output_fragments",
+                            [lineage.get("output_fragment")])
         if (
             m.get("status") == "committed"
-            and m.get("lineage", {}).get("num_partitions") == num_partitions
-            and os.path.exists(part_data_path(out_dir, pid))
+            and lineage.get("num_partitions") == num_partitions
+            and frags
+            and all(f and os.path.exists(os.path.join(out_dir, f))
+                    for f in frags)
         ):
             done.add(pid)
     return done

@@ -40,6 +40,47 @@ def test_curation_sink_commit_resume_cycle(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_sink_hive_partition_by(tmp_path):
+    """partition_by=<col> writes data/<col>=<val>/part-*.parquet: the full
+    manifest-driven read is unchanged, a selective read of one value dir
+    returns exactly that slice, and resume stays partition-scoped."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from ocrautomator_ray.sinks.parquet_commit import resumable_write
+
+    out = str(tmp_path / "o")
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    s1 = resumable_write(docs, out, num_partitions=4, key="doc_id",
+                         partition_by="lang")
+    assert s1["partitions_this_run"] == 4
+    full = _read(out)
+    ref = pd.read_parquet(f"{SF}/documents.parquet",
+                          columns=["doc_id", "lang", "n_chars"]) \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(full[ref.columns], ref)
+
+    # hive layout on disk + selective single-value read
+    langs = sorted(ref["lang"].unique())
+    dirs = sorted(os.path.basename(d)
+                  for d in glob.glob(os.path.join(out, "data", "lang=*")))
+    assert dirs == [f"lang={v}" for v in langs]
+    one = rd.read_parquet(os.path.join(out, "data", f"lang={langs[0]}")) \
+        .to_pandas()
+    assert set(one["lang"]) == {langs[0]}
+    assert len(one) == (ref["lang"] == langs[0]).sum()
+
+    # resume is still a partition-scoped noop
+    s2 = resumable_write(docs, out, num_partitions=4, key="doc_id",
+                         partition_by="lang")
+    assert s2["partitions_this_run"] == 0
+    pd.testing.assert_frame_equal(_read(out), full)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_sink_refuses_mismatched_partitioning(tmp_path):
     out = str(tmp_path / "o")
     run_curation(SF, out, num_partitions=4)
