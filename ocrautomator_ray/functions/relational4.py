@@ -581,6 +581,80 @@ GROUP BY r_name
 """
 
 
+# --------------------------------------------------------------------------
+# event_value_zscore — group-wise normalization (the feature-engineering
+# two-pass): exact int64 per-type sums (value in centis so Σv² stays in
+# int64 past sf10), the 5-row stats table broadcast via ray.put, then a
+# per-row vectorized finalize. z = (v·n − Σv)/√(n·Σv² − (Σv)²) evaluated in
+# the same IEEE order as the SQL oracle, so micros are bit-stable.
+# --------------------------------------------------------------------------
+
+def event_value_zscore(sf_dir: str) -> rd.Dataset:
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _cents(t["value"])
+        tt = pa.table({"event_type": t["event_type"], "s": v,
+                       "sq": pc.multiply(v, v)})
+        g = pa.TableGroupBy(tt, "event_type").aggregate(
+            [("s", "sum"), ("sq", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["event_type", "s", "sq", "n"])
+
+    stats_rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("s", alias_name="s"), Sum("sq", alias_name="sq"),
+                   Sum("n", alias_name="n"))
+        .take_all()
+    )
+    stats = {r["event_type"]: (float(r["n"]), float(r["s"]), float(r["sq"]))
+             for r in stats_rows}
+    stats_ref = ray.put(stats)
+
+    def finish(t: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        v = _cents(t["value"]).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        types = t["event_type"].to_pylist()
+        n = np.array([st[e][0] for e in types])
+        s = np.array([st[e][1] for e in types])
+        sq = np.array([st[e][2] for e in types])
+        den = np.sqrt(n * sq - s * s)
+        keep = den > 0
+        z = np.floor((v[keep] * n[keep] - s[keep]) / den[keep] * 1e6 + 0.5)
+        return pa.table({
+            "event_id": t["event_id"].filter(pa.array(keep)),
+            "event_type": t["event_type"].filter(pa.array(keep)),
+            "z_micros": pa.array(z.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ZSCORE = """
+SELECT event_id, event_type,
+       CAST(FLOOR((CAST(v AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s AS DOUBLE))
+                  / sqrt(CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS z_micros
+FROM (
+    SELECT event_id, event_type,
+           CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS v,
+           CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY event_type) AS BIGINT) AS s,
+           CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)
+                    * CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY event_type) AS BIGINT) AS sq,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+WHERE sqrt(CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) > 0
+"""
+
+
 QUERIES = {
     "repeat_customers": repeat_customers,
     "churned_customers": churned_customers,
@@ -590,10 +664,12 @@ QUERIES = {
     "qty_price_corr_by_flag": qty_price_corr_by_flag,
     "orders_of_big_buyers": orders_of_big_buyers,
     "revenue_by_region": revenue_by_region,
+    "event_value_zscore": event_value_zscore,
 }
 
 SQL = {
     "revenue_by_region": SQL_REVENUE_BY_REGION,
+    "event_value_zscore": SQL_ZSCORE,
     "repeat_customers": SQL_REPEAT_CUSTOMERS,
     "churned_customers": SQL_CHURNED_CUSTOMERS,
     "customer_value_ntile": SQL_NTILE,

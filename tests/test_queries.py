@@ -66,7 +66,7 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "approx_quantiles_value", "pack_sequences", "lang_id",
                "doc_fingerprint", "minhash_lsh_dups", "minhash_dup_clusters",
                "simhash_dups", "approx_top_tokens", "neardup_removed_docs",
-               "revenue_by_region"]
+               "revenue_by_region", "event_value_zscore"]
 
 
 @pytest.mark.usefixtures("ray_session")
