@@ -591,7 +591,18 @@ GROUP BY r_name
 
 def event_value_zscore(sf_dir: str) -> rd.Dataset:
     path = f"{sf_dir}/events.parquet"
-    ds = rd.read_parquet(path, columns=["event_id", "event_type", "value"])
+
+    def drop_null_values(t: pa.Table) -> pa.Table:
+        # null values are excluded from BOTH the stats and the output
+        # (mirrored by the oracle's WHERE value IS NOT NULL) — a NaN
+        # round-trip through the int finalize would otherwise emit
+        # platform-dependent garbage
+        return t.filter(pc.is_valid(t["value"]))
+
+    ds = rd.read_parquet(
+        path, columns=["event_id", "event_type", "value"]
+    ).map_batches(drop_null_values, batch_format="pyarrow",
+                  zero_copy_batch=True)
 
     def partial(t: pa.Table) -> pa.Table:
         v = _cents(t["value"])
@@ -617,10 +628,17 @@ def event_value_zscore(sf_dir: str) -> rd.Dataset:
         st = ray.get(stats_ref)
         v = _cents(t["value"]).to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        types = t["event_type"].to_pylist()
-        n = np.array([st[e][0] for e in types])
-        s = np.array([st[e][1] for e in types])
-        sq = np.array([st[e][2] for e in types])
+        # dictionary-encode the (few) types once per batch, then np.take —
+        # no per-row Python
+        enc = pc.dictionary_encode(t["event_type"])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        stats_mat = np.array([st[e] for e in enc.dictionary.to_pylist()],
+                             dtype=np.float64).reshape(-1, 3)
+        n = stats_mat[codes, 0]
+        s = stats_mat[codes, 1]
+        sq = stats_mat[codes, 2]
         den = np.sqrt(n * sq - s * s)
         keep = den > 0
         z = np.floor((v[keep] * n[keep] - s[keep]) / den[keep] * 1e6 + 0.5)
@@ -648,7 +666,7 @@ FROM (
                     * CAST(FLOOR(value*100 + 0.5) AS BIGINT))
                OVER (PARTITION BY event_type) AS BIGINT) AS sq,
            COUNT(*) OVER (PARTITION BY event_type) AS n
-    FROM events
+    FROM events WHERE value IS NOT NULL
 )
 WHERE sqrt(CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) > 0

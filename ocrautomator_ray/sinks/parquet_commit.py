@@ -62,17 +62,38 @@ def _make_commit(out_dir: str, num_partitions: int, input_desc: str,
             # hive-style layout: one fragment per column value, under
             # data/<col>=<val>/part-NNNNN.parquet — selective readers scan a
             # single value directory; the COMMIT unit (and thus resume) is
-            # still the hash partition, whose manifest lists every fragment
+            # still the hash partition, whose manifest lists every fragment.
+            # Single pass: dictionary-encode, sort by code, slice runs
+            # (no O(values × rows) re-filtering); values are %-escaped per
+            # hive convention so '/', '=' or '..' can't corrupt the layout;
+            # nulls go to the hive default-partition directory.
+            from urllib.parse import quote
+
+            import numpy as np
             import pyarrow.compute as pc
 
+            enc = pc.dictionary_encode(data[partition_by])
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            vals = enc.dictionary.to_pylist()
+            codes = np.where(np.isnan(codes.astype(np.float64)), len(vals),
+                             codes).astype(np.int64) \
+                if codes.dtype.kind == "f" else codes.astype(np.int64)
+            order = np.argsort(codes, kind="stable")
+            sorted_data = data.take(pa.array(order))
+            codes = codes[order]
+            bounds = np.concatenate((
+                [0], np.flatnonzero(np.diff(codes)) + 1, [len(codes)]))
             frags = []
-            vals = data[partition_by]
-            for v in pc.unique(vals).to_pylist():
-                sel = data.filter(pc.equal(vals, v))
-                final = os.path.join(
-                    data_dir(out_dir), f"{partition_by}={v}",
-                    os.path.basename(base))
-                _write_fragment(sel, final)
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                c = int(codes[a])
+                name = (quote(str(vals[c]), safe="") if c < len(vals)
+                        else "__HIVE_DEFAULT_PARTITION__")
+                final = os.path.join(data_dir(out_dir),
+                                     f"{partition_by}={name}",
+                                     os.path.basename(base))
+                _write_fragment(sorted_data.slice(a, b - a), final)
                 frags.append(os.path.relpath(final, out_dir))
         write_part_manifest(out_dir, pid, {
             "part_id": pid,
@@ -117,10 +138,15 @@ def resumable_write(ds: rd.Dataset, out_dir: str, num_partitions: int = 16,
     ``data/<col>=<val>/part-NNNNN.parquet`` (one fragment per value per hash
     partition): selective consumers read one value directory; full reads and
     O(P) resume are unchanged because the commit unit stays the hash
-    partition. Caveat: a DIRECTORY read of one value trades the
-    manifest-driven guarantee for layout convenience — it can see orphaned
-    fragments if the same out_dir was re-used with different input rows
-    (manifest-driven ``read_output`` never does).
+    partition. Values are %-escaped (hive convention) and nulls land in
+    ``<col>=__HIVE_DEFAULT_PARTITION__``; pick a LOW-cardinality column
+    (splits, languages) — the layout writes one fragment per value per hash
+    partition, so a near-unique column produces P×V tiny files. Caveat: a
+    DIRECTORY read of one value trades the manifest-driven guarantee for
+    layout convenience — it can see orphaned fragments if the same out_dir
+    was re-used with different input rows (manifest-driven ``read_output``
+    never does). Reusing an out_dir with a different ``partition_by`` is
+    refused (run-manifest check), like a different ``num_partitions``.
 
     Returns the merged summary (partitions committed, row counters). The
     exchange guarantees a partition arrives as one contiguous run in one
@@ -130,9 +156,10 @@ def resumable_write(ds: rd.Dataset, out_dir: str, num_partitions: int = 16,
     """
     from ocrautomator_ray.functions.exchange import tune_exchange
 
-    check_run_compatible(out_dir, num_partitions)
+    check_run_compatible(out_dir, num_partitions, partition_by=partition_by)
     write_run_manifest(out_dir, {"num_partitions": num_partitions,
                                  "partitioner": f"siphash({key}) % num_partitions",
+                                 "partition_by": partition_by,
                                  "input": input_desc})
     done = completed_parts(out_dir, num_partitions) if resume else set()
 

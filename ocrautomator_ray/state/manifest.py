@@ -82,17 +82,26 @@ def load_run_manifest(out_dir: str) -> dict | None:
         return json.load(f)
 
 
-def check_run_compatible(out_dir: str, num_partitions: int) -> None:
+def check_run_compatible(out_dir: str, num_partitions: int,
+                         partition_by: str | None = None) -> None:
     """Fail fast when an existing out_dir was produced under a different
     partitioning: part-NNNNN names would overlap, leaving stale committed
     manifests/fragments that read_output would return alongside new ones.
-    Reusing an out_dir is only valid with the same num_partitions (resume)."""
+    Reusing an out_dir is only valid with the same num_partitions AND the
+    same hive partition_by (resume) — a mixed flat/hive layout would make
+    selective value-directory reads silently incomplete."""
     rm = load_run_manifest(out_dir)
     if rm is not None and int(rm.get("num_partitions", -1)) != num_partitions:
         raise RuntimeError(
             f"out_dir {out_dir!r} was produced with num_partitions="
             f"{rm.get('num_partitions')}, refusing to write with "
             f"num_partitions={num_partitions}; use a fresh out_dir"
+        )
+    if rm is not None and rm.get("partition_by") != partition_by:
+        raise RuntimeError(
+            f"out_dir {out_dir!r} was produced with partition_by="
+            f"{rm.get('partition_by')!r}, refusing to write with "
+            f"partition_by={partition_by!r}; use a fresh out_dir"
         )
     stale = {
         pid: m["lineage"]["num_partitions"]

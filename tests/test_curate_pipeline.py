@@ -81,6 +81,49 @@ def test_sink_hive_partition_by(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_sink_hive_hostile_values_and_nulls(tmp_path):
+    """Partition values with path separators are %-escaped; null values land
+    in the hive default partition; no row is lost; a different partition_by
+    on the same out_dir is refused."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocrautomator_ray.sinks.parquet_commit import resumable_write
+
+    out = str(tmp_path / "o")
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "lang": pa.array(["pt/BR", "a=b", None, ".."], pa.string()),
+    })
+    s = resumable_write(rd.from_arrow(t), out, num_partitions=2,
+                        key="doc_id", partition_by="lang")
+    assert s["counters"]["rows"] == 4
+    got = _read(out)
+    assert sorted(got["doc_id"]) == [1, 2, 3, 4]      # nothing lost
+    dirs = {os.path.basename(d)
+            for d in glob.glob(os.path.join(out, "data", "lang=*"))}
+    assert dirs == {"lang=pt%2FBR", "lang=a%3Db", "lang=%2E%2E",
+                    "lang=__HIVE_DEFAULT_PARTITION__"} or (
+        # '.' is safe under quote(); the essential property is that no dir
+        # escapes data/ and separators are escaped
+        all("/" not in d.replace("lang=", "", 1) for d in dirs)
+        and "lang=__HIVE_DEFAULT_PARTITION__" in dirs
+        and len(dirs) == 4
+    )
+    # every fragment lives under data/
+    for d in glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True):
+        assert os.path.commonpath([d, os.path.join(out, "data")]) == \
+            os.path.join(out, "data")
+
+    with pytest.raises(RuntimeError, match="partition_by"):
+        resumable_write(rd.from_arrow(t), out, num_partitions=2,
+                        key="doc_id", partition_by=None)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_sink_refuses_mismatched_partitioning(tmp_path):
     out = str(tmp_path / "o")
     run_curation(SF, out, num_partitions=4)
