@@ -110,6 +110,28 @@ def auto_partitions(*paths: str, bytes_per_partition: int = 64 << 20,
     return max(lo, min(hi, -(-total // bytes_per_partition)))
 
 
+def read_blocks(*paths: str, bytes_per_block: int = 16 << 20,
+                lo: int = 4, hi: int = 4096) -> int:
+    """``override_num_blocks`` sized to the input bytes on disk.
+
+    Ray's default read split targets parallelism (64+ blocks even for a
+    2 MB file), but every downstream hash-shuffle/join op pays a fixed
+    ~0.3-1.5 s update task per input block — for small-to-medium tables the
+    fixed costs dwarf the data. One block per ~16 MB compressed keeps that
+    overhead proportional at every scale (a 100 TB input still gets
+    thousands of blocks; `hi` only guards the driver's plan size)."""
+    import os
+
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            total += sum(e.stat().st_size for e in os.scandir(p)
+                         if e.is_file())
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return max(lo, min(hi, -(-total // bytes_per_block)))
+
+
 def per_key_blocks(ds: rd.Dataset, keys: list[str], block_fn: Callable,
                    num_partitions: int = 16,
                    batch_format: str = "pyarrow") -> rd.Dataset:

@@ -461,22 +461,37 @@ def customer_order_counts(sf_dir: str) -> rd.Dataset:
 
     cust_path = f"{sf_dir}/customer.parquet"
     orders_path = f"{sf_dir}/orders.parquet"
-    cust = rd.read_parquet(cust_path, columns=["c_custkey"])
-    orders = rd.read_parquet(orders_path, columns=["o_custkey"])
+    from ocrautomator_ray.functions.exchange import read_blocks
+
+    cust = rd.read_parquet(cust_path, columns=["c_custkey"],
+                           override_num_blocks=read_blocks(cust_path))
+    orders = rd.read_parquet(orders_path, columns=["o_custkey"],
+                             override_num_blocks=read_blocks(orders_path))
 
     def partial(t: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(t, "o_custkey").aggregate([([], "count_all")])
         return g.rename_columns(["o_custkey", "n_orders"])
 
-    agg = (
+    def final_sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64())})
+        g = pa.TableGroupBy(t, "o_custkey").aggregate([("n_orders", "sum")])
+        return g.rename_columns(["o_custkey", "n_orders"])
+
+    n_parts = auto_partitions(cust_path, orders_path)
+    tune_exchange(orders, n_parts)
+    # the join executes under the LEFT side's context — tune cust too, or
+    # agg's repartition lineage runs under the untuned SORT strategy
+    tune_exchange(cust, n_parts)
+    # hash exchange + Arrow block sum instead of groupby().aggregate() —
+    # Ray's HashAggregate costs ~0.5 s of update machinery per shard task
+    agg = per_key_blocks(
         orders.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-        .groupby("o_custkey")
-        .aggregate(Sum("n_orders", alias_name="n_orders"))
-    )
-    tune_exchange(cust)
+                           zero_copy_batch=True),
+        ["o_custkey"], final_sum, num_partitions=n_parts)
     joined = cust.join(agg, join_type="left_outer",
-                       num_partitions=auto_partitions(cust_path, orders_path),
+                       num_partitions=n_parts,
                        on=("c_custkey",), right_on=("o_custkey",))
 
     def finish(t: pa.Table) -> pa.Table:
