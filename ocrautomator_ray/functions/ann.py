@@ -15,6 +15,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from ocrautomator_ray.functions.exchange import pruned_read
+
 ANN_NUM_QUERIES = 10
 ANN_K = 5
 
@@ -77,7 +79,7 @@ def ann_topk(sf_dir: str, num_queries: int = ANN_NUM_QUERIES, k: int = ANN_K) ->
             "rank": np.arange(1, len(g) + 1, dtype=np.int64),
         })
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
     return (
         ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("qid")
@@ -168,7 +170,7 @@ def lsh_ann_topk(sf_dir: str, num_queries: int = ANN_NUM_QUERIES, k: int = ANN_K
             "rank": np.arange(1, len(g) + 1, dtype=np.int64),
         })
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
     return (
         ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("qid")
@@ -271,8 +273,7 @@ def ivf_ann_topk(sf_dir: str, num_queries: int = ANN_NUM_QUERIES,
             "rank": np.arange(1, len(g) + 1, dtype=np.int64),
         })
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
     return (
         ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("qid")
@@ -296,8 +297,7 @@ def label_centroids(sf_dir: str) -> rd.Dataset:
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["label", "embedding"])
+    ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["label", "embedding"])
 
     def partial(t: pa.Table) -> pa.Table:
         emb = t["embedding"].combine_chunks()

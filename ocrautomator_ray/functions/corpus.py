@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks
+from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks, pruned_read
 from ocrautomator_ray.functions.filters import WORD_RE
 
 TFIDF_TOP_K = 3
@@ -42,7 +42,7 @@ TFIDF_TOP_K = 3
 
 def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
     path = f"{sf_dir}/documents.parquet"
-    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    docs = pruned_read(path, ["doc_id", "text"])
 
     def tf_rows(t: pa.Table) -> pa.Table:
         # '\S+' extraction == split on '\s+' minus empty strings — all-C++
@@ -142,8 +142,7 @@ CHUNK_TOKENS = 32
 
 
 def doc_chunks(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
 
     def chunk(t: pa.Table) -> pa.Table:
         empty = pa.table({
@@ -236,7 +235,7 @@ def pack_sequences(sf_dir: str) -> rd.Dataset:
     # materialize the REDUCED table (three int64 columns, one row per doc —
     # never the text) so the two phases don't tokenize the corpus twice; at
     # 100 TB this is ~24 B/doc in the object store, spillable
-    cnt = rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+    cnt = pruned_read(path, ["doc_id", "text"]).map_batches(
         counts, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 

@@ -37,7 +37,7 @@ from ocrautomator_ray.functions.dedup import (
     _split_tokens,
     _tokenize_re2,
 )
-from ocrautomator_ray.functions.exchange import tune_exchange
+from ocrautomator_ray.functions.exchange import pruned_read, tune_exchange
 
 # ---------------------------------------------------------------------------
 # decontaminate — train docs sharing any word k-gram with the eval subset
@@ -90,8 +90,7 @@ def decontaminate(sf_dir: str, k: int = DECONTAM_K,
         # gram rows ≈ 8× the text bytes; size the exchange accordingly
         num_partitions = auto_partitions(f"{sf_dir}/documents.parquet",
                                          bytes_per_partition=8 << 20)
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
     tune_exchange(ds, num_partitions)
 
     def gram_rows(t: pa.Table) -> pa.Table:
@@ -202,7 +201,7 @@ def hash_split(sf_dir: str) -> rd.Dataset:
     """(doc_id, bucket, split): bucket = knuth_hash(doc_id) mod 1000 and
     split = train/val/test at 98/1/1 — deterministic, stateless,
     shuffle-free."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id"])
 
     def assign(t: pa.Table) -> pa.Table:
         bucket = knuth_bucket(t["doc_id"].to_numpy(zero_copy_only=False))
@@ -246,8 +245,7 @@ def repetition_stats(sf_dir: str) -> rd.Dataset:
     integerized at 1e-6. High values flag boilerplate/spam for filtering."""
     import pyarrow.compute as pc
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
 
     def stats(t: pa.Table) -> pa.Table:
         text = pc.fill_null(t["text"].combine_chunks()
@@ -322,8 +320,7 @@ def stratified_sample(sf_dir: str) -> rd.Dataset:
     shuffle-free, reproducible — rerunning selects the same rows, and the
     same doc keeps/drops consistently across pipelines (the property that
     matters for incremental corpus rebuilds)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "source"])
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "source"])
 
     def pick(t: pa.Table) -> pa.Table:
         srcs = t["source"].to_numpy(zero_copy_only=False)
@@ -370,7 +367,7 @@ def top_ngrams(sf_dir: str, n: int = TOP_NGRAM_N,
 
     from ocrautomator_ray.functions.exchange import auto_partitions, tune_exchange
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["text"])
     n_parts = auto_partitions(f"{sf_dir}/documents.parquet")
     tune_exchange(ds, n_parts)
 
@@ -495,8 +492,7 @@ def dedup_spans(sf_dir: str) -> rd.Dataset:
 
     from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
     n_parts = auto_partitions(f"{sf_dir}/documents.parquet",
                               bytes_per_partition=16 << 20)
 

@@ -81,6 +81,7 @@ def _per_key_runs(ds: rd.Dataset, keys: list[str], fn, empty_schema: pa.Schema,
 
 
 from ocrautomator_ray.functions.exchange import (
+    pruned_read,
     auto_partitions as _auto_partitions,
     tune_exchange as _tune_exchange,
 )
@@ -442,7 +443,7 @@ def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD) -> rd.Da
     twice). Output: (doc_a, doc_b, jaccard).
     """
     n_parts = _auto_partitions(f"{sf_dir}/documents.parquet")
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
     _tune_exchange(ds, n_parts)  # budget the joins below before the plan is built
 
     def shingle_rows(t: pa.Table) -> pa.Table:
@@ -608,7 +609,7 @@ def simhash_dups(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> rd.Data
     """
     import ray
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
 
     def sig_rows(t: pa.Table) -> pa.Table:
         sigs = _batch_simhash(t["text"])  # vectorized; == simhash64 per row
@@ -695,8 +696,7 @@ def chargram_jaccard_dups(sf_dir: str, threshold: float = CHARGRAM_THRESHOLD) ->
     Output: (doc_a, doc_b, jac). Matches DuckDB's jaccard() semantics exactly
     (distinct unicode characters of each string).
     """
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "source"])
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text", "source"])
     # widened denominator: for size ratio exactly t the bucket distance is
     # strictly < 1 even under float rounding, so "adjacent buckets" holds
     log_inv_t = np.log(1.0 / threshold) * (1 + 1e-9)
@@ -814,8 +814,7 @@ def embedding_neardup(sf_dir: str, threshold: float = COSINE_THRESHOLD,
     pass is needed. Output: (vec_a, vec_b, cos_sim_u) with the similarity
     integerized at 1e-6 (micro-units) so the SQL oracle hash-matches.
     """
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
 
     def replicate(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
@@ -1148,8 +1147,7 @@ def neardup_removed_docs(sf_dir: str) -> rd.Dataset:
         ).select(["doc_id"]).rename_columns(["drop_id"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "n_chars"])
+    docs = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "n_chars"])
     _tune_exchange(docs)
     return docs.join(drop, join_type="left_anti",
                      num_partitions=_auto_partitions(

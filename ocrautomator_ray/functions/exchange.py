@@ -132,6 +132,15 @@ def read_blocks(*paths: str, bytes_per_block: int = 16 << 20,
     return max(lo, min(hi, -(-total // bytes_per_block)))
 
 
+def pruned_read(path: str, columns: list[str]) -> rd.Dataset:
+    """``read_parquet`` with column pruning AND a size-proportional block
+    count (``read_blocks``) — the default read split's 64+ blocks for a
+    megabyte table make every downstream exchange pay 64× its fixed
+    per-block update cost."""
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=read_blocks(path))
+
+
 def per_key_blocks(ds: rd.Dataset, keys: list[str], block_fn: Callable,
                    num_partitions: int = 16,
                    batch_format: str = "pyarrow") -> rd.Dataset:

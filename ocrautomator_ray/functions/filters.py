@@ -33,6 +33,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+
+from ocrautomator_ray.functions.exchange import pruned_read
 from ray.data.aggregate import Sum
 
 WORD_RE = r"\S+"
@@ -49,8 +51,7 @@ MIN_STOP_HITS = 2
 
 
 def stopword_filter(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
 
     def screen(t: pa.Table) -> pa.Table:
         n_words = pc.cast(pc.count_substring_regex(t["text"], WORD_RE),
@@ -81,8 +82,7 @@ WHERE stop_hits >= {MIN_STOP_HITS}
 
 
 def type_token_ratio(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
 
     def ttr(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].str.findall(WORD_RE)
@@ -141,7 +141,7 @@ def _disc_threshold(vals: np.ndarray, counts: np.ndarray,
 
 def percentile_filter_docs(sf_dir: str) -> rd.Dataset:
     path = f"{sf_dir}/documents.parquet"
-    ds = rd.read_parquet(path, columns=["n_chars"])
+    ds = pruned_read(path, ["n_chars"])
 
     def partial(t: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(t, "n_chars").aggregate([([], "count_all")])
@@ -182,8 +182,7 @@ PHONE_RE = r"\+?\d[\d\-() ]{7,}\d"
 
 
 def pii_scrub(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
     return ds.map_batches(scrub_block, batch_format="pyarrow",
                           zero_copy_batch=True)
 

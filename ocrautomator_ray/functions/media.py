@@ -15,6 +15,8 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data as rd
 
+from ocrautomator_ray.functions.exchange import pruned_read
+
 from ocrautomator_ray import codec
 from ocrautomator_ray.stages.multimodal import (
     MEDIA_SCHEMA,
@@ -39,7 +41,7 @@ def _media_rows(t: pa.Table, mime: str) -> pa.Table:
 
 
 def _media_ds(sf_dir: str, mime: str = "image/synm") -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id"])
     # small batches: binary payloads are sized by bytes, not rows
     return ds.map_batches(lambda t: _media_rows(t, mime),
                           batch_format="pyarrow", batch_size=64,

@@ -23,6 +23,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+
+from ocrautomator_ray.functions.exchange import pruned_read
 from ray.data.aggregate import Count, Min, Sum
 
 
@@ -116,8 +118,7 @@ def first_event_per_user(sf_dir: str) -> rd.Dataset:
     from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks
 
     ev_path = f"{sf_dir}/events.parquet"
-    ds = rd.read_parquet(ev_path,
-                         columns=["user_id", "ts", "event_id", "event_type"])
+    ds = pruned_read(ev_path, ["user_id", "ts", "event_id", "event_type"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         # per-batch pre-reduce: keep each user's first row; shrinks the shuffle
@@ -150,7 +151,7 @@ GROUP BY user_id
 # --------------------------------------------------------------------------
 
 def dedup_first_docs(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(t, "text").aggregate([("doc_id", "min")])
@@ -190,7 +191,7 @@ def customers_without_orders(sf_dir: str) -> rd.Dataset:
         return t.filter(pa.array(mask))
 
     return (
-        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+        pruned_read(f"{sf_dir}/customer.parquet", ["c_custkey", "c_name"])
         .map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
     )
 
@@ -210,10 +211,8 @@ WHERE c_custkey NOT IN (
 def revenue_by_nation(sf_dir: str) -> rd.Dataset:
     import ray
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
-                             columns=["n_nationkey", "n_name"]).to_pandas()
+    cust = pruned_read(f"{sf_dir}/customer.parquet", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pruned_read(f"{sf_dir}/nation.parquet", ["n_nationkey", "n_name"]).to_pandas()
     cust2nation = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
     lookup_ref = ray.put(
         dict(zip(cust2nation["c_custkey"].to_numpy(), cust2nation["n_name"]))
@@ -231,8 +230,7 @@ def revenue_by_nation(sf_dir: str) -> rd.Dataset:
         return g
 
     return (
-        rd.read_parquet(f"{sf_dir}/orders.parquet",
-                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        pruned_read(f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey", "o_totalprice"])
         .map_batches(partial, batch_format="pandas")
         .groupby("n_name")
         .aggregate(
@@ -259,8 +257,7 @@ GROUP BY n_name
 
 def top_orders(sf_dir: str) -> rd.Dataset:
     return (
-        rd.read_parquet(f"{sf_dir}/orders.parquet",
-                        columns=["o_orderkey", "o_totalprice"])
+        pruned_read(f"{sf_dir}/orders.parquet", ["o_orderkey", "o_totalprice"])
         .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
         .limit(20)
     )
@@ -277,7 +274,7 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
 # --------------------------------------------------------------------------
 
 def event_type_counts(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = pruned_read(f"{sf_dir}/events.parquet", ["event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.append_column("sum_value_u", _cents(t["value"], 1_000_000))
@@ -307,7 +304,7 @@ FROM events GROUP BY event_type
 # --------------------------------------------------------------------------
 
 def hourly_user_activity(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = pruned_read(f"{sf_dir}/events.parquet", ["user_id", "ts"])
 
     def partial(t: pa.Table) -> pa.Table:
         us = t["ts"].cast(pa.int64())

@@ -12,6 +12,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+
+from ocrautomator_ray.functions.exchange import pruned_read
 from ray.data.aggregate import Sum
 
 # --------------------------------------------------------------------------
@@ -75,9 +77,7 @@ def revenue_by_priority(sf_dir: str) -> rd.Dataset:
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
-    )
+    orders = pruned_read(f"{sf_dir}/orders.parquet", ["o_orderkey", "o_orderpriority"])
     joined = line.join(
         orders,
         join_type="inner",
@@ -126,7 +126,7 @@ def sessionize_events(sf_dir: str) -> rd.Dataset:
     from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks
 
     ev_path = f"{sf_dir}/events.parquet"
-    ds = rd.read_parquet(ev_path, columns=["user_id", "ts", "event_id"])
+    ds = pruned_read(ev_path, ["user_id", "ts", "event_id"])
 
     def sessions_block(block: pd.DataFrame) -> pd.DataFrame:
         # all rows of each user are in this block (hash exchange); one
@@ -189,7 +189,7 @@ def top_events_per_user(sf_dir: str) -> rd.Dataset:
     from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks
 
     ev_path = f"{sf_dir}/events.parquet"
-    ds = rd.read_parquet(ev_path, columns=["user_id", "event_id", "value"])
+    ds = pruned_read(ev_path, ["user_id", "event_id", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         # batch-local top-k per user — shrinks the shuffle to k rows/user/batch
@@ -232,7 +232,7 @@ SELECT user_id, event_id, rank FROM (
 # --------------------------------------------------------------------------
 
 def distinct_users_per_type(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    ds = pruned_read(f"{sf_dir}/events.parquet", ["event_type", "user_id"])
 
     def partial_pairs(t: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(t, ["event_type", "user_id"]).aggregate([([], "count_all")])
@@ -274,10 +274,8 @@ FROM events GROUP BY event_type
 # --------------------------------------------------------------------------
 
 def asof_last_order(sf_dir: str) -> rd.Dataset:
-    events = rd.read_parquet(f"{sf_dir}/events.parquet",
-                             columns=["event_id", "user_id", "ts"])
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_custkey", "o_orderdate"])
+    events = pruned_read(f"{sf_dir}/events.parquet", ["event_id", "user_id", "ts"])
+    orders = pruned_read(f"{sf_dir}/orders.parquet", ["o_custkey", "o_orderdate"])
 
     def tag_events(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -360,8 +358,7 @@ def disc_quantile(vals: np.ndarray, cum: np.ndarray, num: int, den: int):
 
 
 def quantiles_qty_by_flag(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_returnflag", "l_quantity"])
+    ds = pruned_read(f"{sf_dir}/lineitem.parquet", ["l_returnflag", "l_quantity"])
 
     def partial(t: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(t, ["l_returnflag", "l_quantity"]).aggregate(
@@ -422,7 +419,7 @@ def sliding_window_activity(sf_dir: str) -> rd.Dataset:
     from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks
 
     ev_path = f"{sf_dir}/events.parquet"
-    ds = rd.read_parquet(ev_path, columns=["user_id", "ts"])
+    ds = pruned_read(ev_path, ["user_id", "ts"])
     n_win = WINDOW_S // SLIDE_S
 
     def expand(t: pa.Table) -> pa.Table:

@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Max, Min, Sum
 
-from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks
+from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks, pruned_read
 
 # --------------------------------------------------------------------------
 # followers_within_window — interval self-join: for each 'click' event, count
@@ -42,9 +42,7 @@ FOLLOW_WINDOW_US = 6 * 3600 * 1_000_000  # 6 hours
 
 def followers_within_window(sf_dir: str) -> rd.Dataset:
     ev_path = f"{sf_dir}/events.parquet"
-    ds = rd.read_parquet(
-        ev_path, columns=["event_id", "user_id", "ts", "value", "event_type"]
-    )
+    ds = pruned_read(ev_path, ["event_id", "user_id", "ts", "value", "event_type"])
 
     def window_block(t: pa.Table) -> pa.Table:
         empty = pa.table({
@@ -128,7 +126,7 @@ GROUP BY a.event_id
 
 def cumulative_user_value(sf_dir: str) -> rd.Dataset:
     ev_path = f"{sf_dir}/events.parquet"
-    ds = rd.read_parquet(ev_path, columns=["event_id", "user_id", "ts", "value"])
+    ds = pruned_read(ev_path, ["event_id", "user_id", "ts", "value"])
 
     def cum_block(block: pd.DataFrame) -> pd.DataFrame:
         if block.empty:
@@ -170,8 +168,7 @@ _PROPS_K_RE = r'"k":\s*(?P<k>-?\d+)'
 
 
 def props_value_stats(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_type", "props"])
+    ds = pruned_read(f"{sf_dir}/events.parquet", ["event_type", "props"])
 
     def partial(t: pa.Table) -> pa.Table:
         k = pc.cast(
@@ -216,7 +213,7 @@ GROUP BY event_type
 
 def user_event_sequences(sf_dir: str) -> rd.Dataset:
     ev_path = f"{sf_dir}/events.parquet"
-    ds = rd.read_parquet(ev_path, columns=["user_id", "ts", "event_id",
+    ds = pruned_read(ev_path, ["user_id", "ts", "event_id",
                                            "event_type"])
 
     def seq_block(block: pd.DataFrame) -> pd.DataFrame:
@@ -250,7 +247,7 @@ FROM events GROUP BY user_id
 
 def event_gaps(sf_dir: str) -> rd.Dataset:
     ev_path = f"{sf_dir}/events.parquet"
-    ds = rd.read_parquet(ev_path, columns=["event_id", "user_id", "ts"])
+    ds = pruned_read(ev_path, ["event_id", "user_id", "ts"])
 
     def gaps_block(block: pd.DataFrame) -> pd.DataFrame:
         if block.empty:
@@ -294,8 +291,7 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 def user_event_pivot(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "event_type"])
+    ds = pruned_read(f"{sf_dir}/events.parquet", ["user_id", "event_type"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         ct = pd.crosstab(df["user_id"], df["event_type"])
@@ -331,8 +327,7 @@ FROM events GROUP BY user_id
 # --------------------------------------------------------------------------
 
 def revenue_rollup(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                         columns=["o_orderstatus", "o_orderpriority",
+    ds = pruned_read(f"{sf_dir}/orders.parquet", ["o_orderstatus", "o_orderpriority",
                                   "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -409,7 +404,7 @@ ROLL_N = 3
 
 def rolling_value_sum(sf_dir: str) -> rd.Dataset:
     ev_path = f"{sf_dir}/events.parquet"
-    ds = rd.read_parquet(ev_path, columns=["event_id", "user_id", "ts",
+    ds = pruned_read(ev_path, ["event_id", "user_id", "ts",
                                            "value"])
 
     def roll_block(block: pd.DataFrame) -> pd.DataFrame:

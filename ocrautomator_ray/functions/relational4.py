@@ -31,6 +31,7 @@ import ray.data as rd
 from ray.data.aggregate import Max, Min, Sum
 
 from ocrautomator_ray.functions.exchange import (
+    pruned_read,
     auto_partitions,
     per_key_blocks,
     read_blocks,
@@ -51,7 +52,7 @@ _YEAR_A, _YEAR_B = 1995, 1996
 
 def _year_flag_sets(sf_dir: str) -> rd.Dataset:
     path = f"{sf_dir}/orders.parquet"
-    ds = rd.read_parquet(path, columns=["o_custkey", "o_orderdate"])
+    ds = pruned_read(path, ["o_custkey", "o_orderdate"])
 
     def partial(t: pa.Table) -> pa.Table:
         y = pc.year(t["o_orderdate"])
@@ -133,7 +134,7 @@ def _ntile(rn0: np.ndarray, n: np.ndarray) -> np.ndarray:
 
 def customer_value_ntile(sf_dir: str) -> rd.Dataset:
     path = f"{sf_dir}/orders.parquet"
-    ds = rd.read_parquet(path, columns=["o_orderkey", "o_custkey",
+    ds = pruned_read(path, ["o_orderkey", "o_custkey",
                                         "o_totalprice"])
 
     def rank_block(block: pd.DataFrame) -> pd.DataFrame:
@@ -282,8 +283,7 @@ FULL JOIN (
 # --------------------------------------------------------------------------
 
 def conversion_funnel(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "event_type"])
+    ds = pruned_read(f"{sf_dir}/events.parquet", ["user_id", "ts", "event_type"])
 
     def partial(t: pa.Table) -> pa.Table:
         us = pc.cast(t["ts"], pa.int64())
@@ -337,8 +337,7 @@ SELECT user_id, s AS first_signup_us, p AS last_purchase_us FROM (
 # --------------------------------------------------------------------------
 
 def qty_price_corr_by_flag(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_returnflag", "l_quantity",
+    ds = pruned_read(f"{sf_dir}/lineitem.parquet", ["l_returnflag", "l_quantity",
                                   "l_extendedprice"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -478,9 +477,7 @@ def _build_bloom(keys_ds: rd.Dataset, key_col: str) -> "ray.ObjectRef":
 def orders_of_big_buyers(sf_dir: str) -> rd.Dataset:
     cust_path = f"{sf_dir}/customer.parquet"
     orders_path = f"{sf_dir}/orders.parquet"
-    buyers = rd.read_parquet(
-        cust_path, columns=["c_custkey", "c_acctbal"]
-    ).filter(expr=f"c_acctbal > {BIG_BUYER_BAL}").select_columns(["c_custkey"])
+    buyers = pruned_read(cust_path, ["c_custkey", "c_acctbal"]).filter(expr=f"c_acctbal > {BIG_BUYER_BAL}").select_columns(["c_custkey"])
 
     bloom_ref = _build_bloom(buyers, "c_custkey")
 
@@ -624,9 +621,7 @@ def event_value_zscore(sf_dir: str) -> rd.Dataset:
         # platform-dependent garbage
         return t.filter(pc.is_valid(t["value"]))
 
-    ds = rd.read_parquet(
-        path, columns=["event_id", "event_type", "value"]
-    ).map_batches(drop_null_values, batch_format="pyarrow",
+    ds = pruned_read(path, ["event_id", "event_type", "value"]).map_batches(drop_null_values, batch_format="pyarrow",
                   zero_copy_batch=True)
 
     def partial(t: pa.Table) -> pa.Table:

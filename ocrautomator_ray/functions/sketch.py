@@ -16,6 +16,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from ocrautomator_ray.functions.exchange import pruned_read
+
 HLL_P = 12                      # 2^12 registers → σ ≈ 1.04/√4096 ≈ 1.6%
 HLL_M = 1 << HLL_P
 _ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
@@ -74,7 +76,7 @@ def approx_distinct_users_per_type(sf_dir: str) -> rd.Dataset:
     """Approximate COUNT(DISTINCT user_id) per event_type via mergeable HLL
     sketches. Output: (event_type, approx_users). Rows-only driver check;
     the pytest oracle bounds the error vs the exact count."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    ds = pruned_read(f"{sf_dir}/events.parquet", ["event_type", "user_id"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -136,8 +138,7 @@ def approx_top_tokens(sf_dir: str) -> rd.Dataset:
 
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(t["text"], pattern=r"\s+")
@@ -271,7 +272,7 @@ def approx_quantiles_value(sf_dir: str) -> rd.Dataset:
         return pa.table({"event_type": t["event_type"],
                          "vm": _cents(t["value"], 1_000_000)})
 
-    base = rd.read_parquet(path, columns=["event_type", "value"]).map_batches(
+    base = pruned_read(path, ["event_type", "value"]).map_batches(
         to_micros, batch_format="pyarrow", zero_copy_batch=True
     )
     bounds = base.aggregate(RMin("vm"), RMax("vm"))

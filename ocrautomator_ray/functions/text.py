@@ -17,11 +17,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ocrautomator_ray.functions.exchange import pruned_read
+
 TOKEN_RE = r"[A-Za-z0-9_]+"
 
 
 def token_stats(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
 
     def stats(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -51,7 +53,7 @@ def quality_score(sf_dir: str) -> rd.Dataset:
     The ratio is one double division of two exact ints — bit-identical in
     numpy and DuckDB — so it is safe under the driver's value-hash compare.
     """
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
 
     def score(t: pa.Table) -> pa.Table:
         n = pc.cast(pc.utf8_length(t["text"]), pa.int64())
@@ -119,9 +121,7 @@ class LangIdActor:
 
 
 def lang_id(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(LangIdActor, batch_format="pandas", concurrency=2)
+    return pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"]).map_batches(LangIdActor, batch_format="pandas", concurrency=2)
 
 
 # --------------------------------------------------------------------------
@@ -154,7 +154,7 @@ def _winnow_one(data: bytes) -> np.ndarray:
 
 
 def doc_fingerprint(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
 
     def fp(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
@@ -179,8 +179,7 @@ def normalize_text(sf_dir: str) -> rd.Dataset:
     Pure RE2 kernels per batch; n_chars counts unicode codepoints."""
     import pyarrow.compute as pc
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
 
     def norm(t: pa.Table) -> pa.Table:
         s = pc.replace_substring_regex(
