@@ -132,13 +132,36 @@ def read_blocks(*paths: str, bytes_per_block: int = 16 << 20,
     return max(lo, min(hi, -(-total // bytes_per_block)))
 
 
-def pruned_read(path: str, columns: list[str]) -> rd.Dataset:
+_PAYLOAD_COLUMNS = {"text", "embedding"}
+
+
+def pruned_read(path: str, columns: list[str],
+                heavy: bool | None = None) -> rd.Dataset:
     """``read_parquet`` with column pruning AND a size-proportional block
     count (``read_blocks``) — the default read split's 64+ blocks for a
     megabyte table make every downstream exchange pay 64× its fixed
-    per-block update cost."""
+    per-block update cost.
+
+    ``heavy`` flips the trade the other way: a read feeding a CPU-bound
+    stage (tokenize/shingle-hash/matmul over a payload column) must yield at
+    least one block per cluster CPU, or a small-on-disk table starves the
+    map stage — 594 KB of compressed text decoded to 4 blocks pins 4 of 32
+    cores (measured 29 s → 6 s on minhash at sf0.1). Heavy blocks are also
+    sized smaller (4 MB compressed) because text decompresses ~5-10× and
+    per-block decoded size bounds worker heap. Default ``heavy=None`` infers
+    from the column list: payload columns → heavy."""
+    if heavy is None:
+        heavy = bool(_PAYLOAD_COLUMNS & set(columns))
+    if heavy:
+        import ray
+
+        cpus = (int(ray.cluster_resources().get("CPU", 32))
+                if ray.is_initialized() else 32)
+        nblocks = read_blocks(path, bytes_per_block=4 << 20, lo=max(4, cpus))
+    else:
+        nblocks = read_blocks(path)
     return rd.read_parquet(path, columns=columns,
-                           override_num_blocks=read_blocks(path))
+                           override_num_blocks=nblocks)
 
 
 def per_key_blocks(ds: rd.Dataset, keys: list[str], block_fn: Callable,
