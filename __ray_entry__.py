@@ -19,6 +19,7 @@ from ocrautomator_ray.functions import curate as _curate
 from ocrautomator_ray.functions import dedup as _dedup
 from ocrautomator_ray.functions import filters as _filters
 from ocrautomator_ray.functions import media as _media
+from ocrautomator_ray.functions import mix as _mix
 from ocrautomator_ray.functions import relational as _relational
 from ocrautomator_ray.functions import relational2 as _relational2
 from ocrautomator_ray.functions import relational3 as _relational3
@@ -57,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(_ann.QUERIES)
     q.update(_curate.QUERIES)
     q.update(_media.QUERIES)
+    q.update(_mix.QUERIES)
     q["extract_pipeline"] = _flagship_query
     q["curate_pipeline"] = run_curate_flagship
     return q
@@ -75,6 +77,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_dedup.SQL)
     sql.update(_ann.SQL)
     sql.update(_curate.SQL)
+    sql.update(_mix.SQL)
     sql["curate_pipeline"] = SQL_CURATE
     # Rows-only (non-SQL-expressible): lsh_ann_topk, ivf_ann_topk,
     # approx_distinct_users_per_type, media_*, extract_pipeline — each has

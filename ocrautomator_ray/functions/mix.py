@@ -1,0 +1,325 @@
+"""Corpus-assembly operators — the last mile of a training-data pipeline.
+
+After curation (normalize → filter → dedup) a corpus still has to be
+ASSEMBLED: over-represented sources capped, sources mixed at target ratios
+(up- and down-sampling), rows weighted by quality, and the whole thing given
+a deterministic global shuffle order that a resumed/incremental rebuild
+reproduces bit-for-bit. Every operator here is stateless per batch or uses
+one small hash exchange; nothing sorts or shuffles the full corpus:
+
+- ``seeded_shuffle``  — deterministic global permutation with DENSE positions
+  via ordered hash buckets + driver-side prefix offsets (the pack_sequences
+  pattern): no global sort, the exchange moves (doc_id, hash) pairs only.
+- ``source_cap``      — keep at most K docs per source, chosen by hash order
+  (reproducible, not first-seen order which depends on scan order).
+- ``mix_corpus``      — per-source target weights with upsampling: a doc
+  appears ``floor(w)`` times plus once more iff its hash falls under
+  ``frac(w)`` — the standard epoch-replication trick, deterministic.
+- ``weighted_sample`` — Bernoulli keep with probability proportional to a
+  quality proxy, driven by the same doc hash (stable across pipelines).
+- ``rp_project``      — sign-random-projection 64→8 dims in EXACT integer
+  arithmetic (elements integerized at 1e-6 before the matmul) so the
+  distributed result is bit-identical to any serial oracle.
+
+All randomness is Knuth multiplicative hashing of ids — no RNG state, no
+seed files; the SQL oracles mirror the arithmetic exactly (HUGEINT mod 2^32).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ocrautomator_ray.functions.curate import _KNUTH, knuth_bucket, sql_bucket
+from ocrautomator_ray.functions.dedup import _ramp
+from ocrautomator_ray.functions.exchange import per_key_blocks, pruned_read
+
+SHUFFLE_SEED = 42
+SHUFFLE_BUCKETS = 64          # ordered ranges; 2^32 divisible → exact SQL mirror
+_BUCKET_WIDTH = (1 << 32) // SHUFFLE_BUCKETS
+SOURCE_CAP = 10
+RP_IN_DIM = 64
+RP_OUT_DIM = 8
+
+
+def mix_hash(ids: np.ndarray, seed: int) -> np.ndarray:
+    """((id + seed) * knuth) mod 2^32 as int64 — the one hash driving every
+    operator in this module. uint64 wrap-around times-then-mod equals the
+    exact product mod 2^32 (2^32 | 2^64), matching the SQL HUGEINT mirror."""
+    with np.errstate(over="ignore"):
+        h = ((ids.astype(np.uint64) + np.uint64(seed))
+             * np.uint64(_KNUTH)) % np.uint64(1 << 32)
+    return h.astype(np.int64)
+
+
+def sql_mix_hash(col: str, seed: int) -> str:
+    """SQL mirror of ``mix_hash``."""
+    return (f"CAST(CAST({col} + {seed} AS HUGEINT) * {_KNUTH} "
+            f"% 4294967296 AS BIGINT)")
+
+
+# ---------------------------------------------------------------------------
+# seeded_shuffle — deterministic global permutation with dense positions
+# ---------------------------------------------------------------------------
+
+def seeded_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED) -> rd.Dataset:
+    """(doc_id, pos): pos is the doc's 0-based slot in the seed-determined
+    global shuffle order (hash asc, doc_id tie-break).
+
+    Dense global ranks WITHOUT a global sort: the hash space is cut into
+    ``SHUFFLE_BUCKETS`` ordered ranges, a tiny count-per-bucket aggregate
+    (B rows) comes back to the driver for a prefix sum, and one hash
+    exchange on bucket lets each block rank its rows locally and add the
+    bucket's offset. The exchange moves (doc_id, hash) pairs — never text —
+    and the driver state is B integers regardless of corpus size."""
+    path = f"{sf_dir}/documents.parquet"
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = mix_hash(ids, seed)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "h": pa.array(h, pa.int64()),
+            "bucket": pa.array(h // _BUCKET_WIDTH, pa.int64()),
+        })
+
+    # pass 1: B-row bucket histogram → driver prefix offsets (B ints)
+    counts = (
+        pruned_read(path, ["doc_id"])
+        .map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket").count()
+        .to_pandas()
+    )
+    offsets = np.zeros(SHUFFLE_BUCKETS + 1, np.int64)
+    np.add.at(offsets, counts["bucket"].to_numpy() + 1,
+              counts["count()"].to_numpy())
+    offsets = np.cumsum(offsets)
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+
+    def rank_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        h = block["h"].to_numpy(zero_copy_only=False)
+        b = block["bucket"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h, b))
+        b_sorted = b[order]
+        # local rank within each bucket run + that bucket's global offset
+        starts = np.nonzero(np.r_[True, b_sorted[1:] != b_sorted[:-1]])[0]
+        run_len = np.diff(np.r_[starts, len(b_sorted)])
+        pos = offsets[b_sorted] + _ramp(run_len)
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "pos": pa.array(pos, pa.int64())})
+
+    keyed_ds = (
+        pruned_read(path, ["doc_id"])
+        .map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return per_key_blocks(keyed_ds, ["bucket"], rank_block,
+                          num_partitions=min(16, SHUFFLE_BUCKETS))
+
+
+SQL_SEEDED_SHUFFLE = f"""
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY {sql_mix_hash('doc_id', SHUFFLE_SEED)},
+                          doc_id) - 1 AS pos
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# source_cap — bound over-represented sources, hash-chosen survivors
+# ---------------------------------------------------------------------------
+
+def source_cap(sf_dir: str, cap: int = SOURCE_CAP) -> rd.Dataset:
+    """(doc_id, source) keeping at most ``cap`` docs per source, the ones
+    with the smallest shuffle hash (deterministic — NOT first-seen, which
+    varies with scan order). One hash exchange on source; each block ranks
+    all its source groups in one lexsort."""
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "source"])
+    out_schema = pa.schema([("doc_id", pa.int64()), ("source", pa.string())])
+
+    def cap_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        src = block["source"].to_numpy(zero_copy_only=False)
+        h = mix_hash(ids, SHUFFLE_SEED)
+        order = np.lexsort((ids, h, src))
+        s_sorted = src[order]
+        starts = np.nonzero(np.r_[True, s_sorted[1:] != s_sorted[:-1]])[0]
+        run_len = np.diff(np.r_[starts, len(s_sorted)])
+        keep = order[_ramp(run_len) < cap]
+        keep.sort()
+        return block.take(pa.array(keep))
+
+    return per_key_blocks(ds, ["source"], cap_block)
+
+
+SQL_SOURCE_CAP = f"""
+SELECT doc_id, source
+FROM documents
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY source
+    ORDER BY {sql_mix_hash('doc_id', SHUFFLE_SEED)}, doc_id) <= {SOURCE_CAP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# mix_corpus — per-source ratio mixing with deterministic upsampling
+# ---------------------------------------------------------------------------
+
+def _mix_permille(names: np.ndarray) -> np.ndarray:
+    """Per-source target weight in permille (500–2600 ≈ 0.5×–2.6×) — a pure
+    function of the name so engine and SQL agree without a config table.
+    Real pipelines broadcast a weights dict; the replication mechanics are
+    what this operator demonstrates."""
+    c = np.array([ord(n[3]) if len(n) > 3 else 0 for n in names], np.int64)
+    return 500 + 300 * (c % 8)
+
+
+def mix_corpus(sf_dir: str) -> rd.Dataset:
+    """(doc_id, source, epoch): each doc replicated to hit its source's
+    target weight — ``w // 1000`` full epochs plus one more iff the doc's
+    hash bucket falls under ``w % 1000`` (so a 2.6× source repeats every doc
+    twice and 60% of docs a third time; a 0.5× source keeps half its docs).
+    Stateless per batch, no shuffle, deterministic: the replica set of a doc
+    never changes when the corpus grows."""
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "source"])
+
+    def replicate(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        w = _mix_permille(uniq)[inv]
+        epochs = w // 1000 + (knuth_bucket(ids) < w % 1000)
+        idx = np.repeat(np.arange(len(ids)), epochs)
+        return pa.table({
+            "doc_id": pa.array(ids[idx], pa.int64()),
+            "source": pa.array(src[idx], pa.string()),
+            "epoch": pa.array(_ramp(epochs), pa.int64()),
+        })
+
+    return ds.map_batches(replicate, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+SQL_MIX_CORPUS = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         500 + 300 * (ascii(substr(source, 4, 1)) % 8) AS w
+  FROM documents
+)
+SELECT doc_id, source, CAST(e.epoch AS BIGINT) AS epoch
+FROM w, UNNEST(range(w.w // 1000 +
+                     CASE WHEN {sql_bucket('doc_id')} < w.w % 1000
+                          THEN 1 ELSE 0 END)) AS e(epoch)
+"""
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample — quality-proportional Bernoulli keep
+# ---------------------------------------------------------------------------
+
+def weighted_sample(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_chars) kept with probability min(0.999, n_chars/5000) —
+    longer (proxy: higher-quality) docs survive more often. The keep
+    decision is the doc's hash bucket vs its weight, so reruns and
+    downstream pipelines see the same sample."""
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "n_chars"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False)
+        permille = np.minimum(999, nc // 5)
+        keep = knuth_bucket(ids) < permille
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(keep)),
+            "n_chars": t["n_chars"].filter(pa.array(keep)),
+        })
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, n_chars
+FROM documents
+WHERE {sql_bucket('doc_id')} < LEAST(999, n_chars // 5)
+"""
+
+
+# ---------------------------------------------------------------------------
+# rp_project — sign random projection in exact integer arithmetic
+# ---------------------------------------------------------------------------
+
+def _rp_signs(in_dim: int = RP_IN_DIM, out_dim: int = RP_OUT_DIM) -> np.ndarray:
+    """±1 matrix [in_dim, out_dim] from the sketch module's 64-bit avalanche
+    mixer over the flat cell index — one Knuth multiply is NOT enough here
+    (consecutive indices stay bit-correlated; measured column correlations
+    ~0.9), while the murmur-final mixer decorrelates them. The SQL oracle
+    inlines the resulting sign constants, so the mixer needs no SQL mirror."""
+    from ocrautomator_ray.functions.sketch import _hash_u64
+
+    cell = np.arange(in_dim * out_dim, dtype=np.int64)
+    h = _hash_u64(cell).reshape(in_dim, out_dim)
+    return np.where((h >> np.uint64(32)) & np.uint64(1) == 0, 1,
+                    -1).astype(np.int64)
+
+
+def rp_project(sf_dir: str, out_dim: int = RP_OUT_DIM) -> rd.Dataset:
+    """(vec_id, proj_0..proj_{k-1}): embeddings projected 64→k dims with a
+    deterministic ±1 matrix (Achlioptas-style database-friendly random
+    projection). Elements are integerized at 1e-6 BEFORE the matmul so the
+    whole computation is int64 — bit-identical on any partitioning, no
+    float-summation-order hazard between engine and oracle. Output feeds
+    LSH bucketing / cheap ANN prefilters at 8× less vector traffic."""
+    signs = _rp_signs(RP_IN_DIM, out_dim)
+    cols = [f"proj_{j}" for j in range(out_dim)]
+
+    def project(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(-1, RP_IN_DIM)
+        mat_int = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        proj = mat_int @ signs
+        out = {"vec_id": t["vec_id"]}
+        for j, c in enumerate(cols):
+            out[c] = pa.array(proj[:, j], pa.int64())
+        return pa.table(out)
+
+    ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_rp_project() -> str:
+    signs = _rp_signs()
+    terms = []
+    for j in range(RP_OUT_DIM):
+        sign_list = ", ".join(str(s) for s in signs[:, j])
+        terms.append(
+            f"CAST(list_sum(list_transform(range(1, {RP_IN_DIM + 1}), i -> "
+            f"CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) "
+            f"AS BIGINT) * ([{sign_list}])[i])) AS BIGINT) AS proj_{j}")
+    return "SELECT vec_id, " + ", ".join(terms) + " FROM embeddings"
+
+
+SQL_RP_PROJECT = _sql_rp_project()
+
+
+QUERIES = {
+    "seeded_shuffle": seeded_shuffle,
+    "source_cap": source_cap,
+    "mix_corpus": mix_corpus,
+    "weighted_sample": weighted_sample,
+    "rp_project": rp_project,
+}
+
+SQL = {
+    "seeded_shuffle": SQL_SEEDED_SHUFFLE,
+    "source_cap": SQL_SOURCE_CAP,
+    "mix_corpus": SQL_MIX_CORPUS,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "rp_project": SQL_RP_PROJECT,
+}
