@@ -282,40 +282,33 @@ def _batch_shingles(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     return gh[keep], np.bincount(gd[keep], minlength=n).astype(np.int64)
 
 
-_KERNEL_CHUNK = 1 << 17  # bound the (64 × values) temp matrices to ~64 MB
-
-
-def _doc_chunks(counts: np.ndarray, limit: int = _KERNEL_CHUNK):
-    """Yield (doc_lo, doc_hi) ranges whose total value count is ≤ limit
-    (always ≥1 doc per range)."""
-    cum = np.zeros(len(counts) + 1, np.int64)
-    np.cumsum(counts, out=cum[1:])
-    lo = 0
-    while lo < len(counts):
-        hi = int(np.searchsorted(cum, cum[lo] + limit, side="right")) - 1
-        hi = max(hi, lo + 1)
-        yield lo, min(hi, len(counts))
-        lo = min(hi, len(counts))
-
-
 def _batch_signatures(flat_sh: np.ndarray, sh_counts: np.ndarray) -> np.ndarray:
     """(n_docs, 64) MinHash signatures from flattened shingles; row i equals
-    minhash_signature(shingles of doc i) (empty docs get the sentinel row)."""
+    minhash_signature(shingles of doc i) (empty docs get the sentinel row).
+
+    Iterates over the 64 hash functions with ONE shingle-sized buffer
+    (reused via ``out=``) instead of materializing the (64 × n_shingles)
+    matrix: the matrix costs three 64 MB temporaries per chunk whose
+    first-touch page faults dominate under memory pressure (measured 11 s
+    cold vs 0.02 s warm for the same multiply), while the per-hash loop's
+    working set is a few MB and the 64 reduceat passes are C-speed."""
     n = len(sh_counts)
     sigs = np.full((n, _NUM_HASHES), _MERSENNE, dtype=np.uint64)
     if flat_sh.size == 0:
         return sigs
     starts = np.zeros(n + 1, np.int64)
     np.cumsum(sh_counts, out=starts[1:])
-    for lo, hi in _doc_chunks(sh_counts):
-        docs = np.nonzero(sh_counts[lo:hi] > 0)[0] + lo
-        if docs.size == 0:
-            continue
-        seg = flat_sh[starts[lo]: starts[hi]]
-        with np.errstate(over="ignore"):
-            hv = (_A[:, None] * seg[None, :] + _B[:, None]) % _MERSENNE
-        red = np.minimum.reduceat(hv, starts[docs] - starts[lo], axis=1)
-        sigs[docs] = red.T
+    docs = np.nonzero(sh_counts > 0)[0]
+    if docs.size == 0:
+        return sigs
+    idx = starts[docs]
+    hv = np.empty(flat_sh.size, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for h in range(_NUM_HASHES):
+            np.multiply(flat_sh, _A[h], out=hv)
+            np.add(hv, _B[h], out=hv)
+            np.mod(hv, _MERSENNE, out=hv)
+            sigs[docs, h] = np.minimum.reduceat(hv, idx)
     return sigs
 
 
@@ -339,16 +332,20 @@ def _batch_simhash(texts) -> np.ndarray:
     hv = _fnv1a_strings(flat)
     starts = np.zeros(n + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
-    shifts = np.arange(64, dtype=np.uint64)
-    for lo, hi in _doc_chunks(counts):
-        docs = np.nonzero(counts[lo:hi] > 0)[0] + lo
-        if docs.size == 0:
-            continue
-        seg = hv[starts[lo]: starts[hi]]
-        bits = ((seg[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-        sums = np.add.reduceat(bits, starts[docs] - starts[lo], axis=0)
-        maj = (sums * 2 > counts[docs][:, None]).astype(np.uint64)
-        out[docs] = (maj << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    docs = np.nonzero(counts > 0)[0]
+    if docs.size == 0:
+        return out
+    idx = starts[docs]
+    # per-bit loop with one token-sized buffer (reused via out=), not the
+    # (tokens × 64) matrix — same first-touch-page-fault hazard as
+    # _batch_signatures (three ~64 MB temporaries per chunk, 11 s cold)
+    bit = np.empty(hv.size, dtype=np.uint64)
+    dcounts = counts[docs]
+    for b in range(64):
+        np.right_shift(hv, np.uint64(b), out=bit)
+        np.bitwise_and(bit, np.uint64(1), out=bit)
+        ones = np.add.reduceat(bit, idx)
+        out[docs] |= (ones * 2 > dcounts).astype(np.uint64) << np.uint64(b)
     return out
 
 
