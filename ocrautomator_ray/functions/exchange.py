@@ -115,11 +115,12 @@ def read_blocks(*paths: str, bytes_per_block: int = 16 << 20,
     """``override_num_blocks`` sized to the input bytes on disk.
 
     Ray's default read split targets parallelism (64+ blocks even for a
-    2 MB file), but every downstream hash-shuffle/join op pays a fixed
-    ~0.3-1.5 s update task per input block — for small-to-medium tables the
-    fixed costs dwarf the data. One block per ~16 MB compressed keeps that
-    overhead proportional at every scale (a 100 TB input still gets
-    thousands of blocks; `hi` only guards the driver's plan size)."""
+    2 MB file); downstream hash-shuffle/join ops pay a per-block update
+    cost, so block counts far above the useful parallelism waste fixed
+    overhead, while counts below the CPU count starve map stages (callers
+    pass ``lo=cpus``). One block per ~16 MB compressed keeps the overhead
+    proportional at every scale (a 100 TB input still gets thousands of
+    blocks; `hi` only guards the driver's plan size)."""
     import os
 
     total = 0
@@ -142,24 +143,23 @@ def pruned_read(path: str, columns: list[str],
     megabyte table make every downstream exchange pay 64× its fixed
     per-block update cost.
 
-    ``heavy`` flips the trade the other way: a read feeding a CPU-bound
-    stage (tokenize/shingle-hash/matmul over a payload column) must yield at
-    least one block per cluster CPU, or a small-on-disk table starves the
-    map stage — 594 KB of compressed text decoded to 4 blocks pins 4 of 32
-    cores (measured 29 s → 6 s on minhash at sf0.1). Heavy blocks are also
-    sized smaller (4 MB compressed) because text decompresses ~5-10× and
-    per-block decoded size bounds worker heap. Default ``heavy=None`` infers
-    from the column list: payload columns → heavy."""
+    Every read also floors the block count at the cluster CPU count: a
+    small-on-disk table split to fewer blocks than cores starves BOTH
+    CPU-bound map stages (594 KB of compressed text decoded to 4 blocks
+    pins 4 of 32 cores — minhash 29 s → 6 s) and shuffle map-sides
+    (hourly groupby 8.3 s → 3.7 s, q1 3.3 s → 2.4 s, interleaved
+    min-of-3). ``heavy`` additionally sizes blocks smaller (4 MB
+    compressed) for payload columns, which decompress ~5-10× and whose
+    decoded block size bounds worker heap; default ``heavy=None`` infers
+    it from the column list."""
     if heavy is None:
         heavy = bool(_PAYLOAD_COLUMNS & set(columns))
-    if heavy:
-        import ray
+    import ray
 
-        cpus = (int(ray.cluster_resources().get("CPU", 32))
-                if ray.is_initialized() else 32)
-        nblocks = read_blocks(path, bytes_per_block=4 << 20, lo=max(4, cpus))
-    else:
-        nblocks = read_blocks(path)
+    cpus = (int(ray.cluster_resources().get("CPU", 32))
+            if ray.is_initialized() else 32)
+    nblocks = read_blocks(path, bytes_per_block=(4 << 20) if heavy
+                          else (16 << 20), lo=max(4, cpus))
     return rd.read_parquet(path, columns=columns,
                            override_num_blocks=nblocks)
 
