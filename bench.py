@@ -88,7 +88,7 @@ def run_benchmarks() -> dict:
 
     from ocrautomator_ray.pipelines.extract import PipelineConfig, run_extraction
     from ocrautomator_ray.functions import (
-        ann, corpus, curate, dedup, relational, relational2, relational3,
+        ann, corpus, curate, dedup, mix, relational, relational2, relational3,
         relational4, text,
     )
 
@@ -173,6 +173,10 @@ def run_benchmarks() -> dict:
     timed("orders_of_big_buyers", relational4.orders_of_big_buyers,
           consume="count")
     timed("revenue_by_region", relational4.revenue_by_region)
+    timed("seeded_shuffle", mix.seeded_shuffle, consume="count")
+    timed("mix_corpus", mix.mix_corpus, consume="count")
+    timed("rp_project", mix.rp_project, consume="count")
+    timed("simhash_dups", dedup.simhash_dups, consume="count")
 
     from ocrautomator_ray.pipelines.curate import run_curate_flagship
     from ocrautomator_ray.pipelines.extract import run_flagship

@@ -597,8 +597,70 @@ GROUP BY s.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# incremental_dedup — dedup a new shard against an already-committed corpus
+# ---------------------------------------------------------------------------
+
+INCR_NEW_MOD = 3  # doc_id % 3 == 0 plays the "new crawl shard"
+
+
+def incremental_dedup(sf_dir: str) -> rd.Dataset:
+    """doc_ids of NEW docs that survive dedup against the EXISTING corpus:
+    a new doc is kept iff no existing doc has identical text AND it is the
+    min-id among new docs with that text.
+
+    The cross-snapshot shape every rolling 100-TB corpus needs: never
+    re-dedup the committed side against itself, just co-locate new and
+    existing rows with ONE text-hash exchange and decide per group. The
+    group verdict is a single first-row probe — rows are ordered by
+    ``v = existing ? -1 : doc_id`` inside each (hash, text) group, so the
+    group's first row is an existing doc (drop all) or the min-id new doc
+    (the survivor). Collision-safe via first_per_hash_group (string
+    comparisons only inside equal-hash runs). Here both sides come from one
+    table split deterministically by doc_id; a real pipeline passes two
+    paths and tags rows at the read."""
+    from ocrautomator_ray.functions.dedup import _fnv1a_strings
+
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = _fnv1a_strings(t["text"].combine_chunks()).view(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "text": t["text"],
+                         "h": pa.array(h, pa.int64())})
+
+    out_schema = pa.schema([("doc_id", pa.int64())])
+
+    def resolve(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        txt = block["text"].to_numpy(zero_copy_only=False)
+        h = block["h"].to_numpy(zero_copy_only=False)
+        v = np.where(ids % INCR_NEW_MOD == 0, ids, -1)
+        first = first_per_hash_group(h, txt, v)
+        keep = np.sort(ids[first[v[first] >= 0]])
+        return pa.table({"doc_id": pa.array(keep, pa.int64())})
+
+    from ocrautomator_ray.functions.exchange import per_key_blocks
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return per_key_blocks(tagged, ["h"], resolve)
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+SELECT d.doc_id
+FROM documents d
+WHERE d.doc_id % {INCR_NEW_MOD} = 0
+  AND NOT EXISTS (SELECT 1 FROM documents e
+                  WHERE e.doc_id % {INCR_NEW_MOD} != 0 AND e.text = d.text)
+  AND d.doc_id = (SELECT MIN(n.doc_id) FROM documents n
+                  WHERE n.doc_id % {INCR_NEW_MOD} = 0 AND n.text = d.text)
+"""
+
+
 QUERIES = {
     "decontaminate": decontaminate,
+    "incremental_dedup": incremental_dedup,
     "hash_split": hash_split,
     "repetition_stats": repetition_stats,
     "stratified_sample": stratified_sample,
@@ -608,6 +670,7 @@ QUERIES = {
 
 SQL = {
     "decontaminate": SQL_DECONTAMINATE,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "hash_split": SQL_HASH_SPLIT,
     "repetition_stats": SQL_REPETITION_STATS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,

@@ -123,3 +123,19 @@ def test_unicode_whitespace_matches_sql_oracle(tmp_path):
         assert got.shape == exp.shape, (name, got.shape, exp.shape)
         for c in got.columns:
             assert (got[c].to_numpy() == exp[c].to_numpy()).all(), (name, c)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_dedup_set_logic(docs):
+    got = set(C.incremental_dedup(SF).to_pandas()["doc_id"])
+    existing_texts = {t for d, t in docs.items() if d % C.INCR_NEW_MOD != 0}
+    expect = set()
+    first_new: dict[str, int] = {}
+    for d in sorted(docs):
+        if d % C.INCR_NEW_MOD == 0:
+            first_new.setdefault(docs[d], d)
+    for t, d in first_new.items():
+        if t not in existing_texts:
+            expect.add(d)
+    assert got == expect
+    assert expect, "fixture must exercise the survivor path"
