@@ -693,6 +693,90 @@ WHERE sqrt(CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
 """
 
 
+# ---------------------------------------------------------------------------
+# retention_cohorts — cohort week × activity week distinct-user matrix
+# ---------------------------------------------------------------------------
+
+def _monday_day(ts_us: np.ndarray) -> np.ndarray:
+    """Days-since-epoch of the Monday of each timestamp's week (int64) —
+    mirrors DuckDB ``date_trunc('week', ts)``. 1970-01-01 was a Thursday, so
+    Monday-based day-of-week = (day + 3) % 7. Event data is post-1970; the
+    SQL mirror uses the same positive-only floor arithmetic."""
+    day = ts_us // 86_400_000_000
+    return day - (day + 3) % 7
+
+
+def retention_cohorts(sf_dir: str) -> rd.Dataset:
+    """(cohort_week, activity_week, n_users): users bucketed by the Monday
+    day-number of their FIRST event's week, counted distinct per week they
+    were active in. The classic retention triangle.
+
+    One user-keyed exchange does all per-user work (first week + distinct
+    active weeks, vectorized over every user in the block at once); the
+    per-block partial count then shrinks the final exchange to one row per
+    (cohort, week) pair per block — users and events never shuffle twice."""
+    ds = pruned_read(f"{sf_dir}/events.parquet", ["user_id", "ts"])
+
+    def to_weeks(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "wk": pa.array(_monday_day(ts), pa.int64()),
+        })
+
+    out_schema = pa.schema([("cohort_week", pa.int64()),
+                            ("activity_week", pa.int64()),
+                            ("n", pa.int64())])
+
+    def cohort_pairs(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        u = block["user_id"].to_numpy(zero_copy_only=False)
+        w = block["wk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        # distinct (user, wk) pairs; first pair of each user run = min week
+        keep = np.ones(len(u), bool)
+        keep[1:] = (u[1:] != u[:-1]) | (w[1:] != w[:-1])
+        u, w = u[keep], w[keep]
+        user_start = np.ones(len(u), bool)
+        user_start[1:] = u[1:] != u[:-1]
+        cohort = w[user_start][np.cumsum(user_start) - 1]  # broadcast per run
+        # partial count per (cohort, activity) pair within the block
+        g = pa.TableGroupBy(pa.table({
+            "cohort_week": pa.array(cohort, pa.int64()),
+            "activity_week": pa.array(w, pa.int64()),
+        }), ["cohort_week", "activity_week"]).aggregate([([], "count_all")])
+        return pa.table({"cohort_week": g["cohort_week"],
+                         "activity_week": g["activity_week"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    pairs = per_key_blocks(ds.map_batches(to_weeks, batch_format="pyarrow",
+                                          zero_copy_batch=True),
+                           ["user_id"], cohort_pairs)
+    return (
+        pairs.groupby(["cohort_week", "activity_week"], num_partitions=8)
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH wk AS (
+  SELECT user_id,
+         CAST(epoch(ts) // 86400 - ((epoch(ts) // 86400) + 3) % 7 AS BIGINT)
+           AS wk
+  FROM events
+), firstw AS (
+  SELECT user_id, MIN(wk) AS cohort_week FROM wk GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, wk AS activity_week FROM wk
+)
+SELECT f.cohort_week, a.activity_week, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM firstw f JOIN act a USING (user_id)
+GROUP BY f.cohort_week, a.activity_week
+"""
+
+
 QUERIES = {
     "repeat_customers": repeat_customers,
     "churned_customers": churned_customers,
@@ -703,6 +787,7 @@ QUERIES = {
     "orders_of_big_buyers": orders_of_big_buyers,
     "revenue_by_region": revenue_by_region,
     "event_value_zscore": event_value_zscore,
+    "retention_cohorts": retention_cohorts,
 }
 
 SQL = {
@@ -715,4 +800,5 @@ SQL = {
     "conversion_funnel": SQL_FUNNEL,
     "qty_price_corr_by_flag": SQL_CORR,
     "orders_of_big_buyers": SQL_BIG_BUYERS,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
 }

@@ -134,3 +134,51 @@ def test_corr_matches_numpy():
         ref = np.corrcoef(g["q"], g["p"])[0, 1]
         assert abs(got.loc[flag, "corr_micros"] / 1e6 - ref) < 1e-4, flag
         assert got.loc[flag, "n"] == len(g)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_retention_cohorts_brute_force():
+    import pyarrow.parquet as pq
+    from ocrautomator_ray.functions.relational4 import retention_cohorts, _monday_day
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    u = t["user_id"].to_numpy(zero_copy_only=False)
+    wk = _monday_day(t["ts"].cast("int64").to_numpy(zero_copy_only=False))
+    first = {}
+    pairs = set()
+    for uu, ww in zip(u, wk):
+        first[uu] = min(first.get(uu, ww), ww)
+        pairs.add((uu, ww))
+    expect = {}
+    for uu, ww in pairs:
+        k = (first[uu], ww)
+        expect[k] = expect.get(k, 0) + 1
+    df = retention_cohorts(SF).to_pandas()
+    got = {(r.cohort_week, r.activity_week): r.n_users for r in df.itertuples()}
+    assert got == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_retention_cohorts_multi_cohort(tmp_path):
+    """sf0.001 events all share one first-week; pin the cross-cohort math on
+    a crafted table: user 1 starts week 0, users 2+3 start week 2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ocrautomator_ray.functions.relational4 import retention_cohorts
+
+    day = 86_400_000_000
+    rows = [  # (user, day offset from Monday 1970-01-05)
+        (1, 0), (1, 1), (1, 14), (2, 14), (2, 21), (3, 15), (3, 15),
+    ]
+    base = 4 * day  # 1970-01-05, a Monday
+    t = pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "ts": pa.array([base + d * day for _, d in rows],
+                       pa.timestamp("us")),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    df = retention_cohorts(str(tmp_path)).to_pandas()
+    got = {(r.cohort_week, r.activity_week): r.n_users for r in df.itertuples()}
+    m = 4  # day-number of that Monday
+    assert got == {(m, m): 1, (m, m + 14): 1,
+                   (m + 14, m + 14): 2, (m + 14, m + 21): 1}
