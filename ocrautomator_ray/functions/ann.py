@@ -344,8 +344,104 @@ GROUP BY label, dim
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding_outliers — farthest-from-centroid vectors per label
+# ---------------------------------------------------------------------------
+
+OUTLIER_K = 3
+
+
+def embedding_outliers(sf_dir: str, k: int = OUTLIER_K) -> rd.Dataset:
+    """(label, vec_id, dist2): the k vectors farthest (squared L2, micro-int
+    units) from their label's centroid — anomaly screening for embedding
+    tables (mislabeled rows, encoder glitches).
+
+    Two-pass broadcast-stats shape (as event_value_zscore): pass 1 reuses
+    the label_centroids partial+groupby to reduce the table to labels×dims
+    integer rows on the driver; centroids are rounded to EXACT integers
+    ((2·sum + n) floor-div 2n — floor(sum/n + ½) in pure int arithmetic), so
+    dist2 = Σ (e_micro − c)² is int64-exact and partition-invariant. Pass 2
+    is one streaming map with a per-batch per-label top-k partial (lossless:
+    the global top-k is a subset of batch top-ks), then a tiny label
+    exchange finalizes."""
+    cent = label_centroids(sf_dir).to_pandas()  # labels × dims rows — tiny
+    s = cent["sum_micros"].to_numpy()
+    n = cent["n"].to_numpy()
+    c = np.floor_divide(2 * s + n, 2 * n)
+    dim = int(cent["dim"].max())
+    labels = np.sort(cent["label"].unique())
+    lab_pos = {int(l): i for i, l in enumerate(labels)}
+    cmat = np.zeros((len(labels), dim), np.int64)
+    cmat[[lab_pos[int(l)] for l in cent["label"]],
+         cent["dim"].to_numpy() - 1] = c
+
+    out_schema = pa.schema([("label", pa.int64()), ("vec_id", pa.int64()),
+                            ("dist2", pa.int64())])
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        if "dist2" in t.column_names:          # final pass over partials
+            d2 = t["dist2"].to_numpy(zero_copy_only=False)
+        else:                                  # first pass over raw vectors
+            emb = t["embedding"].combine_chunks()
+            flat = emb.values.to_numpy(zero_copy_only=False)
+            micros = np.floor(flat.astype(np.float64)
+                              .reshape(len(ids), dim) * 1e6 + 0.5).astype(np.int64)
+            diff = micros - cmat[[lab_pos[int(l)] for l in lab]]
+            d2 = np.einsum("ij,ij->i", diff, diff)
+        # per-label top-k: sort by (label, -dist2, vec_id), rank within runs
+        order = np.lexsort((ids, -d2, lab))
+        ls = lab[order]
+        starts = np.nonzero(np.r_[True, ls[1:] != ls[:-1]])[0]
+        run_len = np.diff(np.r_[starts, len(ls)])
+        from ocrautomator_ray.functions.dedup import _ramp
+
+        keep = order[_ramp(run_len) < k]
+        return pa.table({
+            "label": pa.array(lab[keep], pa.int64()),
+            "vec_id": pa.array(ids[keep], pa.int64()),
+            "dist2": pa.array(d2[keep], pa.int64()),
+        })
+
+    from ocrautomator_ray.functions.exchange import per_key_blocks
+
+    ds = pruned_read(f"{sf_dir}/embeddings.parquet",
+                     ["vec_id", "label", "embedding"])
+    partials = ds.map_batches(topk_block, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return per_key_blocks(partials, ["label"], topk_block, num_partitions=4)
+
+
+SQL_EMBEDDING_OUTLIERS = f"""
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)*1000000 + 0.5)
+              AS BIGINT) AS v
+  FROM embeddings
+), cent AS (
+  SELECT label, dim,
+         CAST(FLOOR((2.0*SUM(v) + COUNT(*)) / (2*COUNT(*))) AS BIGINT) AS c
+  FROM e GROUP BY label, dim
+), d AS (
+  SELECT e.vec_id, e.label,
+         CAST(SUM((e.v - c.c)*(e.v - c.c)) AS BIGINT) AS dist2
+  FROM e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+  GROUP BY e.vec_id, e.label
+)
+SELECT label, vec_id, dist2
+FROM d
+QUALIFY ROW_NUMBER() OVER (PARTITION BY label
+                           ORDER BY dist2 DESC, vec_id) <= {OUTLIER_K}
+"""
+
+
 QUERIES = {
     "ann_topk": ann_topk,
+    "embedding_outliers": embedding_outliers,
     "lsh_ann_topk": lsh_ann_topk,
     "ivf_ann_topk": ivf_ann_topk,
     "label_centroids": label_centroids,
@@ -354,4 +450,5 @@ QUERIES = {
 SQL = {
     "ann_topk": SQL_ANN_TOPK,
     "label_centroids": SQL_LABEL_CENTROIDS,
+    "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
 }

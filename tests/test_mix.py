@@ -110,3 +110,30 @@ def test_rp_signs_are_balanced():
     corr = np.corrcoef(s.T)
     off = corr[~np.eye(M.RP_OUT_DIM, dtype=bool)]
     assert (np.abs(off) < 0.6).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_outliers_brute_force():
+    """Independent numpy oracle for the per-label farthest-from-centroid op
+    (lives in functions/ann.py; tested here with the other assembly ops)."""
+    from ocrautomator_ray.functions.ann import embedding_outliers, OUTLIER_K
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "label", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    emb = np.array(t["embedding"].to_pylist(), np.float64)
+    micros = np.floor(emb * 1e6 + 0.5).astype(np.int64)
+    expect = set()
+    for l in np.unique(lab):
+        m = lab == l
+        s = micros[m].sum(axis=0)
+        n = int(m.sum())
+        c = np.floor_divide(2 * s + n, 2 * n)
+        d2 = ((micros[m] - c) ** 2).sum(axis=1)
+        order = np.lexsort((ids[m], -d2))[:OUTLIER_K]
+        for i in order:
+            expect.add((int(l), int(ids[m][i]), int(d2[i])))
+    df = embedding_outliers(SF).to_pandas()
+    got = {(r.label, r.vec_id, r.dist2) for r in df.itertuples()}
+    assert got == expect
