@@ -26,6 +26,7 @@ from ocrautomator_ray.functions import relational3 as _relational3
 from ocrautomator_ray.functions import relational4 as _relational4
 from ocrautomator_ray.functions import sketch as _sketch
 from ocrautomator_ray.functions import text as _text
+from ocrautomator_ray.pipelines.assemble import SQL_ASSEMBLE, run_assemble_flagship
 from ocrautomator_ray.pipelines.curate import SQL_CURATE, run_curate_flagship
 from ocrautomator_ray.pipelines.extract import run_flagship
 
@@ -61,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(_mix.QUERIES)
     q["extract_pipeline"] = _flagship_query
     q["curate_pipeline"] = run_curate_flagship
+    q["assemble_pipeline"] = run_assemble_flagship
     return q
 
 
@@ -79,6 +81,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_curate.SQL)
     sql.update(_mix.SQL)
     sql["curate_pipeline"] = SQL_CURATE
+    sql["assemble_pipeline"] = SQL_ASSEMBLE
     # Rows-only (non-SQL-expressible): lsh_ann_topk, ivf_ann_topk,
     # approx_distinct_users_per_type, media_*, extract_pipeline — each has
     # a pytest oracle instead (tests/).
