@@ -27,9 +27,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         prog="ocrautomator_ray.run",
         description="Ray-Data-native interleaved-document extraction pipeline",
     )
-    p.add_argument("--pipeline", choices=["extract", "curate"], default="extract",
+    p.add_argument("--pipeline", choices=["extract", "curate", "assemble"],
+                   default="extract",
                    help="extract: the OCR/span flagship; curate: normalize + "
-                        "quality-filter + dedup + split over documents.parquet")
+                        "quality-filter + dedup + split over documents.parquet; "
+                        "assemble: source-cap + ratio-mix + deterministic "
+                        "shuffle into a position-ordered corpus")
     p.add_argument("--input", required=True,
                    help="input doc table (parquet path/dir, or .lance when "
                         "available); for --pipeline curate, the directory "
@@ -89,6 +92,13 @@ def main(argv: list[str] | None = None) -> dict:
                                 resume=not args.no_resume,
                                 progress=not args.quiet,
                                 partition_by=args.partition_by)
+
+        if args.pipeline == "assemble":
+            from ocrautomator_ray.pipelines.assemble import run_assembly
+
+            return run_assembly(args.input, args.out,
+                                num_partitions=args.partitions,
+                                resume=not args.no_resume)
 
         from ocrautomator_ray.pipelines.extract import PipelineConfig, run_extraction
         from ocrautomator_ray.sources.io import read_docs
