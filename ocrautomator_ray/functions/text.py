@@ -121,7 +121,15 @@ class LangIdActor:
 
 
 def lang_id(sf_dir: str) -> rd.Dataset:
-    return pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"]).map_batches(LangIdActor, batch_format="pandas", concurrency=2)
+    import ray
+
+    # size the warm-profile actor pool to the cluster (was a fixed 2, which
+    # capped this CPU-bound stage at 2 cores regardless of machine size)
+    pool = max(2, (int(ray.cluster_resources().get("CPU", 4))
+                   if ray.is_initialized() else 4) // 2)
+    return pruned_read(f"{sf_dir}/documents.parquet",
+                       ["doc_id", "text"]).map_batches(
+        LangIdActor, batch_format="pandas", concurrency=(2, pool))
 
 
 # --------------------------------------------------------------------------
