@@ -123,3 +123,66 @@ def test_chunk_offsets_reconstruct(token_lists):
     for i, text in enumerate(texts):
         mine = [c for c, d in zip(chunks, docs) if d == i]
         assert " ".join(mine) == text
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 2**62), min_size=1, max_size=200),
+       st.integers(0, 10_000))
+def test_mix_hash_matches_sql_mirror(ids, seed):
+    """mix_hash's uint64 wrap-around arithmetic equals the HUGEINT SQL
+    mirror for arbitrary ids and seeds."""
+    from ocrautomator_ray.functions.mix import mix_hash, sql_mix_hash
+
+    got = mix_hash(np.array(ids, dtype=np.int64), seed)
+    expr = sql_mix_hash("i", seed)
+    exp = [r[0] for r in duckdb.sql(
+        f"SELECT {expr} FROM (SELECT unnest({list(ids)}) AS i)").fetchall()]
+    assert list(got) == exp
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-5, 5), min_size=1, max_size=100),
+       st.lists(st.integers(1, 50), min_size=1, max_size=100))
+def test_centroid_floor_div_matches_sql(sums, ns):
+    """(2s+n) floor-div 2n == FLOOR((2.0*s+n)/(2*n)) — the exact-int rounded
+    centroid used by embedding_outliers, incl. negative sums."""
+    k = min(len(sums), len(ns))
+    s = np.array(sums[:k], np.int64) * 1_000_000
+    n = np.array(ns[:k], np.int64)
+    got = np.floor_divide(2 * s + n, 2 * n)
+    for i in range(k):
+        exp = duckdb.sql(
+            f"SELECT CAST(FLOOR((2.0*{int(s[i])} + {int(n[i])}) / "
+            f"(2*{int(n[i])})) AS BIGINT)").fetchone()[0]
+        assert got[i] == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, 2**40), min_size=1, max_size=300, unique=True))
+def test_shuffle_bucket_offsets_rank_is_permutation(ids):
+    """The bucket + driver-prefix-offset ranking (seeded_shuffle's core)
+    yields exactly ROW_NUMBER() - 1 over (hash, id) for any id set."""
+    from ocrautomator_ray.functions.mix import (
+        SHUFFLE_BUCKETS, SHUFFLE_SEED, _BUCKET_WIDTH, mix_hash,
+    )
+
+    a = np.array(ids, np.int64)
+    h = mix_hash(a, SHUFFLE_SEED)
+    b = h // _BUCKET_WIDTH
+    offsets = np.zeros(SHUFFLE_BUCKETS + 1, np.int64)
+    np.add.at(offsets, b + 1, 1)
+    offsets = np.cumsum(offsets)
+    # emulate per-bucket local ranking (any partitioning of rows by bucket
+    # gives the same result; here one block holds all buckets)
+    order = np.lexsort((a, h, b))
+    bs = b[order]
+    starts = np.nonzero(np.r_[True, bs[1:] != bs[:-1]])[0]
+    local = np.arange(len(bs)) - np.repeat(starts, np.diff(np.r_[starts, len(bs)]))
+    pos = offsets[bs] + local
+    # reference: global rank by (hash, id)
+    ref_order = np.lexsort((a, h))
+    ref_pos = np.empty(len(a), np.int64)
+    ref_pos[ref_order] = np.arange(len(a))
+    got = np.empty(len(a), np.int64)
+    got[order] = pos
+    assert (got == ref_pos).all()
