@@ -84,11 +84,13 @@ def seeded_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED) -> rd.Dataset:
             "bucket": pa.array(h // _BUCKET_WIDTH, pa.int64()),
         })
 
-    # pass 1: B-row bucket histogram → driver prefix offsets (B ints)
+    # pass 1: B-row bucket histogram → driver prefix offsets (B ints).
+    # Explicit num_partitions: Ray's groupby default is 200 hash-aggregate
+    # partitions, a pure fixed cost for a 64-row result.
     counts = (
         pruned_read(path, ["doc_id"])
         .map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket").count()
+        .groupby("bucket", num_partitions=8).count()
         .to_pandas()
     )
     offsets = np.zeros(SHUFFLE_BUCKETS + 1, np.int64)

@@ -96,7 +96,7 @@ def build_assembled(sf_dir: str) -> rd.Dataset:
     # pass 1: bucket histogram over ids only (text pruned at the read)
     counts = (
         _capped_mixed(sf_dir, with_text=False)
-        .groupby("bucket").count()
+        .groupby("bucket", num_partitions=8).count()
         .to_pandas()
     )
     offsets = np.zeros(SHUFFLE_BUCKETS + 1, np.int64)
