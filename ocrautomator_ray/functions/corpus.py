@@ -34,6 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ocrautomator_ray.functions.dedup import _tokenize_re2
 from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks, pruned_read
 from ocrautomator_ray.functions.filters import WORD_RE
 
@@ -302,7 +303,112 @@ FROM (
 SQL_PACK_SEQUENCES = _pack_sql()
 
 
+# --------------------------------------------------------------------------
+# corpus_freq_score — CCNet-style frequency quality proxy, exact-int
+# --------------------------------------------------------------------------
+
+def corpus_freq_score(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_tokens, freq_score_u): mean corpus frequency of the doc's
+    token occurrences, ×1e9 and floored — a language-model-free stand-in for
+    CCNet's perplexity filter (docs of rare gibberish score low, docs of
+    common words score high; both tails are filter candidates).
+
+    score = floor( (Σ_i c(w_i)) · 1e9 / (n · T) ) where c(w) is the corpus
+    count of token w, n the doc's token count, T the corpus total — all
+    integers, so the distributed result is bit-exact vs the SQL oracle.
+    Shapes: per-batch (token, doc) multiplicity combiner → ONE token-keyed
+    exchange computes c per group and emits (doc_id, k·c, k) partials → a
+    doc-keyed groupby sums them; T comes from a one-column side pass that
+    reduces to one int per batch. int64 bound: Σc·1e9 < 2^63 holds through
+    sf10-scale corpora (Σc ≤ n·max_c ≈ 3e9); a 100-TB run would precompute
+    c/T at fixed precision instead (documented trade, same pipeline shape)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ocrautomator_ray.functions.exchange import per_key_blocks
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        flat, cnt = _tokenize_re2(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(ids, cnt)
+        g = pa.TableGroupBy(pa.table({"w": flat,
+                                      "doc_id": pa.array(doc_of, pa.int64())}),
+                            ["w", "doc_id"]).aggregate([([], "count_all")])
+        return pa.table({"w": g["w"], "doc_id": g["doc_id"],
+                         "k": g["count_all"].cast(pa.int64())})
+
+    contrib_schema = pa.schema([("doc_id", pa.int64()), ("contrib", pa.int64()),
+                                ("k", pa.int64())])
+
+    def per_token(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return contrib_schema.empty_table()
+        w = block["w"].to_numpy(zero_copy_only=False)
+        k = block["k"].to_numpy(zero_copy_only=False)
+        order = np.argsort(w, kind="mergesort")
+        w, k = w[order], k[order]
+        starts = np.nonzero(np.r_[True, w[1:] != w[:-1]])[0]
+        run_len = np.diff(np.r_[starts, len(w)])
+        c = np.add.reduceat(k, starts)          # corpus count per token run
+        c_of = np.repeat(c, run_len)
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)[order]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "contrib": pa.array(k * c_of, pa.int64()),
+                         "k": pa.array(k, pa.int64())})
+
+    # side pass: T (one int per batch → driver scalar)
+    def batch_total(t: pa.Table) -> pa.Table:
+        _, cnt = _tokenize_re2(t["text"])
+        return pa.table({"t": pa.array([int(cnt.sum())], pa.int64())})
+
+    T = int(pruned_read(path, ["text"])
+            .map_batches(batch_total, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .sum("t"))
+
+    rows = pruned_read(path, ["doc_id", "text"]).map_batches(
+        tok_rows, batch_format="pyarrow", zero_copy_batch=True)
+    per_doc = (
+        per_key_blocks(rows, ["w"], per_token)
+        .groupby("doc_id", num_partitions=8)
+        .aggregate(Sum("contrib", alias_name="s"), Sum("k", alias_name="n"))
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n, pa.int64()),
+            "freq_score_u": pa.array(s * 1_000_000_000 // (n * T), pa.int64()),
+        })
+
+    return per_doc.map_batches(score, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+SQL_CORPUS_FREQ_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+c AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+tot AS (SELECT COUNT(*) AS T FROM toks)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(CAST(SUM(c.c) AS HUGEINT) * 1000000000
+            // (COUNT(*) * (SELECT T FROM tot)) AS BIGINT) AS freq_score_u
+FROM toks t JOIN c USING (w)
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = {"tfidf_top_terms": tfidf_top_terms, "doc_chunks": doc_chunks,
-           "pack_sequences": pack_sequences}
+           "pack_sequences": pack_sequences,
+           "corpus_freq_score": corpus_freq_score}
 SQL = {"tfidf_top_terms": SQL_TFIDF, "doc_chunks": SQL_DOC_CHUNKS,
-       "pack_sequences": SQL_PACK_SEQUENCES}
+       "pack_sequences": SQL_PACK_SEQUENCES,
+       "corpus_freq_score": SQL_CORPUS_FREQ_SCORE}

@@ -139,3 +139,23 @@ def test_incremental_dedup_set_logic(docs):
             expect.add(d)
     assert got == expect
     assert expect, "fixture must exercise the survivor path"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_freq_score_brute_force(docs):
+    """Pure-Python oracle: mean corpus frequency of token occurrences."""
+    from collections import Counter
+
+    from ocrautomator_ray.functions.corpus import corpus_freq_score
+
+    toks = {d: [w for w in t.lower().split() if w] for d, t in docs.items()}
+    c = Counter(w for ws in toks.values() for w in ws)
+    T = sum(c.values())
+    df = corpus_freq_score(SF).to_pandas().set_index("doc_id")
+    for d, ws in toks.items():
+        if not ws:
+            assert d not in df.index
+            continue
+        s = sum(c[w] for w in ws)
+        assert df.loc[d, "n_tokens"] == len(ws)
+        assert df.loc[d, "freq_score_u"] == s * 10**9 // (len(ws) * T)
