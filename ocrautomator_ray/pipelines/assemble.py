@@ -93,6 +93,12 @@ def _capped_mixed(sf_dir: str, with_text: bool) -> rd.Dataset:
 
 def build_assembled(sf_dir: str) -> rd.Dataset:
     """The lazy transform chain, sink-agnostic. Output: ASSEMBLED_SCHEMA."""
+    return _build_assembled(sf_dir)[0]
+
+
+def _build_assembled(sf_dir: str) -> tuple[rd.Dataset, int]:
+    """(dataset, total replica count) — the total bounds the dense ``pos``
+    column, which lets the sink range-partition into ordered shards."""
     # pass 1: bucket histogram over ids only (text pruned at the read)
     counts = (
         _capped_mixed(sf_dir, with_text=False)
@@ -119,9 +125,10 @@ def build_assembled(sf_dir: str) -> rd.Dataset:
         out = block.take(pa.array(order)).drop_columns(["h", "bucket"])
         return out.add_column(0, "pos", pa.array(pos, pa.int64()))
 
-    return per_key_blocks(_capped_mixed(sf_dir, with_text=True), ["bucket"],
-                          rank_block,
-                          num_partitions=min(16, SHUFFLE_BUCKETS))
+    out = per_key_blocks(_capped_mixed(sf_dir, with_text=True), ["bucket"],
+                         rank_block,
+                         num_partitions=min(16, SHUFFLE_BUCKETS))
+    return out, int(offsets[-1])
 
 
 SQL_ASSEMBLE = f"""
@@ -150,14 +157,19 @@ FROM rep
 
 def run_assembly(sf_dir: str, out_dir: str, num_partitions: int = 16,
                  resume: bool = True) -> dict:
-    """Execute the assembly pipeline into the resumable sink (keyed on the
-    dense position, so part files approximate contiguous shuffle ranges)."""
+    """Execute the assembly pipeline into the resumable sink. The sink
+    RANGE-partitions on the dense position (``part-i`` holds the i-th
+    contiguous pos range, rows sorted within), so the committed layout is a
+    globally ordered corpus a sequential training reader streams in file
+    order."""
     from ocrautomator_ray.sinks.parquet_commit import resumable_write
 
-    return resumable_write(build_assembled(sf_dir), out_dir,
+    ds, total = _build_assembled(sf_dir)
+    return resumable_write(ds, out_dir,
                            num_partitions=num_partitions, key="pos",
                            input_desc=f"{sf_dir}/documents.parquet",
-                           resume=resume)
+                           resume=resume, range_bound=max(total, 1),
+                           sort_within="pos")
 
 
 def run_assemble_flagship(sf_dir: str,

@@ -43,7 +43,8 @@ _SUMMARY_SCHEMA = pa.schema([("part_id", pa.int32()), ("rows", pa.int64()),
 
 def _make_commit(out_dir: str, num_partitions: int, input_desc: str,
                  drop_cols: tuple[str, ...],
-                 partition_by: str | None = None):
+                 partition_by: str | None = None,
+                 sort_within: str | None = None):
     def _write_fragment(data: pa.Table, final: str) -> None:
         os.makedirs(os.path.dirname(final), exist_ok=True)
         tmp = f"{final}.tmp.{os.getpid()}"
@@ -53,6 +54,8 @@ def _make_commit(out_dir: str, num_partitions: int, input_desc: str,
     def commit_one(part: pa.Table) -> pa.Table:
         pid = int(part["part_id"][0].as_py())
         data = part.drop_columns(list(drop_cols))
+        if sort_within is not None:
+            data = data.sort_by(sort_within)
         os.makedirs(data_dir(out_dir), exist_ok=True)
         base = part_data_path(out_dir, pid)
         if partition_by is None:
@@ -131,7 +134,9 @@ def resumable_write(ds: rd.Dataset, out_dir: str, num_partitions: int = 16,
                     key: str = "doc_id", input_desc: str = "",
                     resume: bool = True,
                     exchange_partitions: int | None = None,
-                    partition_by: str | None = None) -> dict:
+                    partition_by: str | None = None,
+                    range_bound: int | None = None,
+                    sort_within: str | None = None) -> dict:
     """Write ``ds`` as ``out_dir/data/part-NNNNN.parquet`` + manifests.
 
     With ``partition_by=<col>`` the layout becomes hive-style
@@ -148,6 +153,13 @@ def resumable_write(ds: rd.Dataset, out_dir: str, num_partitions: int = 16,
     never does). Reusing an out_dir with a different ``partition_by`` is
     refused (run-manifest check), like a different ``num_partitions``.
 
+    With ``range_bound=N`` the partitioner becomes RANGE instead of hash:
+    ``part_id = key·P // N`` for an integer key in [0, N) — part files are
+    contiguous ordered shards (what a sequential training reader wants),
+    while commit atomicity and O(P) resume are unchanged. Pair it with
+    ``sort_within=<col>`` to also order rows inside each fragment, making
+    the whole output globally sorted by file order.
+
     Returns the merged summary (partitions committed, row counters). The
     exchange guarantees a partition arrives as one contiguous run in one
     block (Ray 2.49 hash-shuffle finalize emits one block per partition);
@@ -157,8 +169,10 @@ def resumable_write(ds: rd.Dataset, out_dir: str, num_partitions: int = 16,
     from ocrautomator_ray.functions.exchange import tune_exchange
 
     check_run_compatible(out_dir, num_partitions, partition_by=partition_by)
+    partitioner = (f"range({key}) * num_partitions // {range_bound}"
+                   if range_bound else f"siphash({key}) % num_partitions")
     write_run_manifest(out_dir, {"num_partitions": num_partitions,
-                                 "partitioner": f"siphash({key}) % num_partitions",
+                                 "partitioner": partitioner,
                                  "partition_by": partition_by,
                                  "input": input_desc})
     done = completed_parts(out_dir, num_partitions) if resume else set()
@@ -171,13 +185,20 @@ def resumable_write(ds: rd.Dataset, out_dir: str, num_partitions: int = 16,
         # they ride the exchange as part_id=-1 and are never committed
         arr = t[key]
         valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+
+        def _pids(a) -> np.ndarray:
+            if range_bound:
+                k = a.to_numpy(zero_copy_only=False).astype(np.int64)
+                return np.clip(k * num_partitions // range_bound, 0,
+                               num_partitions - 1).astype(np.int32)
+            return partition_ids(a, num_partitions).astype(np.int32)
+
         if valid.all():
-            pids = partition_ids(arr, num_partitions).astype(np.int32)
+            pids = _pids(arr)
         else:
             pids = np.full(t.num_rows, -1, np.int32)
             if valid.any():
-                pids[valid] = partition_ids(
-                    arr.filter(pa.array(valid)), num_partitions)
+                pids[valid] = _pids(arr.filter(pa.array(valid)))
         if done:
             keep = ~np.isin(pids, list(done))
             t, pids = t.filter(pa.array(keep)), pids[keep]
@@ -200,7 +221,8 @@ def resumable_write(ds: rd.Dataset, out_dir: str, num_partitions: int = 16,
         tagged.repartition(n_ex, keys=["part_id"])
         .map_batches(_make_commit(out_dir, num_partitions, input_desc,
                                   drop_cols=("part_id",),
-                                  partition_by=partition_by),
+                                  partition_by=partition_by,
+                                  sort_within=sort_within),
                      batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
         .to_pandas()

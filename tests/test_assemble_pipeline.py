@@ -36,6 +36,20 @@ def test_assembly_positions_and_resume(tmp_path):
     from ocrautomator_ray.functions.mix import SOURCE_CAP
     assert (per_src <= SOURCE_CAP).all()
 
+    # range partitioning: part-i holds the i-th contiguous pos range, rows
+    # sorted within — the committed layout is globally ordered by file order
+    import glob
+
+    import pyarrow.parquet as pq
+
+    prev_hi = -1
+    for f in sorted(glob.glob(f"{out}/data/part-*.parquet")):
+        pos = pq.read_table(f, columns=["pos"])["pos"].to_numpy()
+        assert (np.diff(pos) > 0).all(), f"{f} not sorted within"
+        assert pos[0] == prev_hi + 1, f"{f} not contiguous with previous part"
+        prev_hi = int(pos[-1])
+    assert prev_hi == len(df) - 1
+
     # full resume is a noop; a demoted partition recomputes identically
     s2 = run_assembly(SF, out, num_partitions=8)
     assert s2["partitions_this_run"] == 0
