@@ -321,7 +321,13 @@ def corpus_freq_score(sf_dir: str) -> rd.Dataset:
     doc-keyed groupby sums them; T comes from a one-column side pass that
     reduces to one int per batch. int64 bound: Σc·1e9 < 2^63 holds through
     sf10-scale corpora (Σc ≤ n·max_c ≈ 3e9); a 100-TB run would precompute
-    c/T at fixed precision instead (documented trade, same pipeline shape)."""
+    c/T at fixed precision instead (documented trade, same pipeline shape).
+    Skew note: a stop-word's (token, doc) rows all land in one exchange
+    partition (the group pass itself is vectorized reduceat, so CPU is
+    fine, but the partition is corpus-wide). The standard scale fix —
+    broadcast the top-K vocabulary's counts (ray.put, a few MB) and
+    exchange only the tail — drops in between tok_rows and per_token
+    without changing any semantics."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
