@@ -356,13 +356,141 @@ FROM q, b
 """
 
 
+# ---------------------------------------------------------------------------
+# table_profile — single-pass per-column statistics ("describe")
+# ---------------------------------------------------------------------------
+
+# canonical scalar per type so engine and SQL render identically: ints
+# verbatim, floats as cents (FLOOR(x*100+0.5)), timestamps as epoch micros,
+# strings lexicographic (binary collation both engines)
+_PROFILE_COLS = [  # (name, kind)
+    ("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"),
+    ("o_totalprice", "cents"), ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def table_profile(sf_dir: str) -> rd.Dataset:
+    """(column, n_rows, n_nulls, min_repr, max_repr) for every orders
+    column — the one-pass dataset profile every ingestion job runs first.
+
+    Partial+final over heterogeneous types: each batch emits ONE typed row
+    per column (numeric/timestamp extrema in an int64 pair, string extrema
+    in a string pair), a 6-group groupby merges them, and a final map
+    renders the canonical representation. Shuffle volume: columns × batches
+    rows, independent of table size."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = pruned_read(f"{sf_dir}/orders.parquet",
+                     [c for c, _ in _PROFILE_COLS])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = {"column": [], "n": [], "nulls": [], "min_i": [], "max_i": [],
+                "min_s": [], "max_s": []}
+        for name, kind in _PROFILE_COLS:
+            col = t[name]
+            n = len(col)
+            nulls = col.null_count
+            mi = ma = None
+            ms = xs = None
+            if n > nulls:
+                if kind == "cents":
+                    iv = pc.cast(pc.floor(pc.add(pc.multiply(
+                        col, 100.0), 0.5)), pa.int64())
+                    mm = pc.min_max(iv)
+                    mi, ma = mm["min"].as_py(), mm["max"].as_py()
+                elif kind == "ts":
+                    mm = pc.min_max(col.cast(pa.int64()))
+                    mi, ma = mm["min"].as_py(), mm["max"].as_py()
+                elif kind == "int":
+                    mm = pc.min_max(col)
+                    mi, ma = mm["min"].as_py(), mm["max"].as_py()
+                else:
+                    mm = pc.min_max(col)
+                    ms, xs = mm["min"].as_py(), mm["max"].as_py()
+            rows["column"].append(name)
+            rows["n"].append(n)
+            rows["nulls"].append(nulls)
+            rows["min_i"].append(mi)
+            rows["max_i"].append(ma)
+            rows["min_s"].append(ms)
+            rows["max_s"].append(xs)
+        return pa.table({
+            "column": pa.array(rows["column"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "nulls": pa.array(rows["nulls"], pa.int64()),
+            "min_i": pa.array(rows["min_i"], pa.int64()),
+            "max_i": pa.array(rows["max_i"], pa.int64()),
+            "min_s": pa.array(rows["min_s"], pa.string()),
+            "max_s": pa.array(rows["max_s"], pa.string()),
+        })
+
+    kinds = dict(_PROFILE_COLS)
+
+    def render(t: pa.Table) -> pa.Table:
+        cols = t["column"].to_pylist()
+        mi, ma = t["min_i"].to_pylist(), t["max_i"].to_pylist()
+        ms, xs = t["min_s"].to_pylist(), t["max_s"].to_pylist()
+        min_r = [ms[i] if kinds[c] == "str" else
+                 (None if mi[i] is None else str(mi[i]))
+                 for i, c in enumerate(cols)]
+        max_r = [xs[i] if kinds[c] == "str" else
+                 (None if ma[i] is None else str(ma[i]))
+                 for i, c in enumerate(cols)]
+        return pa.table({
+            "column": t["column"],
+            "n_rows": t["n"],
+            "n_nulls": t["nulls"],
+            "min_repr": pa.array(min_r, pa.string()),
+            "max_repr": pa.array(max_r, pa.string()),
+        })
+
+    from ocrautomator_ray.functions.exchange import tune_exchange
+
+    out = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    tune_exchange(out, 4)
+    return (
+        out.groupby("column", num_partitions=4)
+        .aggregate(Sum("n", alias_name="n"), Sum("nulls", alias_name="nulls"),
+                   Min("min_i", alias_name="min_i"),
+                   Max("max_i", alias_name="max_i"),
+                   Min("min_s", alias_name="min_s"),
+                   Max("max_s", alias_name="max_s"))
+        .map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def _profile_sql() -> str:
+    parts = []
+    for name, kind in _PROFILE_COLS:
+        if kind == "cents":
+            expr = f"CAST(FLOOR({name}*100 + 0.5) AS BIGINT)"
+        elif kind == "ts":
+            expr = f"CAST(epoch_us({name}) AS BIGINT)"
+        else:
+            expr = name
+        parts.append(
+            f"SELECT '{name}' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(COUNT(*) - COUNT({name}) AS BIGINT) AS n_nulls, "
+            f"CAST(MIN({expr}) AS VARCHAR) AS min_repr, "
+            f"CAST(MAX({expr}) AS VARCHAR) AS max_repr FROM orders")
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_TABLE_PROFILE = _profile_sql()
+
+
 QUERIES = {
     "approx_distinct_users_per_type": approx_distinct_users_per_type,
     "approx_top_tokens": approx_top_tokens,
     "approx_quantiles_value": approx_quantiles_value,
+    "table_profile": table_profile,
 }
 
 SQL: dict[str, str] = {
     "approx_quantiles_value": SQL_APPROX_QUANTILES,
     "approx_top_tokens": SQL_APPROX_TOP_TOKENS,
+    "table_profile": SQL_TABLE_PROFILE,
 }
