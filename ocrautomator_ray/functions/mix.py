@@ -310,8 +310,51 @@ def _sql_rp_project() -> str:
 SQL_RP_PROJECT = _sql_rp_project()
 
 
+# ---------------------------------------------------------------------------
+# sample_k — deterministic exact-k uniform sample (hash ranking)
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 100
+
+
+def sample_k(sf_dir: str, k: int = SAMPLE_K) -> rd.Dataset:
+    """(doc_id, source) of exactly k docs — the ones with the smallest
+    shuffle hash. A fixed-size eval subset that is uniform (hash ranks are
+    exchangeable), reproducible, and STABLE under corpus growth in the
+    bottom-k sense (a doc leaves the sample only when a smaller-hash doc
+    arrives). Per-batch top-k partials (lossless prune: the global bottom-k
+    is a subset of batch bottom-ks), so the final sort ranks k×batches
+    rows, never the corpus."""
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = mix_hash(ids, SHUFFLE_SEED)
+        if len(ids) > k:
+            keep = np.lexsort((ids, h))[:k]
+            keep.sort()
+            t, h = t.take(pa.array(keep)), h[keep]
+        return t.append_column("h", pa.array(h, pa.int64()))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(key=["h", "doc_id"])
+        .limit(k)
+        .drop_columns(["h"])
+    )
+
+
+SQL_SAMPLE_K = f"""
+SELECT doc_id, source
+FROM documents
+ORDER BY {sql_mix_hash('doc_id', SHUFFLE_SEED)}, doc_id
+LIMIT {SAMPLE_K}
+"""
+
+
 QUERIES = {
     "seeded_shuffle": seeded_shuffle,
+    "sample_k": sample_k,
     "source_cap": source_cap,
     "mix_corpus": mix_corpus,
     "weighted_sample": weighted_sample,
@@ -320,6 +363,7 @@ QUERIES = {
 
 SQL = {
     "seeded_shuffle": SQL_SEEDED_SHUFFLE,
+    "sample_k": SQL_SAMPLE_K,
     "source_cap": SQL_SOURCE_CAP,
     "mix_corpus": SQL_MIX_CORPUS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
