@@ -82,7 +82,7 @@ def ann_topk(sf_dir: str, num_queries: int = ANN_NUM_QUERIES, k: int = ANN_K) ->
     ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
     return (
         ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("qid")
+        .groupby("qid", num_partitions=4)
         .map_groups(final_topk, batch_format="pandas")
     )
 
@@ -173,7 +173,7 @@ def lsh_ann_topk(sf_dir: str, num_queries: int = ANN_NUM_QUERIES, k: int = ANN_K
     ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
     return (
         ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("qid")
+        .groupby("qid", num_partitions=4)
         .map_groups(final_topk, batch_format="pandas")
     )
 
@@ -276,7 +276,7 @@ def ivf_ann_topk(sf_dir: str, num_queries: int = ANN_NUM_QUERIES,
     ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
     return (
         ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("qid")
+        .groupby("qid", num_partitions=4)
         .map_groups(final_topk, batch_format="pandas")
     )
 
@@ -323,7 +323,7 @@ def label_centroids(sf_dir: str) -> rd.Dataset:
 
     out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     tune_exchange(out)
-    return out.groupby(["label", "dim"]).aggregate(
+    return out.groupby(["label", "dim"], num_partitions=8).aggregate(
         Sum("sum_micros", alias_name="sum_micros"), Sum("n", alias_name="n")
     )
 

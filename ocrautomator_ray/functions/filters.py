@@ -149,7 +149,7 @@ def percentile_filter_docs(sf_dir: str) -> rd.Dataset:
 
     counts = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("n_chars")
+        .groupby("n_chars", num_partitions=4)
         .aggregate(Sum("n", alias_name="n"))
         .take_all()  # aggregated (distinct n_chars, count) — value-domain sized
     )

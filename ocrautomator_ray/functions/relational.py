@@ -65,7 +65,7 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_linestatus"])
+        .groupby(["l_returnflag", "l_linestatus"], num_partitions=4)
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
             Sum("sum_base_cents", alias_name="sum_base_cents"),
@@ -232,7 +232,7 @@ def revenue_by_nation(sf_dir: str) -> rd.Dataset:
     return (
         pruned_read(f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey", "o_totalprice"])
         .map_batches(partial, batch_format="pandas")
-        .groupby("n_name")
+        .groupby("n_name", num_partitions=4)
         .aggregate(
             Sum("revenue_cents", alias_name="revenue_cents"),
             Sum("num_orders", alias_name="num_orders"),
@@ -285,7 +285,7 @@ def event_type_counts(sf_dir: str) -> rd.Dataset:
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("event_type")
+        .groupby("event_type", num_partitions=4)
         .aggregate(Sum("sum_value_u", alias_name="sum_value_u"),
                    Sum("n", alias_name="n"))
     )
@@ -319,9 +319,12 @@ def hourly_user_activity(sf_dir: str) -> rd.Dataset:
         g = pa.TableGroupBy(t, ["user_id", "hour_bucket"]).aggregate([([], "count_all")])
         return g.rename_columns(["user_id", "hour_bucket", "n_events"])
 
+    from ocrautomator_ray.functions.exchange import auto_partitions
+
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "hour_bucket"])
+        .groupby(["user_id", "hour_bucket"],
+                 num_partitions=auto_partitions(f"{sf_dir}/events.parquet"))
         .aggregate(Sum("n_events", alias_name="n_events"))
     )
 

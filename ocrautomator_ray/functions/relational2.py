@@ -47,7 +47,7 @@ def union_orders_halves(sf_dir: str) -> rd.Dataset:
     return (
         lo.union(hi)
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_orderstatus")
+        .groupby("o_orderstatus", num_partitions=4)
         .aggregate(Sum("total_cents", alias_name="total_cents"),
                    Sum("n", alias_name="n"))
     )
@@ -98,7 +98,7 @@ def revenue_by_priority(sf_dir: str) -> rd.Dataset:
 
     return (
         joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_orderpriority")
+        .groupby("o_orderpriority", num_partitions=4)
         .aggregate(Sum("revenue_cents4", alias_name="revenue_cents4"),
                    Sum("n_items", alias_name="n_items"))
     )
@@ -242,7 +242,7 @@ def distinct_users_per_type(sf_dir: str) -> rd.Dataset:
 
     pairs = (
         ds.map_batches(partial_pairs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", "user_id"])
+        .groupby(["event_type", "user_id"], num_partitions=8)
         .aggregate(Sum("user_id", alias_name="_drop"))  # one row per distinct pair
         .drop_columns(["_drop"])
     )
@@ -253,7 +253,7 @@ def distinct_users_per_type(sf_dir: str) -> rd.Dataset:
 
     return (
         pairs.map_batches(partial_count, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("event_type")
+        .groupby("event_type", num_partitions=4)
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
 
@@ -368,7 +368,7 @@ def quantiles_qty_by_flag(sf_dir: str) -> rd.Dataset:
 
     counts = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_quantity"])
+        .groupby(["l_returnflag", "l_quantity"], num_partitions=4)
         .aggregate(Sum("n", alias_name="n"))
     )
 
@@ -388,7 +388,7 @@ def quantiles_qty_by_flag(sf_dir: str) -> rd.Dataset:
             "n": np.array([n], dtype=np.int64),
         })
 
-    return counts.groupby("l_returnflag").map_groups(quantiles, batch_format="pandas")
+    return counts.groupby("l_returnflag", num_partitions=4).map_groups(quantiles, batch_format="pandas")
 
 
 SQL_QUANTILES = """

@@ -183,7 +183,7 @@ def props_value_stats(sf_dir: str) -> rd.Dataset:
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("event_type")
+        .groupby("event_type", num_partitions=4)
         .aggregate(
             Sum("sum_k", alias_name="sum_k"),
             Min("min_k", alias_name="min_k"),
@@ -349,7 +349,7 @@ def revenue_rollup(sf_dir: str) -> rd.Dataset:
 
     base = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["o_orderstatus", "o_orderpriority"])
+        .groupby(["o_orderstatus", "o_orderpriority"], num_partitions=4)
         .aggregate(Sum("total_cents", alias_name="total_cents"),
                    Sum("n", alias_name="n"))
     )

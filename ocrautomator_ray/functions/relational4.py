@@ -359,7 +359,7 @@ def qty_price_corr_by_flag(sf_dir: str) -> rd.Dataset:
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_returnflag")
+        .groupby("l_returnflag", num_partitions=4)
         .aggregate(Sum("sq", alias_name="sq"), Sum("sp", alias_name="sp"),
                    Sum("sqq", alias_name="sqq"), Sum("spp", alias_name="spp"),
                    Sum("sqp", alias_name="sqp"), Sum("n", alias_name="n"))
@@ -635,7 +635,7 @@ def event_value_zscore(sf_dir: str) -> rd.Dataset:
 
     stats_rows = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("event_type")
+        .groupby("event_type", num_partitions=4)
         .aggregate(Sum("s", alias_name="s"), Sum("sq", alias_name="sq"),
                    Sum("n", alias_name="n"))
         .take_all()

@@ -96,7 +96,7 @@ def approx_distinct_users_per_type(sf_dir: str) -> rd.Dataset:
 
     return (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("event_type")
+        .groupby("event_type", num_partitions=4)
         .map_groups(merge, batch_format="pandas")
     )
 
@@ -181,7 +181,7 @@ def approx_top_tokens(sf_dir: str) -> rd.Dataset:
 
     merged = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("token")
+        .groupby("token", num_partitions=4)
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
 
