@@ -66,7 +66,11 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "approx_quantiles_value", "pack_sequences", "lang_id",
                "doc_fingerprint", "minhash_lsh_dups", "minhash_dup_clusters",
                "simhash_dups", "approx_top_tokens", "neardup_removed_docs",
-               "revenue_by_region", "event_value_zscore"]
+               "revenue_by_region", "event_value_zscore",
+               "seeded_shuffle", "source_cap", "mix_corpus", "weighted_sample",
+               "rp_project", "sample_k", "incremental_dedup",
+               "retention_cohorts", "embedding_outliers", "corpus_freq_score",
+               "table_profile", "assemble_pipeline"]
 
 
 @pytest.mark.usefixtures("ray_session")
