@@ -658,8 +658,62 @@ WHERE d.doc_id % {INCR_NEW_MOD} = 0
 """
 
 
+def decontaminated_docs(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_chars) of TRAIN docs with ZERO eval k-gram overlap — the
+    actual deliverable of decontamination (``decontaminate`` reports the
+    contaminated side with overlap counts; this is the cleaned corpus).
+    large×large ``left_anti`` join against the contaminated id set — no
+    driver materialization, so it holds when contamination is widespread."""
+    contaminated = decontaminate(sf_dir).map_batches(
+        lambda t: t.select(["doc_id"]).rename_columns(["drop_id"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    from ocrautomator_ray.functions.exchange import auto_partitions
+
+    docs = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "n_chars"])
+
+    def train_only(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % EVAL_MODULUS != 0))
+
+    docs = docs.map_batches(train_only, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    tune_exchange(docs)
+    return docs.join(contaminated, join_type="left_anti",
+                     num_partitions=auto_partitions(
+                         f"{sf_dir}/documents.parquet"),
+                     on=("doc_id",), right_on=("drop_id",))
+
+
+SQL_DECONTAMINATED_DOCS = f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i.i : i.i + {DECONTAM_K - 1}], ' ') AS g
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - {DECONTAM_K - 1})) AS i) i
+),
+eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MODULUS} = 0
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % {EVAL_MODULUS} <> 0 AND g IN (SELECT g FROM eval_grams)
+)
+SELECT doc_id, n_chars
+FROM documents
+WHERE doc_id % {EVAL_MODULUS} <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
 QUERIES = {
     "decontaminate": decontaminate,
+    "decontaminated_docs": decontaminated_docs,
     "incremental_dedup": incremental_dedup,
     "hash_split": hash_split,
     "repetition_stats": repetition_stats,
@@ -670,6 +724,7 @@ QUERIES = {
 
 SQL = {
     "decontaminate": SQL_DECONTAMINATE,
+    "decontaminated_docs": SQL_DECONTAMINATED_DOCS,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "hash_split": SQL_HASH_SPLIT,
     "repetition_stats": SQL_REPETITION_STATS,

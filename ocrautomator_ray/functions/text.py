@@ -307,8 +307,121 @@ FROM h
 SQL_LANG_ID = _lang_id_sql()
 
 
+# --------------------------------------------------------------------------
+# fingerprint_dups — MOSS-style overlap detection: doc pairs sharing
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 §5: drop
+# overly-common fingerprints before pairing — they are the k-gram stopwords)
+# --------------------------------------------------------------------------
+
+FP_PAIR_CAP = 16     # ignore fingerprints present in more docs than this
+FP_MIN_SHARED = 2    # report pairs sharing at least this many fingerprints
+
+
+def fingerprint_dups(sf_dir: str) -> rd.Dataset:
+    """(doc_a, doc_b, shared_fps): document pairs sharing ≥ FP_MIN_SHARED
+    distinct winnowing fingerprints, fingerprints in > FP_PAIR_CAP docs
+    excluded (boilerplate guard — also the skew guard: a group's pair count
+    is capped at C(FP_PAIR_CAP, 2), so one hot fingerprint can't pin a
+    worker). One fingerprint-keyed exchange emits pairs per group; a pair
+    groupby counts the shared fingerprints."""
+    from ray.data.aggregate import Count
+
+    from ocrautomator_ray.functions.exchange import (
+        auto_partitions,
+        per_key_blocks,
+    )
+
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+
+    def fp_rows(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_fp, out_id = [], []
+        for i, s in enumerate(texts):
+            fps = _winnow_one((s or "").encode())
+            out_fp.append(fps.view(np.int64))
+            out_id.append(np.full(len(fps), ids[i], np.int64))
+        return pa.table({
+            "fp": pa.array(np.concatenate(out_fp) if out_fp else
+                           np.empty(0, np.int64), pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_id) if out_id else
+                               np.empty(0, np.int64), pa.int64()),
+        })
+
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def pairs_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pair_schema.empty_table()
+        fp = block["fp"].to_numpy(zero_copy_only=False)
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, fp))
+        fp, ids = fp[order], ids[order]
+        starts = np.nonzero(np.r_[True, fp[1:] != fp[:-1]])[0]
+        run_len = np.diff(np.r_[starts, len(fp)])
+        out_a, out_b = [], []
+        for s, ln in zip(starts, run_len):
+            if ln < 2 or ln > FP_PAIR_CAP:
+                continue
+            g = ids[s:s + ln]
+            ia, ib = np.triu_indices(ln, k=1)
+            out_a.append(g[ia])
+            out_b.append(g[ib])
+        if not out_a:
+            return pair_schema.empty_table()
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pa.table({"doc_a": pa.array(np.minimum(a, b), pa.int64()),
+                         "doc_b": pa.array(np.maximum(a, b), pa.int64())})
+
+    n_parts = auto_partitions(f"{sf_dir}/documents.parquet",
+                              bytes_per_partition=8 << 20)
+    rows = ds.map_batches(fp_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    pairs = per_key_blocks(rows, ["fp"], pairs_block,
+                           num_partitions=n_parts)
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.greater_equal(t["count()"], FP_MIN_SHARED)
+        t = t.filter(m)
+        return pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                         "shared_fps": t["count()"].cast(pa.int64())})
+
+    return (
+        pairs.groupby(["doc_a", "doc_b"], num_partitions=8).count()
+        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def _fp_dups_sql() -> str:
+    # reuse the doc_fingerprint CTE chain up to the distinct (doc, hmin) set
+    base = _fp_sql()
+    prefix = base[: base.index("f AS (")]
+    return f"""{prefix}fps AS (
+    SELECT DISTINCT doc_id, hmin FROM u
+),
+ok AS (
+    SELECT hmin FROM fps GROUP BY hmin
+    HAVING COUNT(*) BETWEEN 2 AND {FP_PAIR_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM fps a
+JOIN fps b ON a.hmin = b.hmin AND a.doc_id < b.doc_id
+WHERE a.hmin IN (SELECT hmin FROM ok)
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {FP_MIN_SHARED}
+"""
+
+
+SQL_FINGERPRINT_DUPS = _fp_dups_sql()
+
+
 QUERIES = {
     "token_stats": token_stats,
+    "fingerprint_dups": fingerprint_dups,
     "quality_score": quality_score,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
@@ -317,6 +430,7 @@ QUERIES = {
 
 SQL = {
     "token_stats": SQL_TOKEN_STATS,
+    "fingerprint_dups": SQL_FINGERPRINT_DUPS,
     "quality_score": SQL_QUALITY_SCORE,
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,

@@ -70,7 +70,8 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "seeded_shuffle", "source_cap", "mix_corpus", "weighted_sample",
                "rp_project", "sample_k", "incremental_dedup",
                "retention_cohorts", "embedding_outliers", "corpus_freq_score",
-               "table_profile", "assemble_pipeline"]
+               "table_profile", "assemble_pipeline", "decontaminated_docs",
+               "fingerprint_dups"]
 
 
 @pytest.mark.usefixtures("ray_session")
