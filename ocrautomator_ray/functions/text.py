@@ -359,14 +359,18 @@ def fingerprint_dups(sf_dir: str) -> rd.Dataset:
         fp, ids = fp[order], ids[order]
         starts = np.nonzero(np.r_[True, fp[1:] != fp[:-1]])[0]
         run_len = np.diff(np.r_[starts, len(fp)])
+        # vectorize by run size: most runs are singletons (unique
+        # fingerprints) — a Python loop over all runs dominates; instead
+        # stack the eligible runs of each size into one triu gather
         out_a, out_b = [], []
-        for s, ln in zip(starts, run_len):
-            if ln < 2 or ln > FP_PAIR_CAP:
+        for ln in range(2, FP_PAIR_CAP + 1):
+            sel = starts[run_len == ln]
+            if sel.size == 0:
                 continue
-            g = ids[s:s + ln]
+            g = ids[sel[:, None] + np.arange(ln)[None, :]]  # (runs, ln)
             ia, ib = np.triu_indices(ln, k=1)
-            out_a.append(g[ia])
-            out_b.append(g[ib])
+            out_a.append(g[:, ia].ravel())
+            out_b.append(g[:, ib].ravel())
         if not out_a:
             return pair_schema.empty_table()
         a = np.concatenate(out_a)
