@@ -79,10 +79,11 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_dedup.SQL)
     sql.update(_ann.SQL)
     sql.update(_curate.SQL)
+    sql.update(_media.SQL)
     sql.update(_mix.SQL)
     sql["curate_pipeline"] = SQL_CURATE
     sql["assemble_pipeline"] = SQL_ASSEMBLE
     # Rows-only (non-SQL-expressible): lsh_ann_topk, ivf_ann_topk,
-    # approx_distinct_users_per_type, media_*, extract_pipeline — each has
-    # a pytest oracle instead (tests/).
+    # approx_distinct_users_per_type, media_decode_stats, media_features,
+    # extract_pipeline — each has a pytest oracle instead (tests/).
     return sql

@@ -98,4 +98,21 @@ QUERIES = {
     "media_frame_counts": media_frame_counts,
 }
 
-SQL: dict[str, str] = {}  # actor-pool stages — pytest oracles instead
+# media_frame_counts IS SQL-expressible even though it runs a real binary
+# actor-pool stage: the synthetic container's frame count is a pure function
+# of doc_id (pages = 1 + doc_id % 5; every-4th sampling → ceil(pages/4)), and
+# the ref string is reconstructible, so DuckDB can predict the actor's exact
+# output — which is precisely what makes it a strong plumbing check. The
+# decode/feature queries stay rows-only (outputs depend on payload bytes).
+_PSM_LIST = ", ".join(str(p) for p in codec.VALID_PSMS)
+
+SQL_MEDIA_FRAME_COUNTS = f"""
+SELECT 'm://doc' || doc_id || '/0?pages=' || (1 + doc_id % 5) ||
+       '&psm=' || ([{_PSM_LIST}])[1 + CAST(doc_id % {len(codec.VALID_PSMS)}
+                                            AS BIGINT)] ||
+       '&seed=' || (doc_id % 16) AS media_ref,
+       CAST((1 + doc_id % 5 + 3) // 4 AS BIGINT) AS n_frames_sampled
+FROM documents
+"""
+
+SQL: dict[str, str] = {"media_frame_counts": SQL_MEDIA_FRAME_COUNTS}

@@ -71,7 +71,7 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "rp_project", "sample_k", "incremental_dedup",
                "retention_cohorts", "embedding_outliers", "corpus_freq_score",
                "table_profile", "assemble_pipeline", "decontaminated_docs",
-               "fingerprint_dups"]
+               "fingerprint_dups", "media_frame_counts"]
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -94,7 +94,7 @@ def test_sql_oracled_query(name, ddb, contract):
 
 ROWS_ONLY = ["lsh_ann_topk", "ivf_ann_topk",
              "approx_distinct_users_per_type", "media_decode_stats",
-             "media_features", "media_frame_counts"]
+             "media_features"]
 
 
 @pytest.mark.usefixtures("ray_session")
