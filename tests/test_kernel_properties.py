@@ -186,3 +186,74 @@ def test_shuffle_bucket_offsets_rank_is_permutation(ids):
     got = np.empty(len(a), np.int64)
     got[order] = pos
     assert (got == ref_pos).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.sampled_from("abcd")),
+                min_size=1, max_size=60))
+def test_incremental_dedup_verdict_on_any_grouping(rows):
+    """The first-row verdict (order by v = existing ? -1 : id inside each
+    (hash, text) group) equals the set-logic spec for any id/text multiset."""
+    from ocrautomator_ray.functions.curate import (
+        INCR_NEW_MOD,
+        first_per_hash_group,
+    )
+
+    ids = np.array([i for i, _ in rows], np.int64)
+    txt = np.array([t for _, t in rows], dtype=object)
+    # weak 2-bucket "hash" ON PURPOSE: forces collision runs through the
+    # text-compare path
+    h = np.array([ord(t[0]) % 2 for _, t in rows], np.int64)
+    v = np.where(ids % INCR_NEW_MOD == 0, ids, -1)
+    first = first_per_hash_group(h, txt, v)
+    got = set(ids[first[v[first] >= 0]].tolist())
+    # spec
+    existing = {t for i, t in rows if i % INCR_NEW_MOD != 0}
+    firsts = {}
+    for i, t in sorted(rows):
+        if i % INCR_NEW_MOD == 0:
+            firsts.setdefault(t, i)
+    expect = {i for t, i in firsts.items() if t not in existing}
+    assert got == expect
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 40)),
+                min_size=0, max_size=120))
+def test_fingerprint_pair_kernel_matches_brute_force(rows):
+    """The size-stacked pair generation over (fp, doc) rows equals the
+    brute-force pair set with the hot-fingerprint cap applied."""
+    import itertools
+
+    import pyarrow as pa
+
+    from ocrautomator_ray.functions.text import FP_PAIR_CAP
+
+    # dedupe (fp, doc) occurrences as the real op's distinct fingerprints do
+    uniq = sorted(set(rows))
+    fp = np.array([f for f, _ in uniq], np.int64)
+    ids = np.array([d for _, d in uniq], np.int64)
+    # reproduce pairs_block's kernel inline (it is a closure)
+    order = np.lexsort((ids, fp))
+    fps, idss = fp[order], ids[order]
+    starts = np.nonzero(np.r_[True, fps[1:] != fps[:-1]])[0] if len(fps) else np.empty(0, np.int64)
+    run_len = np.diff(np.r_[starts, len(fps)]) if len(fps) else np.empty(0, np.int64)
+    got = set()
+    for ln in range(2, FP_PAIR_CAP + 1):
+        sel = starts[run_len == ln]
+        if sel.size == 0:
+            continue
+        g = idss[sel[:, None] + np.arange(ln)[None, :]]
+        ia, ib = np.triu_indices(ln, k=1)
+        for a, b in zip(g[:, ia].ravel(), g[:, ib].ravel()):
+            got.add((min(a, b), max(a, b)))
+    # brute force
+    expect = set()
+    by_fp = {}
+    for f, d in uniq:
+        by_fp.setdefault(f, []).append(d)
+    for f, ds_ in by_fp.items():
+        if 2 <= len(ds_) <= FP_PAIR_CAP:
+            for a, b in itertools.combinations(ds_, 2):
+                expect.add((min(a, b), max(a, b)))
+    assert got == expect
