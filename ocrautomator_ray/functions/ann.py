@@ -20,6 +20,21 @@ from ocrautomator_ray.functions.exchange import pruned_read
 ANN_NUM_QUERIES = 10
 ANN_K = 5
 
+_PARTIAL_SCHEMA = pa.schema([("qid", pa.int64()), ("vec_id", pa.int64()),
+                             ("sim", pa.float64())])
+
+
+def _embed_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
+    """(n, dim) float64 matrix from a fixed-dim list<float> column, zero-copy
+    through the flat values buffer (no per-row Python list materialization —
+    ``np.stack(to_pylist())`` was measurably slower on wide batches and
+    crashed on empty blocks)."""
+    import pyarrow.compute as pc
+
+    emb = t[col].combine_chunks() if isinstance(t[col], pa.ChunkedArray) else t[col]
+    flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64).reshape(t.num_rows, -1)
+
 
 def _load_queries(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.compute as pc
@@ -47,9 +62,11 @@ def ann_topk(sf_dir: str, num_queries: int = ANN_NUM_QUERIES, k: int = ANN_K) ->
     ref = ray.put((qids, Qn))
 
     def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # pruned reads can split small tables into empty blocks
+            return _PARTIAL_SCHEMA.empty_table()
         q_ids, Q = ray.get(ref)
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        E = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        E = _embed_matrix(t)
         En = E / np.linalg.norm(E, axis=1, keepdims=True)
         sims = Q @ En.T  # (num_queries, batch)
         out_q, out_v, out_s = [], [], []
@@ -127,26 +144,29 @@ def lsh_ann_topk(sf_dir: str, num_queries: int = ANN_NUM_QUERIES, k: int = ANN_K
     dim = Qn.shape[1]
     R = np.random.default_rng(0x5EED).standard_normal((LSH_PLANES, dim))
     q_buckets = (Qn @ R.T > 0) @ (1 << np.arange(LSH_PLANES))
-    probe_sets = []
-    for b in q_buckets:
-        probes = {int(b)}
+    # dense probe lookup table (num_queries × 2^planes bools): row qi is True
+    # at every bucket within hamming-2 of the query's own bucket — the batch
+    # membership test is then one fancy-index gather, no per-element Python
+    probe_lut = np.zeros((len(qids), 1 << LSH_PLANES), dtype=bool)
+    for qi, b in enumerate(q_buckets):
+        probe_lut[qi, int(b)] = True
         for p in range(LSH_PLANES):          # hamming-1 …
-            probes.add(int(b) ^ (1 << p))
+            probe_lut[qi, int(b) ^ (1 << p)] = True
             for p2 in range(p + 1, LSH_PLANES):  # … and hamming-2 probes
-                probes.add(int(b) ^ (1 << p) ^ (1 << p2))
-        probe_sets.append(probes)
-    ref = ray.put((qids, Qn, R, probe_sets))
+                probe_lut[qi, int(b) ^ (1 << p) ^ (1 << p2)] = True
+    ref = ray.put((qids, Qn, R, probe_lut))
 
     def partial_topk(t: pa.Table) -> pa.Table:
-        q_ids, Q, R_, probes = ray.get(ref)
+        if t.num_rows == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        q_ids, Q, R_, lut = ray.get(ref)
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        E = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        E = _embed_matrix(t)
         En = E / np.linalg.norm(E, axis=1, keepdims=True)
         buckets = (En @ R_.T > 0) @ (1 << np.arange(LSH_PLANES))
         out_q, out_v, out_s = [], [], []
         for qi, qid in enumerate(q_ids):
-            mask = np.fromiter((int(b) in probes[qi] for b in buckets),
-                               dtype=bool, count=len(buckets))
+            mask = lut[qi, buckets]
             mask &= ids != qid
             if not mask.any():
                 continue
@@ -243,9 +263,11 @@ def ivf_ann_topk(sf_dir: str, num_queries: int = ANN_NUM_QUERIES,
     ref = ray.put((qids, Qn, C, probe))
 
     def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PARTIAL_SCHEMA.empty_table()
         q_ids, Q, C_, probe_ = ray.get(ref)
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        E = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        E = _embed_matrix(t)
         En = E / np.linalg.norm(E, axis=1, keepdims=True)
         assign = np.argmax(En @ C_.T, axis=1)
         out_q, out_v, out_s = [], [], []
@@ -299,13 +321,14 @@ def label_centroids(sf_dir: str) -> rd.Dataset:
 
     ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["label", "embedding"])
 
+    partial_schema = pa.schema([("label", pa.int64()), ("dim", pa.int64()),
+                                ("sum_micros", pa.int64()), ("n", pa.int64())])
+
     def partial(t: pa.Table) -> pa.Table:
-        emb = t["embedding"].combine_chunks()
-        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False)
-        dim = len(flat) // t.num_rows
-        micros = np.floor(
-            flat.astype(np.float64).reshape(t.num_rows, dim) * 1e6 + 0.5
-        ).astype(np.int64)
+        if t.num_rows == 0:  # empty blocks are routine (filtered/starved reads)
+            return partial_schema.empty_table()
+        micros = np.floor(_embed_matrix(t) * 1e6 + 0.5).astype(np.int64)
+        dim = micros.shape[1]
         labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
         uniq, inv = np.unique(labels, return_inverse=True)
         sums = np.zeros((len(uniq), dim), dtype=np.int64)
@@ -386,10 +409,9 @@ def embedding_outliers(sf_dir: str, k: int = OUTLIER_K) -> rd.Dataset:
         if "dist2" in t.column_names:          # final pass over partials
             d2 = t["dist2"].to_numpy(zero_copy_only=False)
         else:                                  # first pass over raw vectors
-            emb = t["embedding"].combine_chunks()
-            flat = emb.values.to_numpy(zero_copy_only=False)
-            micros = np.floor(flat.astype(np.float64)
-                              .reshape(len(ids), dim) * 1e6 + 0.5).astype(np.int64)
+            # _embed_matrix (list_flatten) respects slice offsets, unlike
+            # ListArray.values which returns the unsliced child buffer
+            micros = np.floor(_embed_matrix(t) * 1e6 + 0.5).astype(np.int64)
             diff = micros - cmat[[lab_pos[int(l)] for l in lab]]
             d2 = np.einsum("ij,ij->i", diff, diff)
         # per-label top-k: sort by (label, -dist2, vec_id), rank within runs

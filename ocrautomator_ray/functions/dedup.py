@@ -104,6 +104,9 @@ _FNV_OFFSET_INT = 14695981039346656037
 _U64_MASK = (1 << 64) - 1
 
 
+_PAIR_CHUNK = 1 << 22  # ≤4M index pairs (~64 MB of int64) per yielded chunk
+
+
 def _bucket_pair_indices(bid: np.ndarray, key: np.ndarray):
     """Yield (ia, ib) ORIGINAL-row index arrays for every in-bucket pair of
     every (band_id, band_key) run in a block — vectorized across runs by
@@ -111,7 +114,15 @@ def _bucket_pair_indices(bid: np.ndarray, key: np.ndarray):
     all C(s,2) pairs with a single triu gather (no per-bucket Python loop;
     per-run dispatch measured ~1.7 s/task where this takes ~30 ms). Callers
     map the indices to ids/payloads and must drop self-pairs from duplicate
-    doc_id rows."""
+    doc_id rows.
+
+    Skew guard: a degenerate corpus (thousands of near-identical docs sharing
+    one band key) makes C(s,2) quadratic — emission is therefore CHUNKED at
+    ~_PAIR_CHUNK pairs per yield (across the group axis, and across triu row
+    ranges inside a single hot bucket), bounding peak memory regardless of
+    bucket size while still emitting every pair (lossless, unlike
+    fingerprint_dups' FP_PAIR_CAP drop, because MinHash verify needs every
+    candidate)."""
     order = np.lexsort((key, bid))
     b_s, k_s = bid[order], key[order]
     n = len(order)
@@ -125,10 +136,32 @@ def _bucket_pair_indices(bid: np.ndarray, key: np.ndarray):
     for s in np.unique(sizes):
         if s < 2:
             continue
+        s = int(s)
         g = np.nonzero(sizes == s)[0]
-        sel = order[starts[g][:, None] + np.arange(int(s))[None, :]]
-        ia, ib = np.triu_indices(int(s), k=1)
-        yield sel[:, ia].ravel(), sel[:, ib].ravel()
+        pairs_per_group = s * (s - 1) // 2
+        if pairs_per_group <= _PAIR_CHUNK:
+            ia, ib = np.triu_indices(s, k=1)
+            gpc = max(1, _PAIR_CHUNK // pairs_per_group)  # groups per chunk
+            for g0 in range(0, len(g), gpc):
+                sel = order[starts[g[g0:g0 + gpc]][:, None]
+                            + np.arange(s)[None, :]]
+                yield sel[:, ia].ravel(), sel[:, ib].ravel()
+        else:
+            # hot bucket: chunk the triangular index generation by row range
+            for grp in g:
+                base = order[starts[grp] + np.arange(s)]
+                i = 0
+                while i < s - 1:
+                    # rows i..j-1 such that their pair count stays ≤ chunk
+                    cnt = np.cumsum(s - 1 - np.arange(i, s - 1))
+                    j = i + max(1, int(np.searchsorted(cnt, _PAIR_CHUNK,
+                                                       side="right")))
+                    rows = np.arange(i, j)
+                    reps = s - 1 - rows
+                    ia = np.repeat(rows, reps)
+                    ib = np.repeat(rows + 1, reps) + _ramp(reps)
+                    yield base[ia], base[ib]
+                    i = j
 
 
 def _hash_tokens(tokens: list[str]) -> np.ndarray:
@@ -699,20 +732,40 @@ def chargram_jaccard_dups(sf_dir: str, threshold: float = CHARGRAM_THRESHOLD) ->
     log_inv_t = np.log(1.0 / threshold) * (1 + 1e-9)
 
     def bucket_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         srcs = t["source"].to_pylist()
-        texts = t["text"].to_pylist()
-        charsets = [
-            np.unique(np.frombuffer((txt or "").encode("utf-32-le"), np.uint32))
-            .astype(np.uint64)
-            for txt in texts
-        ]
-        sizes = np.array([len(c) for c in charsets], np.int64)
+        texts = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) \
+            else t["text"]
+        texts = pc.fill_null(texts, "")
+        n = len(ids)
+        # per-doc distinct codepoints, vectorized: ONE utf-8 decode + ONE
+        # utf-32 encode for the whole batch (utf-8 is self-delimiting, so
+        # decoding the concatenated data buffer equals per-doc decodes), then
+        # a (doc, code) lexsort + first-in-run mask replaces per-row
+        # np.unique — no Python loop over rows
+        off_dt = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+        bufs = texts.buffers()
+        offs = np.frombuffer(bufs[1], off_dt)[texts.offset: texts.offset + n + 1] \
+            .astype(np.int64)
+        raw = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None \
+            else np.empty(0, np.uint8)
+        full = raw[offs[0]: offs[-1]].tobytes().decode("utf-8")
+        codes = np.frombuffer(full.encode("utf-32-le"), np.uint32)
+        lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(np.arange(n), lens)
+        order = np.lexsort((codes, doc))
+        d_s, c_s = doc[order], codes[order]
+        uniq = np.zeros(len(order), bool)
+        if len(order):
+            uniq[0] = True
+            uniq[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+        sizes = np.bincount(d_s[uniq], minlength=n).astype(np.int64)
         bucket = np.where(
             sizes > 0, np.floor(np.log(np.maximum(sizes, 1)) / log_inv_t), -1
         ).astype(np.int64)
-        flat = (np.concatenate(charsets) if charsets
-                else np.empty(0, np.uint64))
+        flat = c_s[uniq].astype(np.uint64)
         blobs = _shingle_blob_col(flat, sizes)
         native = pa.table({
             "source": pa.array(srcs, pa.string()),
@@ -838,7 +891,9 @@ def embedding_neardup(sf_dir: str, threshold: float = COSINE_THRESHOLD,
         # each vec_id appears exactly once per group; np.unique is for the
         # ascending order the triangular mask below relies on
         ids_u, first = np.unique(ids, return_index=True)
-        E = np.stack(run["embedding"].to_pylist()).astype(np.float64)[first]
+        from ocrautomator_ray.functions.ann import _embed_matrix
+
+        E = _embed_matrix(run)[first]
         En = E / np.linalg.norm(E, axis=1, keepdims=True)
         blk = (ids_u % num_blocks).astype(np.int32)
         if gi == gj:
@@ -901,23 +956,34 @@ def minhash_dup_clusters(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
 
     adj = pairs.map_batches(seed_adj, batch_format="pyarrow", zero_copy_batch=True)
 
-    def propagate(g: pd.DataFrame) -> pd.DataFrame:
-        # hash-to-min: send the neighborhood minimum to every neighbor AND the
-        # whole neighborhood to the minimum node (both halves are required for
-        # chains to collapse in O(log n) rounds)
-        vs = np.unique(g["v"].to_numpy())
-        m = min(int(vs.min()), int(g["u"].iloc[0]))
-        mm = np.full(len(vs), m, dtype=np.int64)
-        return pd.DataFrame({
-            "u": np.concatenate([vs, mm]),
-            "v": np.concatenate([mm, vs]),
+    adj_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    def propagate_block(block: pa.Table) -> pa.Table:
+        # hash-to-min over ALL of a block's u-groups at once (vectorized run
+        # splitting — no per-group pandas dispatch): send the neighborhood
+        # minimum to every neighbor AND the whole neighborhood to the minimum
+        # node (both halves are required for chains to collapse in O(log n)
+        # rounds). In-block (u,v) dedup IS global dedup: the exchange key is
+        # u, so every copy of an edge lands in the same block — this folds
+        # the former dedup_edges groupby into the same exchange.
+        if block.num_rows == 0:
+            return adj_schema.empty_table()
+        u = block["u"].to_numpy(zero_copy_only=False)
+        v = block["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        us, vs = u[order], v[order]
+        keep = np.ones(len(us), bool)
+        keep[1:] = (us[1:] != us[:-1]) | (vs[1:] != vs[:-1])
+        us, vs = us[keep], vs[keep]
+        starts = np.nonzero(np.r_[True, us[1:] != us[:-1]])[0]
+        run_len = np.diff(np.r_[starts, len(us)])
+        # within a run vs is sorted ascending, so the neighborhood min is the
+        # first element; include u itself as hash-to-min requires
+        m = np.repeat(np.minimum(vs[starts], us[starts]), run_len)
+        return pa.table({
+            "u": pa.array(np.concatenate([vs, m]), pa.int64()),
+            "v": pa.array(np.concatenate([m, vs]), pa.int64()),
         })
-
-    from ray.data.aggregate import Count
-
-    def dedup_edges(ds: rd.Dataset) -> rd.Dataset:
-        return ds.groupby(["u", "v"], num_partitions=8) \
-            .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
 
     def signature(ds: rd.Dataset) -> int:
         from ray.data.aggregate import Sum
@@ -931,11 +997,14 @@ def minhash_dup_clusters(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
         ).aggregate(Sum("s", alias_name="s"))
         return int(row["s"])
 
+    from ocrautomator_ray.functions.exchange import per_key_blocks
+
     prev_sig = None
     for _ in range(max_rounds):
-        adj = dedup_edges(
-            adj.groupby("u", num_partitions=8).map_groups(propagate, batch_format="pandas")
-        ).materialize()  # adjacency shrinks to ~nodes rows; pin per round
+        # one hash exchange per round (propagate + dedup fused in-block);
+        # adjacency shrinks to ~nodes rows so the per-round pin is small
+        adj = per_key_blocks(adj, ["u"], propagate_block,
+                             num_partitions=8).materialize()
         sig = signature(adj)
         if sig == prev_sig:
             break
