@@ -84,6 +84,8 @@ def oracle_sql() -> dict[str, str]:
     sql["curate_pipeline"] = SQL_CURATE
     sql["assemble_pipeline"] = SQL_ASSEMBLE
     # Rows-only (non-SQL-expressible): lsh_ann_topk, ivf_ann_topk,
-    # approx_distinct_users_per_type, media_decode_stats, media_features,
-    # extract_pipeline — each has a pytest oracle instead (tests/).
+    # ivf_index_topk, approx_distinct_users_per_type, media_decode_stats,
+    # media_features, extract_pipeline — each has a pytest oracle instead
+    # (tests/): ivf_index_topk is pinned rows-identical to ivf_ann_topk and
+    # its read provably opens only the probed centroid directories.
     return sql

@@ -303,6 +303,149 @@ def ivf_ann_topk(sf_dir: str, num_queries: int = ANN_NUM_QUERIES,
     )
 
 
+# ---------------------------------------------------------------------------
+# ivf_index_build / ivf_index_topk — the persisted-index completion of the
+# IVF story: the centroid assignment is written ONCE through the generic
+# resumable sink, hive-partitioned by centroid, and probes then PRUNE AT THE
+# READ (only n_probe of the centroid directories are ever opened) instead of
+# re-assigning every batch on every query. This is the shape that matters at
+# 10^12 rows: the index build is a single streaming pass + partitioned write,
+# and each query's IO is n_probe/NCENTROIDS of the table.
+# ---------------------------------------------------------------------------
+
+
+def ivf_index_dir(sf_dir: str) -> str:
+    """Deterministic per-input index location under /tmp, fingerprinted by
+    the source file's (size, mtime) so a changed input never reuses a stale
+    index (the resumable sink would otherwise skip committed partitions)."""
+    import os
+
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    tag = f"{os.path.basename(os.path.dirname(src))}-{st.st_size}-{st.st_mtime_ns}"
+    return os.path.join("/tmp", "ocrauto_ivf_index", tag)
+
+
+def ivf_index_build(sf_dir: str, index_dir: str | None = None,
+                    num_partitions: int = 8) -> dict:
+    """Build (or resume) the persisted IVF-flat index: one distributed
+    assignment pass (argmax matmul per batch against the broadcast centroid
+    matrix) written via the resumable sink with ``partition_by="centroid"``,
+    so the layout is ``data/centroid=<c>/part-NNNNN.parquet`` — selective
+    probes read single value directories, and a killed build resumes with
+    O(P) manifest reads. Returns the sink summary plus ``index_dir``."""
+    import os
+
+    import ray
+
+    from ocrautomator_ray.sinks.parquet_commit import resumable_write
+
+    index_dir = index_dir or ivf_index_dir(sf_dir)
+    C = _train_centroids(sf_dir)
+    ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("vec_id", pa.int64()),
+                              ("embedding", pa.large_list(pa.float32())),
+                              ("centroid", pa.int32())]).empty_table()
+        En = _embed_matrix(t)
+        En = En / np.linalg.norm(En, axis=1, keepdims=True)
+        cent = np.argmax(En @ ray.get(ref).T, axis=1).astype(np.int32)
+        return t.append_column("centroid", pa.array(cent, pa.int32()))
+
+    ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
+    summary = resumable_write(
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
+        index_dir, num_partitions=num_partitions, key="vec_id",
+        input_desc=f"{sf_dir}/embeddings.parquet", partition_by="centroid")
+    summary["index_dir"] = index_dir
+    summary["centroid_dirs"] = sorted(
+        d for d in os.listdir(os.path.join(index_dir, "data"))
+        if d.startswith("centroid="))
+    return summary
+
+
+def ivf_probe_dirs(index_dir: str, probe: np.ndarray) -> list[str]:
+    """The centroid value directories a probe set actually touches — the
+    union over queries of their n_probe nearest centroids, intersected with
+    the directories that exist (a centroid with no vectors writes none)."""
+    import os
+
+    want = sorted({int(c) for c in probe.reshape(-1)})
+    dirs = [os.path.join(index_dir, "data", f"centroid={c}") for c in want]
+    return [d for d in dirs if os.path.isdir(d)]
+
+
+def ivf_probe_fragments(index_dir: str, probe: np.ndarray) -> list[str]:
+    """Parquet fragments under the probed directories (read_parquet wants
+    file paths when given an explicit list)."""
+    import os
+
+    return sorted(
+        os.path.join(d, f)
+        for d in ivf_probe_dirs(index_dir, probe)
+        for f in os.listdir(d) if f.endswith(".parquet"))
+
+
+def ivf_index_topk(sf_dir: str, num_queries: int = ANN_NUM_QUERIES,
+                   k: int = ANN_K, n_probe: int = IVF_PROBE) -> rd.Dataset:
+    """Pruned-probe query over the persisted IVF index: rows-identical to
+    ``ivf_ann_topk`` (same centroids, same probe sets, same scoring) but the
+    read opens ONLY the probed ``centroid=<c>`` directories and each batch
+    filters per query on the STORED assignment column instead of recomputing
+    the argmax. pytest pins both the equality and the pruning (probed dirs ⊊
+    all dirs when the probe union is proper)."""
+    import ray
+
+    ivf_index_build(sf_dir)  # no-op when already committed (O(P) manifest reads)
+    index_dir = ivf_index_dir(sf_dir)
+    qids, Qn = _load_queries(sf_dir, num_queries)
+    C = _train_centroids(sf_dir)
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]
+    ref = ray.put((qids, Qn, probe))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        q_ids, Q, probe_ = ray.get(ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        cent = t["centroid"].to_numpy(zero_copy_only=False)
+        En = _embed_matrix(t)
+        En = En / np.linalg.norm(En, axis=1, keepdims=True)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            mask = np.isin(cent, probe_[qi]) & (ids != qid)
+            if not mask.any():
+                continue
+            cand_ids, cand_E = ids[mask], En[mask]
+            s = Q[qi] @ cand_E.T
+            order = np.lexsort((cand_ids, -s))[:k]
+            out_q.extend([qid] * len(order))
+            out_v.extend(cand_ids[order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table({
+            "qid": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "qid": g["qid"].values,
+            "vec_id": g["vec_id"].values,
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    ds = rd.read_parquet(ivf_probe_fragments(index_dir, probe))
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("qid", num_partitions=4)
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------------
 # label_centroids — exact per-label elementwise vector aggregation (the
 # centroid building block of IVF/k-means and class-prototype computation),
@@ -466,6 +609,7 @@ QUERIES = {
     "embedding_outliers": embedding_outliers,
     "lsh_ann_topk": lsh_ann_topk,
     "ivf_ann_topk": ivf_ann_topk,
+    "ivf_index_topk": ivf_index_topk,
     "label_centroids": label_centroids,
 }
 

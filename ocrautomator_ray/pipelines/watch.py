@@ -21,6 +21,14 @@ round re-runs that exact fragment set first, and the epoch's own partition
 resume makes the re-run incremental. The overall output is the union of
 committed epochs (``read_watch_output``).
 
+Fragment identity is (path, size, mtime_ns), not path alone: a file
+overwritten or appended AFTER its epoch committed is detected (skipped with
+a loud warning — re-ingesting it would duplicate its old rows), and a
+pending epoch whose fragment has changed or vanished fails with a clear
+error instead of wedging recovery behind an opaque read error every round.
+Manifests written before stats were recorded (bare path strings) still load;
+their fragments just can't be mutation-checked.
+
 Scale shape: state is O(input files) in one JSON (at billions of files,
 shard the manifest by listing prefix); each epoch is an independent bounded
 pipeline run, so a watch deployment is just this loop on the driver node.
@@ -79,6 +87,31 @@ def list_fragments(input_dir: str) -> list[str]:
     )
 
 
+def _frag_entry(path: str) -> dict[str, Any]:
+    st = os.stat(path)
+    return {"path": path, "size": st.st_size, "mtime_ns": st.st_mtime_ns}
+
+
+def _frag_path(frag: Any) -> str:
+    """Fragment record → path (bare strings = pre-stat manifest format)."""
+    return frag if isinstance(frag, str) else frag["path"]
+
+
+def _frag_drift(frag: Any) -> str | None:
+    """None if the fragment is intact (or has no recorded stats to check),
+    else 'vanished' or 'mutated (size A->B, mtime changed)'."""
+    path = _frag_path(frag)
+    if not os.path.exists(path):
+        return "vanished"
+    if isinstance(frag, str):
+        return None  # legacy record: no stats to compare
+    st = os.stat(path)
+    if st.st_size != frag["size"] or st.st_mtime_ns != frag["mtime_ns"]:
+        return (f"mutated (size {frag['size']}->{st.st_size}, "
+                f"mtime_ns {frag['mtime_ns']}->{st.st_mtime_ns})")
+    return None
+
+
 def _read_fragments(paths: list[str]) -> rd.Dataset:
     # a round may pick up mixed formats — read each family with its own
     # reader and union (one wrong reader would wedge the epoch forever:
@@ -104,8 +137,11 @@ def run_watch(
     summary of this invocation. ``cfg_kwargs`` are PipelineConfig fields
     applied to every epoch (num_partitions, work_factor, concurrency, ...).
     """
+    import warnings
+
     os.makedirs(out_dir, exist_ok=True)
     epochs_run, docs_done = 0, 0
+    mutated_warned: set[str] = set()
     rnd = 0
     while rounds is None or rnd < rounds:
         rnd += 1
@@ -113,22 +149,49 @@ def run_watch(
         seen: set[str] = set()
         pending = None
         for ep in manifest["epochs"]:
-            seen.update(ep["fragments"])
+            seen.update(_frag_path(f) for f in ep["fragments"])
             if ep["status"] == "pending" and pending is None:
                 pending = ep
+            elif ep["status"] == "committed":
+                # a committed fragment that changed on disk would silently
+                # never re-ingest its new content — surface it loudly (once),
+                # but do NOT re-ingest: that would duplicate its old rows
+                for f in ep["fragments"]:
+                    drift = _frag_drift(f)
+                    if drift and _frag_path(f) not in mutated_warned:
+                        mutated_warned.add(_frag_path(f))
+                        warnings.warn(
+                            f"watch: committed fragment {_frag_path(f)!r} "
+                            f"{drift} after epoch {ep['epoch']} ingested it; "
+                            "its changes are NOT re-ingested (write new "
+                            "fragments instead of mutating old ones)",
+                            stacklevel=2)
         if pending is not None:
             # crashed mid-epoch last time: finish that exact fragment set
-            # (the epoch dir's partition manifests make the re-run cheap)
+            # (the epoch dir's partition manifests make the re-run cheap) —
+            # but only if the fragments are still byte-identical; a changed
+            # or deleted input would wedge recovery with an opaque read
+            # error (or silently commit different rows) every round
+            broken = {_frag_path(f): d for f in pending["fragments"]
+                      if (d := _frag_drift(f))}
+            if broken:
+                raise RuntimeError(
+                    f"watch: pending epoch {pending['epoch']} cannot be "
+                    f"replayed — its input fragments changed since the epoch "
+                    f"was recorded: {broken}. Restore the files, or remove "
+                    f"the pending entry from {_manifest_path(out_dir)!r} to "
+                    "abandon the epoch.")
             epoch, frags = pending["epoch"], pending["fragments"]
         else:
-            frags = [p for p in list_fragments(input_dir) if p not in seen]
-            if not frags:
+            new_paths = [p for p in list_fragments(input_dir) if p not in seen]
+            if not new_paths:
                 # idle: honor the poll interval whenever another scan
                 # follows (finite-round runs would otherwise busy-spin
                 # through their remaining rounds in milliseconds)
                 if rounds is None or rnd < rounds:
                     time.sleep(poll_interval)
                 continue
+            frags = [_frag_entry(p) for p in new_paths]
             epoch = len(manifest["epochs"])
             manifest["epochs"].append(
                 {"epoch": epoch, "fragments": frags, "status": "pending"}
@@ -139,7 +202,8 @@ def run_watch(
         cfg = PipelineConfig(out_dir=epoch_dir,
                              input_desc=f"{input_dir} [{len(frags)} new]",
                              **cfg_kwargs)
-        summary = run_extraction(_read_fragments(frags), cfg)
+        summary = run_extraction(_read_fragments([_frag_path(f) for f in frags]),
+                                 cfg)
 
         manifest = _load_manifest(out_dir)
         for ep in manifest["epochs"]:

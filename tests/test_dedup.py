@@ -138,6 +138,42 @@ def test_ivf_ann_recall_vs_exact_and_deterministic():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_ivf_index_persisted_probe_matches_and_prunes():
+    """The persisted-index query path must (a) return exactly the rows of the
+    per-batch-assignment path, (b) open only the probed centroid value
+    directories, and (c) make a rebuild a resume no-op."""
+    import os
+    import shutil
+
+    from ocrautomator_ray.functions import ann as A
+
+    idx = A.ivf_index_dir(SF)
+    shutil.rmtree(idx, ignore_errors=True)
+    via_index = A.ivf_index_topk(SF).to_pandas()
+    baseline = A.ivf_ann_topk(SF).to_pandas()
+    pd.testing.assert_frame_equal(
+        via_index.sort_values(["qid", "rank"]).reset_index(drop=True),
+        baseline.sort_values(["qid", "rank"]).reset_index(drop=True),
+    )
+    # pruning: the read's directory list is exactly the probe union, and the
+    # index holds every centroid that received vectors
+    qids, Qn = A._load_queries(SF, A.ANN_NUM_QUERIES)
+    C = A._train_centroids(SF)
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :A.IVF_PROBE]
+    probed = A.ivf_probe_dirs(idx, probe)
+    all_dirs = [d for d in os.listdir(os.path.join(idx, "data"))
+                if d.startswith("centroid=")]
+    assert len(probed) == len({int(c) for c in probe.reshape(-1)}
+                              & {int(d.split("=")[1]) for d in all_dirs})
+    assert len(probed) <= len(all_dirs)
+    if len({int(c) for c in probe.reshape(-1)}) < A.IVF_CENTROIDS:
+        assert len(probed) < A.IVF_CENTROIDS  # proper pruning when union is proper
+    # resume: a second build over the committed index recomputes nothing
+    summary = A.ivf_index_build(SF)
+    assert summary["partitions_this_run"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_per_key_runs_oversized_partition_stays_whole():
     """_per_key_runs relies on Ray 2.49's hash-shuffle finalize emitting ONE
     block per partition (splitting at target_max_block_size is an

@@ -92,7 +92,7 @@ def test_sql_oracled_query(name, ddb, contract):
             assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
 
 
-ROWS_ONLY = ["lsh_ann_topk", "ivf_ann_topk",
+ROWS_ONLY = ["lsh_ann_topk", "ivf_ann_topk", "ivf_index_topk",
              "approx_distinct_users_per_type", "media_decode_stats",
              "media_features"]
 

@@ -69,9 +69,14 @@ def test_watch_processes_only_new_fragments(tmp_path):
     with open(os.path.join(out_dir, "watch_manifest.json")) as f:
         man = json.load(f)
     assert [e["status"] for e in man["epochs"]] == ["committed", "committed"]
-    assert man["epochs"][1]["fragments"] == [
+    assert [f["path"] for f in man["epochs"][1]["fragments"]] == [
         os.path.join(input_dir, "part-2.parquet")
     ]
+    # fragment identity is (path, size, mtime_ns) — stats recorded for every
+    # fragment so later mutation is detectable
+    for ep in man["epochs"]:
+        for f in ep["fragments"]:
+            assert f["size"] == os.path.getsize(f["path"])
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -117,6 +122,78 @@ def test_watch_mixed_format_round(tmp_path):
     r = run_watch(input_dir, out_dir, rounds=1, **CFG)
     assert r["epochs_run"] == 1 and r["docs"] == 24
     assert _spans(out_dir) == _expected(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_watch_kill_mid_epoch_resumes_exactly_once(tmp_path):
+    """End-to-end mid-epoch death: the epoch pipeline aborts after SOME
+    partitions committed (injected permanent failure on one partition); the
+    next watch round replays the pending epoch, the epoch's partition resume
+    recomputes ONLY the missing partitions, and the union equals the oracle
+    exactly once."""
+    from ocrautomator_ray.state.manifest import completed_parts
+
+    from .test_faults import _always_fail_hook
+
+    input_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    full = synth.gen_table("sf-test", seed=13, rows=40)
+    a, b = full.slice(0, 20), full.slice(20, 20)
+    _write_fragment(input_dir, "part-0.parquet", a)
+    run_watch(input_dir, out_dir, rounds=1, **CFG)
+
+    _write_fragment(input_dir, "part-1.parquet", b)
+    with pytest.raises(Exception):
+        run_watch(input_dir, out_dir, rounds=1,
+                  extra={"fault_hook": _always_fail_hook(frozenset({2}))},
+                  **CFG)
+    man = json.load(open(os.path.join(out_dir, "watch_manifest.json")))
+    assert [e["status"] for e in man["epochs"]] == ["committed", "pending"]
+    epoch_dir = os.path.join(out_dir, "epoch-00001")
+    done_before = completed_parts(epoch_dir, CFG["num_partitions"])
+    assert 2 not in done_before
+    mtimes_before = {
+        pid: os.path.getmtime(os.path.join(epoch_dir, "data", f"part-{pid:05d}.parquet"))
+        for pid in done_before
+    }
+
+    r = run_watch(input_dir, out_dir, rounds=1, **CFG)
+    assert r["epochs_run"] == 1
+    man = json.load(open(os.path.join(out_dir, "watch_manifest.json")))
+    assert all(e["status"] == "committed" for e in man["epochs"])
+    assert _spans(out_dir) == _expected(a, b)  # exactly-once union
+    # partitions that committed before the death were NOT recomputed
+    for pid, mt in mtimes_before.items():
+        assert os.path.getmtime(
+            os.path.join(epoch_dir, "data", f"part-{pid:05d}.parquet")) == mt
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_watch_detects_mutation_and_vanished_pending(tmp_path):
+    """A committed fragment mutated afterwards warns (and is not re-ingested);
+    a pending epoch whose fragment vanished fails with a clear error."""
+    input_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    full = synth.gen_table("sf-test", seed=17, rows=20)
+    a, b = full.slice(0, 10), full.slice(10, 10)
+    _write_fragment(input_dir, "part-0.parquet", a)
+    run_watch(input_dir, out_dir, rounds=1, **CFG)
+
+    # mutate the committed fragment: next round warns, ingests nothing new
+    _write_fragment(input_dir, "part-0.parquet", b)  # overwrite
+    os.utime(os.path.join(input_dir, "part-0.parquet"), ns=(1, 1))
+    with pytest.warns(UserWarning, match="NOT re-ingested"):
+        r = run_watch(input_dir, out_dir, rounds=1, **CFG)
+    assert r["epochs_run"] == 0
+    assert _spans(out_dir) == _expected(a)
+
+    # pending epoch over a vanished fragment: clear error, names the file
+    path = os.path.join(out_dir, "watch_manifest.json")
+    man = json.load(open(path))
+    gone = os.path.join(input_dir, "gone.parquet")
+    man["epochs"].append({"epoch": 1, "status": "pending", "fragments": [
+        {"path": gone, "size": 1, "mtime_ns": 1}]})
+    json.dump(man, open(path, "w"))
+    with pytest.raises(RuntimeError, match="vanished|changed"):
+        run_watch(input_dir, out_dir, rounds=1, **CFG)
 
 
 def test_list_fragments_filters_and_sorts(tmp_path):
