@@ -81,3 +81,60 @@ def test_permanent_failure_aborts_then_resume_completes(tmp_path):
     fresh = str(tmp_path / "fresh")
     run_and_compare(t, fresh, num_partitions=P)
     assert spans_from_output(out) == spans_from_output(fresh)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duplicate_commit_guard_fires_demotes_and_resume_recovers(tmp_path):
+    """The generic sink's duplicate-part_id guard must FIRE when a partition
+    arrives split across exchange blocks (here: the exchange is disabled so
+    every input block carries every part_id), back the partitions out by
+    demoting their manifests, and a clean rerun must recompute them into a
+    correct table — the recovery contract, not just the raise."""
+    import pyarrow as pa
+
+    from ocrautomator_ray.pipelines.extract import read_output as sink_read
+    from ocrautomator_ray.sinks.parquet_commit import resumable_write
+
+    t = pa.table({"doc_id": list(range(100)), "v": list(range(100))})
+    halves = rd.from_arrow(t.slice(0, 50)).union(rd.from_arrow(t.slice(50, 50)))
+    out = str(tmp_path / "o")
+
+    real_repartition = rd.Dataset.repartition
+    rd.Dataset.repartition = lambda self, *a, **k: self  # split every partition
+    try:
+        with pytest.raises(Exception, match="committed more than once"):
+            resumable_write(halves, out, num_partitions=4, key="doc_id")
+    finally:
+        rd.Dataset.repartition = real_repartition
+
+    # guard backed out: every split partition was demoted, none is trusted
+    from ocrautomator_ray.state.manifest import completed_parts
+    remaining = completed_parts(out, 4)
+    assert remaining != set(range(4))
+
+    # clean rerun recomputes the demoted partitions; table is exactly right
+    s = resumable_write(rd.from_arrow(t), out, num_partitions=4, key="doc_id")
+    assert completed_parts(out, 4) == set(range(4))
+    got = sink_read(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == list(range(100))
+    assert got["v"].tolist() == list(range(100))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_copartition_violation_raises_loudly(tmp_path):
+    """minhash verify's co-partitioning invariants must RAISE (never silently
+    drop pairs) if the hash exchange ever stops co-locating rows — simulated
+    by disabling the exchange, which strands pair end-rows away from their
+    shingle rows."""
+    from ocrautomator_ray.functions.dedup import minhash_lsh_dups
+
+    real_repartition = rd.Dataset.repartition
+    rd.Dataset.repartition = lambda self, *a, **k: self
+    try:
+        with pytest.raises(Exception, match="co-partitioning violated|committed more than once"):
+            minhash_lsh_dups("/root/testdata/sf0.001").to_pandas()
+    finally:
+        rd.Dataset.repartition = real_repartition
+    # and the unbroken pipeline still runs green on the same input
+    df = minhash_lsh_dups("/root/testdata/sf0.001").to_pandas()
+    assert df.shape[1] == 3
