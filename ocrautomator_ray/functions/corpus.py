@@ -412,9 +412,250 @@ GROUP BY t.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# bpe_pair_counts — the merge-selection pass of one BPE training iteration:
+# global counts of ADJACENT token pairs, top-K by count. The canonical
+# tokenizer-training primitive (Sennrich et al., ACL 2016) and a pure
+# combiner-shaped distributed count: per-batch pair multiplicities (each
+# doc's token sequence lives in one row, so pairs never cross batches) →
+# ONE pair-keyed exchange sums each pair completely in one block and keeps
+# its block-local top-K (lossless: the global top-K is a subset of the
+# per-block top-Ks since each pair is whole in exactly one block) →
+# a single-partition finalize ranks ≤ P·K rows.
+# --------------------------------------------------------------------------
+
+BPE_TOP_K = 20
+
+
+def bpe_pair_counts(sf_dir: str, k: int = BPE_TOP_K) -> rd.Dataset:
+    path = f"{sf_dir}/documents.parquet"
+    docs = pruned_read(path, ["doc_id", "text"])
+
+    pair_schema = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string()),
+                             ("cnt", pa.int64())])
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        flat, cnt = _tokenize_re2(t["text"])
+        if len(flat) == 0:
+            return pair_schema.empty_table()
+        # adjacency mask: position i pairs with i+1 unless i is a doc's last
+        offs = np.zeros(len(cnt) + 1, np.int64)
+        np.cumsum(cnt, out=offs[1:])
+        last = offs[1:][cnt > 0] - 1
+        is_a = np.ones(len(flat), bool)
+        is_a[last] = False
+        idx = np.nonzero(is_a)[0]
+        if len(idx) == 0:
+            return pair_schema.empty_table()
+        g = pa.TableGroupBy(pa.table({
+            "tok_a": flat.take(pa.array(idx)),
+            "tok_b": flat.take(pa.array(idx + 1)),
+        }), ["tok_a", "tok_b"]).aggregate([([], "count_all")])
+        return pa.table({"tok_a": g["tok_a"], "tok_b": g["tok_b"],
+                         "cnt": g["count_all"].cast(pa.int64())})
+
+    def topk_block(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({"tok_a": pd.Series([], dtype=object),
+                                 "tok_b": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        g = (block.groupby(["tok_a", "tok_b"], as_index=False)["cnt"].sum()
+             .sort_values(["cnt", "tok_a", "tok_b"],
+                          ascending=[False, True, True], kind="mergesort"))
+        return g.head(k)
+
+    def finalize(block: pd.DataFrame) -> pd.DataFrame:
+        g = block.sort_values(["cnt", "tok_a", "tok_b"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(k)
+        return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+
+    pairs = docs.map_batches(pair_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    local = per_key_blocks(pairs, ["tok_a", "tok_b"], topk_block,
+                           batch_format="pandas",
+                           num_partitions=auto_partitions(path))
+    return local.repartition(1).map_batches(finalize, batch_format="pandas",
+                                            batch_size=None)
+
+
+SQL_BPE_PAIRS = rf"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(tl, 1) AS pos, unnest(tl) AS tok
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS tl
+    FROM documents
+  )
+),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS cnt
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+)
+SELECT tok_a, tok_b, cnt, rank FROM (
+  SELECT tok_a, tok_b, cnt,
+         row_number() OVER (ORDER BY cnt DESC, tok_a, tok_b) AS rank
+  FROM pairs
+) WHERE rank <= {BPE_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# bm25_doc0_topk — "more-like-this" BM25 retrieval: the K documents most
+# similar to document 0 under Okapi BM25 (k1=1.2, b=0.75), the classic
+# sparse-retrieval scorer (Robertson & Zaragoza, FnTIR 2009) used for
+# curation-time corpus search and hard-negative mining. Exact-int hash
+# stability: each (doc, term) CONTRIBUTION is integerized at 1e-6 from an
+# identically-parenthesized double expression in both engines, then summed
+# as int64 — order-invariant, unlike a float SUM. Distribution: N/T are two
+# tiny side aggregates, the query's term set (one doc's tokens) is
+# broadcast, tf rows are prefiltered to query terms per batch (the stream
+# shrinks immediately), df attaches in one term-keyed exchange, and scores
+# finalize per doc in one doc-keyed exchange with block-local top-K.
+# --------------------------------------------------------------------------
+
+BM25_TOP_K = 10
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_doc0_topk(sf_dir: str, k: int = BM25_TOP_K) -> rd.Dataset:
+    import ray
+
+    path = f"{sf_dir}/documents.parquet"
+
+    # query = document 0's distinct tokens (tiny pruned filtered read)
+    q = rd.read_parquet(path, columns=["doc_id", "text"],
+                        filter=(pc.field("doc_id") == 0)).to_pandas()
+    q_flat, _ = _tokenize_re2(pa.array(q["text"].tolist(), pa.string()))
+    q_terms = set(q_flat.to_pylist())
+    q_ref = ray.put(pa.array(sorted(q_terms), pa.string()))
+
+    # side stats: N docs, T total tokens (ints; combined per batch)
+    def batch_stats(t: pa.Table) -> pa.Table:
+        _, cnt = _tokenize_re2(t["text"])
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "t": pa.array([int(cnt.sum())], pa.int64())})
+
+    stats = pruned_read(path, ["text"]).map_batches(
+        batch_stats, batch_format="pyarrow", zero_copy_batch=True) \
+        .to_pandas()  # one row per batch — tiny
+    N, T = int(stats["n"].sum()), int(stats["t"].sum())
+
+    tf_schema = pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                           ("tf", pa.int64()), ("dl", pa.int64())])
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        flat, cnt = _tokenize_re2(t["text"])
+        if len(flat) == 0:
+            return tf_schema.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(ids, cnt)
+        dl_of = np.repeat(cnt, cnt)
+        keep = pc.is_in(flat, value_set=ray.get(q_ref))
+        keepn = keep.to_numpy(zero_copy_only=False)
+        g = pa.TableGroupBy(pa.table({
+            "doc_id": pa.array(doc_of[keepn], pa.int64()),
+            "term": flat.filter(keep),
+            "dl": pa.array(dl_of[keepn], pa.int64()),
+        }), ["doc_id", "term", "dl"]).aggregate([([], "count_all")])
+        return pa.table({"doc_id": g["doc_id"], "term": g["term"],
+                         "tf": g["count_all"].cast(pa.int64()),
+                         "dl": g["dl"]})
+
+    contrib_schema = pa.schema([("doc_id", pa.int64()), ("c_u", pa.int64())])
+
+    def attach_df_score(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "c_u": pd.Series([], dtype=np.int64)})
+        df = block.groupby("term")["doc_id"].transform("size") \
+            .to_numpy(dtype=np.float64)
+        tf = block["tf"].to_numpy(dtype=np.float64)
+        dl = block["dl"].to_numpy(dtype=np.int64)
+        # parenthesization mirrors SQL_BM25 exactly (IEEE-identical doubles)
+        idf = (np.float64(N) - df + 0.5) / (df + 0.5)
+        part = (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * ((1.0 - BM25_B)
+                            + BM25_B * (dl * np.float64(N)) / np.float64(T)))
+        c_u = np.floor(idf * part * 1_000_000 + 0.5).astype(np.int64)
+        keep = block["doc_id"].to_numpy() != 0
+        return pd.DataFrame({"doc_id": block["doc_id"].to_numpy()[keep],
+                             "c_u": c_u[keep]})
+
+    def topk_block(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "score_u": pd.Series([], dtype=np.int64)})
+        g = (block.groupby("doc_id", as_index=False)["c_u"].sum()
+             .rename(columns={"c_u": "score_u"})
+             .sort_values(["score_u", "doc_id"], ascending=[False, True],
+                          kind="mergesort"))
+        return g.head(k)
+
+    def finalize(block: pd.DataFrame) -> pd.DataFrame:
+        g = block.sort_values(["score_u", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(k)
+        return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+
+    docs = pruned_read(path, ["doc_id", "text"])
+    tf = docs.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
+    contrib = per_key_blocks(tf, ["term"], attach_df_score,
+                             batch_format="pandas",
+                             num_partitions=auto_partitions(path))
+    local = per_key_blocks(contrib, ["doc_id"], topk_block,
+                           batch_format="pandas",
+                           num_partitions=auto_partitions(path))
+    return local.repartition(1).map_batches(finalize, batch_format="pandas",
+                                            batch_size=None)
+
+
+SQL_BM25 = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n FROM documents),
+tot AS (SELECT COUNT(*) AS t FROM toks),
+q AS (SELECT DISTINCT term FROM toks WHERE doc_id = 0),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM toks JOIN q USING (term) GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(FLOOR(
+           ((CAST((SELECT n FROM stats) AS DOUBLE) - df + 0.5) / (df + 0.5))
+           * ((tf * ({BM25_K1} + 1.0)) /
+              (tf + {BM25_K1} * ((1.0 - {BM25_B})
+                 + {BM25_B} * (dl.dl * CAST((SELECT n FROM stats) AS DOUBLE))
+                   / CAST((SELECT t FROM tot) AS DOUBLE))))
+           * 1000000 + 0.5) AS BIGINT) AS c_u
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  WHERE tf.doc_id <> 0
+)
+SELECT doc_id, score_u, rank FROM (
+  SELECT doc_id, CAST(SUM(c_u) AS BIGINT) AS score_u,
+         row_number() OVER (ORDER BY SUM(c_u) DESC, doc_id) AS rank
+  FROM contrib GROUP BY doc_id
+) WHERE rank <= {BM25_TOP_K}
+"""
+
+
 QUERIES = {"tfidf_top_terms": tfidf_top_terms, "doc_chunks": doc_chunks,
            "pack_sequences": pack_sequences,
-           "corpus_freq_score": corpus_freq_score}
+           "corpus_freq_score": corpus_freq_score,
+           "bpe_pair_counts": bpe_pair_counts,
+           "bm25_doc0_topk": bm25_doc0_topk}
 SQL = {"tfidf_top_terms": SQL_TFIDF, "doc_chunks": SQL_DOC_CHUNKS,
        "pack_sequences": SQL_PACK_SEQUENCES,
-       "corpus_freq_score": SQL_CORPUS_FREQ_SCORE}
+       "corpus_freq_score": SQL_CORPUS_FREQ_SCORE,
+       "bpe_pair_counts": SQL_BPE_PAIRS,
+       "bm25_doc0_topk": SQL_BM25}

@@ -711,11 +711,89 @@ WHERE doc_id % {EVAL_MODULUS} <> 0
 """
 
 
+# ---------------------------------------------------------------------------
+# leakage_safe_split — hash_split keyed on the near-dup cluster representative
+# ---------------------------------------------------------------------------
+
+def leakage_safe_split(sf_dir: str) -> rd.Dataset:
+    """(doc_id, rep, bucket, split): the train/val/test assignment of
+    ``hash_split``, but hashed on the document's verified near-dup CLUSTER
+    representative (min doc_id of its MinHash component) instead of the doc
+    itself — so two near-duplicate documents can never straddle train and
+    test, the contamination leak a per-doc hash split permits (the reason
+    production splits key on canonical ids / cluster reps).
+
+    Shape: the cluster table is tiny relative to the corpus (only docs in
+    ≥1 verified pair) but NOT driver-bounded, so it attaches via a
+    hash-partitioned left-outer ``Dataset.join``, never a broadcast; the
+    split itself stays a pure stateless map."""
+    import pyarrow.compute as pc
+
+    from ocrautomator_ray.functions.dedup import minhash_dup_clusters
+    from ocrautomator_ray.functions.exchange import auto_partitions
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = pruned_read(path, ["doc_id"])
+    clusters = minhash_dup_clusters(sf_dir).map_batches(
+        lambda t: t.rename_columns(["c_doc_id", "cluster_id"]),
+        batch_format="pyarrow")
+    n_parts = auto_partitions(path)
+    tune_exchange(docs, n_parts)
+    joined = docs.join(clusters, join_type="left_outer",
+                       num_partitions=n_parts,
+                       on=("doc_id",), right_on=("c_doc_id",))
+
+    def assign(t: pa.Table) -> pa.Table:
+        rep = pc.coalesce(t["cluster_id"], t["doc_id"]).cast(pa.int64())
+        b = knuth_bucket(rep.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "rep": rep,
+            "bucket": pa.array(b, pa.int64()),
+            "split": pa.array(split_of(b), pa.string()),
+        })
+
+    return joined.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def _leakage_safe_split_sql() -> str:
+    from ocrautomator_ray.functions.dedup import MINHASH_THRESHOLD, _minhash_ctes
+
+    rep = "COALESCE(c.cluster_id, d.doc_id)"
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+dup AS (
+    SELECT doc_a, doc_b FROM ver
+    WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= {MINHASH_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM dup
+    UNION
+    SELECT doc_b, doc_a FROM dup
+),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+SELECT d.doc_id, {rep} AS rep,
+       {sql_bucket(rep)} AS bucket,
+       {sql_split(rep)} AS split
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
+SQL_LEAKAGE_SAFE_SPLIT = _leakage_safe_split_sql()
+
+
 QUERIES = {
     "decontaminate": decontaminate,
     "decontaminated_docs": decontaminated_docs,
     "incremental_dedup": incremental_dedup,
     "hash_split": hash_split,
+    "leakage_safe_split": leakage_safe_split,
     "repetition_stats": repetition_stats,
     "stratified_sample": stratified_sample,
     "top_ngrams": top_ngrams,
@@ -726,6 +804,7 @@ SQL = {
     "decontaminate": SQL_DECONTAMINATE,
     "decontaminated_docs": SQL_DECONTAMINATED_DOCS,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "hash_split": SQL_HASH_SPLIT,
     "repetition_stats": SQL_REPETITION_STATS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,

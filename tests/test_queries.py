@@ -71,7 +71,8 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "rp_project", "sample_k", "incremental_dedup",
                "retention_cohorts", "embedding_outliers", "corpus_freq_score",
                "table_profile", "assemble_pipeline", "decontaminated_docs",
-               "fingerprint_dups", "media_frame_counts"]
+               "fingerprint_dups", "media_frame_counts",
+               "bpe_pair_counts", "bm25_doc0_topk", "leakage_safe_split"]
 
 
 @pytest.mark.usefixtures("ray_session")
