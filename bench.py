@@ -177,6 +177,9 @@ def run_benchmarks() -> dict:
     timed("mix_corpus", mix.mix_corpus, consume="count")
     timed("rp_project", mix.rp_project, consume="count")
     timed("simhash_dups", dedup.simhash_dups, consume="count")
+    timed("bpe_pair_counts", corpus.bpe_pair_counts, consume="count")
+    timed("bm25_doc0_topk", corpus.bm25_doc0_topk, consume="count")
+    timed("ivf_index_topk", ann.ivf_index_topk)
 
     from ocrautomator_ray.pipelines.curate import run_curate_flagship
     from ocrautomator_ray.pipelines.extract import run_flagship

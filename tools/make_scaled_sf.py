@@ -21,9 +21,15 @@ global RNG):
   with g_k seeded per copy — correlation 0.25 < the 0.4 cosine threshold,
   so near-dup pairs stay at the ambient quadratic measure of the source
   distribution rather than exploding with systematic copy-of-origin pairs.
-- every other table is symlinked from the source (the oracle harness
-  registers all ten views; only documents/embeddings feed the target
-  queries).
+- events: copy k shifts event_id by k·N and user_id by k·(max_user+1) —
+  per-user streams are byte-identical in shape, so no synthetic hot key is
+  introduced and the window/session family scales to 10× users.
+- orders/lineitem: the FACT tables scale 10× while the dimensions stay
+  fixed (the realistic warehouse shape): o_orderkey / l_orderkey shift in
+  lock-step by k·(max_orderkey+1) so the order⋈lineitem FK stays intact,
+  and o_custkey / partkey / suppkey are left UNSHIFTED so dimension joins
+  still land (each customer simply has 10× the orders).
+- every other table is symlinked from the source.
 """
 
 from __future__ import annotations
@@ -100,20 +106,61 @@ def scale_embeddings(src: str, dst: str, k_copies: int) -> int:
     return out.num_rows
 
 
+def _shift_copies(src_path: str, dst_path: str, k_copies: int,
+                  shifts: dict[str, int | None]) -> int:
+    """Tile a table K×, shifting each column named in ``shifts`` by
+    k·(its shift stride); stride None means k·(max+1) computed from data."""
+    t = pq.read_table(src_path)
+    parts = [t]
+    strides = {c: (int(t[c].to_numpy(zero_copy_only=False).max()) + 1
+                   if s is None else s) for c, s in shifts.items()}
+    for k in range(1, k_copies):
+        cols = {}
+        for f in t.schema:
+            col = t[f.name]
+            if f.name in strides:
+                arr = col.to_numpy(zero_copy_only=False) + k * strides[f.name]
+                cols[f.name] = pa.array(arr, f.type)
+            else:
+                cols[f.name] = col
+        parts.append(pa.table(cols).cast(t.schema))
+    out = pa.concat_tables(parts)
+    pq.write_table(out, dst_path)
+    return out.num_rows
+
+
+def scale_facts(src: str, dst: str, k_copies: int) -> dict[str, int]:
+    n_ev = _shift_copies(f"{src}/events.parquet", f"{dst}/events.parquet",
+                         k_copies, {"event_id": None, "user_id": None})
+    okey = int(pq.read_table(f"{src}/orders.parquet", columns=["o_orderkey"])
+               ["o_orderkey"].to_numpy().max()) + 1
+    n_ord = _shift_copies(f"{src}/orders.parquet", f"{dst}/orders.parquet",
+                          k_copies, {"o_orderkey": okey})
+    n_li = _shift_copies(f"{src}/lineitem.parquet", f"{dst}/lineitem.parquet",
+                         k_copies, {"l_orderkey": okey})
+    return {"events": n_ev, "orders": n_ord, "lineitem": n_li}
+
+
 def main() -> int:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfbig"
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(dst, exist_ok=True)
+    scaled = {"documents", "embeddings", "events", "orders", "lineitem"}
+    for name in scaled:  # replace any symlink left by an earlier version
+        p = f"{dst}/{name}.parquet"
+        if os.path.islink(p):
+            os.unlink(p)
     nd = scale_documents(src, dst, k)
     ne = scale_embeddings(src, dst, k)
+    facts = scale_facts(src, dst, k)
     for name in TABLES:
-        if name in ("documents", "embeddings"):
+        if name in scaled:
             continue
         link = f"{dst}/{name}.parquet"
         if not os.path.exists(link):
             os.symlink(f"{src}/{name}.parquet", link)
-    print(f"{dst}: documents={nd} embeddings={ne} (K={k} from {src})")
+    print(f"{dst}: documents={nd} embeddings={ne} {facts} (K={k} from {src})")
     return 0
 
 
