@@ -763,7 +763,11 @@ def _leakage_safe_split_sql() -> str:
     rep = "COALESCE(c.cluster_id, d.doc_id)"
     return f"""
 WITH RECURSIVE {_minhash_ctes()},
-dup AS (
+dup AS MATERIALIZED (
+    -- MATERIALIZED: dup hangs off the expensive minhash-verify chain and is
+    -- referenced from a recursive closure; without the hint DuckDB re-inlines
+    -- (and re-evaluates) the whole chain per reference, which is minutes of
+    -- oracle wall at 50k docs for an identical result
     SELECT doc_a, doc_b FROM ver
     WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= {MINHASH_THRESHOLD}
 ),

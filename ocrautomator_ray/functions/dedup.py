@@ -1130,7 +1130,11 @@ def _clusters_sql() -> str:
     closure is small); cluster_id = min doc_id of the component."""
     return f"""
 WITH RECURSIVE {_minhash_ctes()},
-dup AS (
+dup AS MATERIALIZED (
+    -- MATERIALIZED: dup hangs off the expensive minhash-verify chain and is
+    -- referenced from a recursive closure; without the hint DuckDB re-inlines
+    -- (and re-evaluates) the whole chain per reference, which is minutes of
+    -- oracle wall at 50k docs for an identical result
     SELECT doc_a, doc_b FROM ver
     WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= {MINHASH_THRESHOLD}
 ),
@@ -1224,7 +1228,11 @@ def neardup_removed_docs(sf_dir: str) -> rd.Dataset:
 def _neardup_removed_sql() -> str:
     return f"""
 WITH RECURSIVE {_minhash_ctes()},
-dup AS (
+dup AS MATERIALIZED (
+    -- MATERIALIZED: dup hangs off the expensive minhash-verify chain and is
+    -- referenced from a recursive closure; without the hint DuckDB re-inlines
+    -- (and re-evaluates) the whole chain per reference, which is minutes of
+    -- oracle wall at 50k docs for an identical result
     SELECT doc_a, doc_b FROM ver
     WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= {MINHASH_THRESHOLD}
 ),
