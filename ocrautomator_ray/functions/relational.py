@@ -319,14 +319,36 @@ def hourly_user_activity(sf_dir: str) -> rd.Dataset:
         g = pa.TableGroupBy(t, ["user_id", "hour_bucket"]).aggregate([([], "count_all")])
         return g.rename_columns(["user_id", "hour_bucket", "n_events"])
 
-    from ocrautomator_ray.functions.exchange import auto_partitions
+    from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "hour_bucket"],
-                 num_partitions=auto_partitions(f"{sf_dir}/events.parquet"))
-        .aggregate(Sum("n_events", alias_name="n_events"))
-    )
+    out_schema = pa.schema([("user_id", pa.int64()), ("hour_bucket", pa.int64()),
+                            ("n_events", pa.int64())])
+
+    def final_sum(block: pa.Table) -> pa.Table:
+        # vectorized per-key sum over the whole exchange block — Ray's
+        # HashAggregate pays fixed update machinery per shard task that
+        # dominated at 1M events (7.5 s → per_key_blocks matches
+        # sessionize_events' 2 s on the same input)
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        u = block["user_id"].to_numpy(zero_copy_only=False)
+        h = block["hour_bucket"].to_numpy(zero_copy_only=False)
+        n = block["n_events"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, u))
+        u, h, n = u[order], h[order], n[order]
+        starts = np.nonzero(np.r_[True, (u[1:] != u[:-1]) | (h[1:] != h[:-1])])[0]
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "hour_bucket": pa.array(h[starts], pa.int64()),
+            "n_events": pa.array(np.add.reduceat(n, starts).astype(np.int64),
+                                 pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return per_key_blocks(partials, ["user_id", "hour_bucket"], final_sum,
+                          num_partitions=auto_partitions(
+                              f"{sf_dir}/events.parquet"))
 
 
 SQL_HOURLY_ACTIVITY = """
