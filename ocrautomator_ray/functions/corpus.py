@@ -328,9 +328,6 @@ def corpus_freq_score(sf_dir: str) -> rd.Dataset:
     broadcast the top-K vocabulary's counts (ray.put, a few MB) and
     exchange only the tail — drops in between tok_rows and per_token
     without changing any semantics."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
-
     from ocrautomator_ray.functions.exchange import per_key_blocks
 
     path = f"{sf_dir}/documents.parquet"
@@ -376,23 +373,32 @@ def corpus_freq_score(sf_dir: str) -> rd.Dataset:
 
     rows = pruned_read(path, ["doc_id", "text"]).map_batches(
         tok_rows, batch_format="pyarrow", zero_copy_batch=True)
-    per_doc = (
-        per_key_blocks(rows, ["w"], per_token)
-        .groupby("doc_id", num_partitions=8)
-        .aggregate(Sum("contrib", alias_name="s"), Sum("k", alias_name="n"))
-    )
 
-    def score(t: pa.Table) -> pa.Table:
-        s = t["s"].to_numpy(zero_copy_only=False)
-        n = t["n"].to_numpy(zero_copy_only=False)
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                            ("freq_score_u", pa.int64())])
+
+    def doc_score(block: pa.Table) -> pa.Table:
+        # per-doc sum of (contrib, k) partials + the final integer score in
+        # one vectorized reduceat pass — Ray's HashAggregate cost ~10 s of
+        # per-shard update machinery here at 50k docs / 800k partial rows
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        contrib = block["contrib"].to_numpy(zero_copy_only=False)
+        kk = block["k"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="mergesort")
+        ids, contrib, kk = ids[order], contrib[order], kk[order]
+        starts = np.nonzero(np.r_[True, ids[1:] != ids[:-1]])[0]
+        s = np.add.reduceat(contrib, starts)
+        n = np.add.reduceat(kk, starts)
         return pa.table({
-            "doc_id": t["doc_id"],
-            "n_tokens": pa.array(n, pa.int64()),
+            "doc_id": pa.array(ids[starts], pa.int64()),
+            "n_tokens": pa.array(n.astype(np.int64), pa.int64()),
             "freq_score_u": pa.array(s * 1_000_000_000 // (n * T), pa.int64()),
         })
 
-    return per_doc.map_batches(score, batch_format="pyarrow",
-                               zero_copy_batch=True)
+    return per_key_blocks(per_key_blocks(rows, ["w"], per_token), ["doc_id"],
+                          doc_score, num_partitions=8)
 
 
 SQL_CORPUS_FREQ_SCORE = r"""
