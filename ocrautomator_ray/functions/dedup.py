@@ -24,7 +24,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Min
 
 # ---------------------------------------------------------------------------
 # shared shingle / signature kernels (seeded, deterministic)
@@ -958,6 +957,8 @@ def minhash_dup_clusters(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
 
     adj_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
 
+    _SIG_MIX = np.uint64(1315423911)
+
     def propagate_block(block: pa.Table) -> pa.Table:
         # hash-to-min over ALL of a block's u-groups at once (vectorized run
         # splitting — no per-group pandas dispatch): send the neighborhood
@@ -965,11 +966,20 @@ def minhash_dup_clusters(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
         # node (both halves are required for chains to collapse in O(log n)
         # rounds). In-block (u,v) dedup IS global dedup: the exchange key is
         # u, so every copy of an edge lands in the same block — this folds
-        # the former dedup_edges groupby into the same exchange.
+        # the former dedup_edges groupby into the same exchange. The block
+        # ALSO emits one (u=-1, v=sig_partial) row — the block's share of the
+        # label signature Σ hash(u, min_v) of the INPUT adjacency — so the
+        # driver's convergence test is a cheap scan of the materialized
+        # output instead of a per-round groupby+aggregate pass (the sequence
+        # of signatures compared is identical, observed one round later).
         if block.num_rows == 0:
             return adj_schema.empty_table()
         u = block["u"].to_numpy(zero_copy_only=False)
         v = block["v"].to_numpy(zero_copy_only=False)
+        live = u >= 0  # drop last round's signature rows
+        u, v = u[live], v[live]
+        if len(u) == 0:
+            return adj_schema.empty_table()
         order = np.lexsort((v, u))
         us, vs = u[order], v[order]
         keep = np.ones(len(us), bool)
@@ -979,40 +989,65 @@ def minhash_dup_clusters(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
         run_len = np.diff(np.r_[starts, len(us)])
         # within a run vs is sorted ascending, so the neighborhood min is the
         # first element; include u itself as hash-to-min requires
-        m = np.repeat(np.minimum(vs[starts], us[starts]), run_len)
+        mins = np.minimum(vs[starts], us[starts])
+        m = np.repeat(mins, run_len)
+        with np.errstate(over="ignore"):  # uint64 wrap is the intended mix
+            sig = int((us[starts].astype(np.uint64) * _SIG_MIX
+                       + mins.astype(np.uint64)).sum(dtype=np.uint64)
+                      .astype(np.int64))
         return pa.table({
-            "u": pa.array(np.concatenate([vs, m]), pa.int64()),
-            "v": pa.array(np.concatenate([m, vs]), pa.int64()),
+            "u": pa.array(np.concatenate([vs, m, [-1]]), pa.int64()),
+            "v": pa.array(np.concatenate([m, vs, [sig]]), pa.int64()),
         })
 
-    def signature(ds: rd.Dataset) -> int:
-        from ray.data.aggregate import Sum
+    def scan_signature(ds: rd.Dataset) -> int:
+        # sum the u=-1 partials over the (already materialized) adjacency
+        def partial(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            s = v[u < 0].astype(np.uint64).sum(dtype=np.uint64)
+            return pa.table({"s": pa.array([np.int64(s)], pa.int64())})
 
-        labels = ds.groupby("u", num_partitions=8).aggregate(Min("v", alias_name="lbl"))
-        row = labels.map_batches(
-            lambda t: pa.table({"s": [int((t["u"].to_numpy(zero_copy_only=False)
-                                            * 1315423911
-                                            + t["lbl"].to_numpy(zero_copy_only=False)).sum())]}),
-            batch_format="pyarrow",
-        ).aggregate(Sum("s", alias_name="s"))
-        return int(row["s"])
+        with np.errstate(over="ignore"):
+            part = ds.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True).to_pandas()
+            return int(part["s"].to_numpy().astype(np.uint64)
+                       .sum(dtype=np.uint64))
 
     from ocrautomator_ray.functions.exchange import per_key_blocks
 
     prev_sig = None
     for _ in range(max_rounds):
-        # one hash exchange per round (propagate + dedup fused in-block);
-        # adjacency shrinks to ~nodes rows so the per-round pin is small
+        # one hash exchange per round (propagate + dedup + signature fused
+        # in-block); adjacency shrinks to ~nodes rows so the per-round pin
+        # is small
         adj = per_key_blocks(adj, ["u"], propagate_block,
                              num_partitions=8).materialize()
-        sig = signature(adj)
+        sig = scan_signature(adj)
         if sig == prev_sig:
             break
         prev_sig = sig
 
-    return adj.groupby("u", num_partitions=8).aggregate(Min("v", alias_name="cluster_id")) \
-        .map_batches(lambda t: t.rename_columns(["doc_id", "cluster_id"]),
-                     batch_format="pyarrow")
+    def final_labels(block: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("doc_id", pa.int64()),
+                                ("cluster_id", pa.int64())])
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        u = block["u"].to_numpy(zero_copy_only=False)
+        v = block["v"].to_numpy(zero_copy_only=False)
+        live = u >= 0
+        u, v = u[live], v[live]
+        if len(u) == 0:
+            return out_schema.empty_table()
+        order = np.lexsort((v, u))
+        us, vs = u[order], v[order]
+        starts = np.nonzero(np.r_[True, us[1:] != us[:-1]])[0]
+        return pa.table({
+            "doc_id": pa.array(us[starts], pa.int64()),
+            "cluster_id": pa.array(vs[starts], pa.int64()),
+        })
+
+    return per_key_blocks(adj, ["u"], final_labels, num_partitions=8)
 
 
 # ---------------------------------------------------------------------------
