@@ -257,3 +257,43 @@ def test_fingerprint_pair_kernel_matches_brute_force(rows):
             for a, b in itertools.combinations(ds_, 2):
                 expect.add((min(a, b), max(a, b)))
     assert got == expect
+
+
+def test_bucket_pair_chunking_is_lossless_on_hot_buckets():
+    """_bucket_pair_indices chunks its C(s,2) emission (~_PAIR_CHUNK pairs
+    per yield) to bound memory on degenerate corpora; the union of chunks
+    must equal the full pair set exactly — the lossless claim the MinHash
+    verify depends on. Exercised well above the chunk threshold by shrinking
+    the chunk size, and across the mixed small/hot bucket layout."""
+    import numpy as np
+
+    from ocrautomator_ray.functions import dedup as D
+
+    rng = np.random.default_rng(7)
+    # one hot bucket (s=200 → 19,900 pairs), several small ones, singletons
+    bid = np.concatenate([np.zeros(200, np.int64),
+                          np.ones(5, np.int64),
+                          np.full(3, 2, np.int64),
+                          np.array([3], np.int64)])
+    key = np.zeros(len(bid), np.int64)
+    perm = rng.permutation(len(bid))
+    bid = bid[perm]
+    old_chunk = D._PAIR_CHUNK
+    D._PAIR_CHUNK = 256  # force both the group-axis and triu-row chunk paths
+    try:
+        got = set()
+        for ia, ib in D._bucket_pair_indices(bid, key):
+            assert len(ia) == len(ib)
+            assert len(ia) <= 2 * 256 + 200  # bounded per yield (row granularity)
+            for a, b in zip(ia.tolist(), ib.tolist()):
+                assert a != b
+                got.add((min(a, b), max(a, b)))
+    finally:
+        D._PAIR_CHUNK = old_chunk
+    want = set()
+    for b in np.unique(bid):
+        rows = np.nonzero(bid == b)[0]
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                want.add((min(rows[i], rows[j]), max(rows[i], rows[j])))
+    assert got == want
