@@ -3,8 +3,13 @@
 a scaled-up sf dir (see make_scaled_sf.py), hash-compare exactly like the
 driver, time each side, and report Ray object-store spill counters.
 
-Usage:  python tools/scale_sweep.py [sf_dir] [query ...]
+Usage:  python tools/scale_sweep.py [--engine-only] [sf_dir] [query ...]
         (default dir /tmp/sfbig; default queries = the shuffle-heavy family)
+
+``--engine-only`` skips the DuckDB oracle comparison — for scale probes
+where the oracle itself is the bottleneck (the minhash-mirror family costs
+minutes of single-node SQL per query at ≥50k docs); correctness at those
+sizes is pinned by the full hash-compare at the 10× dir.
 
 Owns its Ray session (script entrypoint, like bench.py).
 """
@@ -57,8 +62,10 @@ def main() -> int:
     import pandas as pd
     import ray
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfbig"
-    names = sys.argv[2:] or DEFAULT_QUERIES
+    args = [a for a in sys.argv[1:] if a != "--engine-only"]
+    engine_only = "--engine-only" in sys.argv[1:]
+    sf = args[0] if args else "/tmp/sfbig"
+    names = args[1:] or DEFAULT_QUERIES
     cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=cpus, include_dashboard=False,
@@ -79,7 +86,7 @@ def main() -> int:
         spill = spilled_mb()
         row = {"engine_sec": engine_s, "rows": len(df),
                "spilled_mb_cum": spill}
-        if name in osql:
+        if name in osql and not engine_only:
             t0 = time.time()
             odf = con.execute(osql[name]).df()
             row["oracle_sec"] = round(time.time() - t0, 2)
