@@ -138,3 +138,61 @@ def test_minhash_copartition_violation_raises_loudly(tmp_path):
     # and the unbroken pipeline still runs green on the same input
     df = minhash_lsh_dups("/root/testdata/sf0.001").to_pandas()
     assert df.shape[1] == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_driver_sigkill_then_cli_resume_is_exactly_once(tmp_path):
+    """The strongest resume claim: SIGKILL the whole DRIVER PROCESS mid-run
+    (not a worker crash, not an injected exception) once at least one
+    partition has committed, then rerun the CLI on the same out_dir — the
+    rerun must recompute only the missing partitions and the final output
+    must span-equal the oracle exactly once."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import pyarrow.parquet as pq
+
+    from ocrautomator_ray import oracle, synth
+    from ocrautomator_ray.state.manifest import completed_parts
+
+    from .util import spans_from_output
+
+    P_KILL = 32  # many small commit waves on 4 CPUs → a real kill window
+    t = synth.gen_table("sf-test", seed=23, rows=800)
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(t, inp)
+    out = str(tmp_path / "o")
+    cmd = [sys.executable, "-m", "ocrautomator_ray.run", "--input", inp,
+           "--out", out, "--partitions", str(P_KILL), "--num-cpus", "4",
+           "--work-factor", "512", "--quiet"]
+
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)  # subprocess owns its own local session
+    proc = subprocess.Popen(cmd, cwd="/root/repo", env=env,
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if completed_parts(out, P_KILL) or proc.poll() is not None:
+                break
+            time.sleep(0.01)  # commits arrive in waves; catch an early one
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGKILL)
+            proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    done_after_kill = completed_parts(out, P_KILL)
+    if len(done_after_kill) == P_KILL:
+        pytest.skip("run finished before the kill landed — nothing to resume")
+    assert proc.returncode != 0 or done_after_kill  # it really died mid-run
+
+    r2 = subprocess.run(cmd, cwd="/root/repo", env=env, capture_output=True,
+                        text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert completed_parts(out, P_KILL) == set(range(P_KILL))
+    assert spans_from_output(out) == oracle.oracle_table(t).spans_by_doc
