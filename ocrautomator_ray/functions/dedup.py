@@ -471,7 +471,12 @@ def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD) -> rd.Da
     half the shuffle volume (a pair⋈table join per end would move the table
     twice). Output: (doc_a, doc_b, jaccard).
     """
-    n_parts = _auto_partitions(f"{sf_dir}/documents.parquet")
+    # the exchanged payload is the SHINGLE table (~8× the compressed text
+    # bytes — 64-bit hash per word), not the text: size partitions for the
+    # blow-up or the verify blocks go quadratic-ish single-threaded at 100×
+    # (39 s → 21 s at 500k docs), same sizing rationale as decontaminate
+    n_parts = _auto_partitions(f"{sf_dir}/documents.parquet",
+                               bytes_per_partition=8 << 20)
     ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
     _tune_exchange(ds, n_parts)  # budget the joins below before the plan is built
 
