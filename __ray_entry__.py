@@ -29,6 +29,10 @@ from ocrautomator_ray.functions import text as _text
 from ocrautomator_ray.pipelines.assemble import SQL_ASSEMBLE, run_assemble_flagship
 from ocrautomator_ray.pipelines.curate import SQL_CURATE, run_curate_flagship
 from ocrautomator_ray.pipelines.extract import run_flagship
+from ocrautomator_ray.pipelines.full_corpus import (
+    SQL_FULL_CORPUS,
+    run_full_corpus_flagship,
+)
 
 
 def entry() -> Any:
@@ -61,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["extract_pipeline"] = _flagship_query
     q["curate_pipeline"] = run_curate_flagship
     q["assemble_pipeline"] = run_assemble_flagship
+    q["full_corpus_pipeline"] = run_full_corpus_flagship
     q.update(_text.QUERIES)
     q.update(_corpus.QUERIES)
     q.update(_sketch.QUERIES)
@@ -89,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_mix.SQL)
     sql["curate_pipeline"] = SQL_CURATE
     sql["assemble_pipeline"] = SQL_ASSEMBLE
+    sql["full_corpus_pipeline"] = SQL_FULL_CORPUS
     # Rows-only (non-SQL-expressible): lsh_ann_topk, ivf_ann_topk,
     # ivf_index_topk, approx_distinct_users_per_type, media_decode_stats,
     # media_features, extract_pipeline — each has a pytest oracle instead

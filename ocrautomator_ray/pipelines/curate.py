@@ -50,15 +50,17 @@ _SENTINEL_ROW = pa.table({
 })
 
 
-def build_curated(sf_dir: str) -> rd.Dataset:
+def build_curated(sf_dir: str, source: rd.Dataset | None = None) -> rd.Dataset:
     """The lazy transform chain, sink-agnostic. Output columns:
-    (doc_id, norm_text, n_words, dup_word_frac_u, split)."""
+    (doc_id, norm_text, n_words, dup_word_frac_u, split). ``source``
+    overrides the read with an upstream (doc_id, text) Dataset — e.g. the
+    full-corpus pipeline feeds the near-dup-removal survivors in here."""
     import pyarrow.compute as pc
 
     from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = source if source is not None else rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def normalize_and_score(t: pa.Table) -> pa.Table:
         s = pc.replace_substring_regex(
@@ -128,12 +130,15 @@ def build_curated(sf_dir: str) -> rd.Dataset:
                                zero_copy_batch=True)
 
 
-SQL_CURATE = f"""
-WITH n AS (
+def curate_sql_ctes(src: str = "documents") -> str:
+    """The curation chain as composable CTEs over a (doc_id, text) relation
+    ``src`` — the full-corpus pipeline splices these after its own
+    near-dup-removal CTEs."""
+    return f"""n AS (
   SELECT doc_id,
          regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'),
                         '^ | $', '', 'g') AS norm_text
-  FROM documents
+  FROM {src}
 ),
 s AS (
   SELECT doc_id, norm_text,
@@ -153,12 +158,17 @@ f AS (
 ),
 d AS (
   SELECT norm_text, MIN(doc_id) AS doc_id FROM f GROUP BY norm_text
-)
+)"""
+
+
+CURATE_SQL_FINAL = f"""
 SELECT f.doc_id, f.norm_text, CAST(f.n_words AS BIGINT) AS n_words,
        f.dup_word_frac_u,
        {sql_split('f.doc_id')} AS split
 FROM f JOIN d ON f.doc_id = d.doc_id AND f.norm_text = d.norm_text
 """
+
+SQL_CURATE = f"WITH {curate_sql_ctes()}\n{CURATE_SQL_FINAL}"
 
 
 def run_curation(sf_dir: str, out_dir: str, num_partitions: int = 16,

@@ -72,7 +72,8 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "retention_cohorts", "embedding_outliers", "corpus_freq_score",
                "table_profile", "assemble_pipeline", "decontaminated_docs",
                "fingerprint_dups", "media_frame_counts",
-               "bpe_pair_counts", "bm25_doc0_topk", "leakage_safe_split"]
+               "bpe_pair_counts", "bm25_doc0_topk", "leakage_safe_split",
+               "full_corpus_pipeline"]
 
 
 @pytest.mark.usefixtures("ray_session")
