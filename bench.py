@@ -184,8 +184,12 @@ def run_benchmarks() -> dict:
     from ocrautomator_ray.pipelines.curate import run_curate_flagship
     from ocrautomator_ray.pipelines.extract import run_flagship
 
+    from ocrautomator_ray.pipelines.full_corpus import run_full_corpus_flagship
+
     timed("extract_flagship_sfdocs", lambda sf: run_flagship(sf), consume="count")
     timed("curate_pipeline", lambda sf: run_curate_flagship(sf), consume="count")
+    timed("full_corpus_pipeline", lambda sf: run_full_corpus_flagship(sf),
+          consume="count")
 
     ray.shutdown()
 

@@ -30,7 +30,7 @@ from check_correctness import TABLES, _canon, _hash  # noqa: E402
 DEFAULT_QUERIES = [
     "minhash_lsh_dups", "minhash_dup_clusters", "neardup_removed_docs",
     "simhash_dups", "embedding_neardup", "decontaminate", "seeded_shuffle",
-    "pack_sequences", "assemble_pipeline",
+    "pack_sequences", "assemble_pipeline", "full_corpus_pipeline",
 ]
 
 
