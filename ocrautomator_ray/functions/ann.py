@@ -604,8 +604,83 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding_quantize — per-dimension min-max int8 quantization (the storage /
+# bandwidth compression step of large ANN deployments: 4× smaller vectors,
+# scan-time dequantize). Two passes: (1) per-dim (lo, hi) reduces to a
+# dims-sized table per batch (the classic small side — combined on the
+# driver, 64 rows here), (2) a broadcast stateless map emits codes. The
+# quantization formula is an identically-parenthesized double expression in
+# both engines, so codes are bit-exact vs the SQL mirror.
+# ---------------------------------------------------------------------------
+
+
+def embedding_quantize(sf_dir: str) -> rd.Dataset:
+    """(vec_id, dim, code): code = floor((v-lo_d)/(hi_d-lo_d)*255 + 0.5),
+    dim 1-based; constant dimensions quantize to 0."""
+    import ray
+
+    ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
+
+    mm_schema = pa.schema([("dim", pa.int64()), ("lo", pa.float64()),
+                           ("hi", pa.float64())])
+
+    def partial_minmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return mm_schema.empty_table()
+        E = _embed_matrix(t)
+        return pa.table({
+            "dim": pa.array(np.arange(1, E.shape[1] + 1, dtype=np.int64)),
+            "lo": pa.array(E.min(axis=0), pa.float64()),
+            "hi": pa.array(E.max(axis=0), pa.float64()),
+        })
+
+    mm = ds.map_batches(partial_minmax, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()  # batches × dims rows
+    g = mm.groupby("dim")
+    lo = g["lo"].min().sort_index().to_numpy()
+    hi = g["hi"].max().sort_index().to_numpy()
+    ref = ray.put((lo, hi))
+
+    def quantize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("vec_id", pa.int64()), ("dim", pa.int64()),
+                              ("code", pa.int64())]).empty_table()
+        lo_, hi_ = ray.get(ref)
+        E = _embed_matrix(t)
+        n, d = E.shape
+        span = hi_ - lo_
+        with np.errstate(divide="ignore", invalid="ignore"):
+            code = np.floor((E - lo_) / span * 255 + 0.5)
+        code = np.where(span > 0, code, 0.0).astype(np.int64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n)),
+            "code": pa.array(code.reshape(-1), pa.int64()),
+        })
+
+    return ds.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+mm AS (SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM e GROUP BY dim)
+SELECT e.vec_id, CAST(e.dim AS BIGINT) AS dim,
+       CASE WHEN hi > lo
+            THEN CAST(FLOOR((e.v - lo) / (hi - lo) * 255 + 0.5) AS BIGINT)
+            ELSE 0 END AS code
+FROM e JOIN mm USING (dim)
+"""
+
+
 QUERIES = {
     "ann_topk": ann_topk,
+    "embedding_quantize": embedding_quantize,
     "embedding_outliers": embedding_outliers,
     "lsh_ann_topk": lsh_ann_topk,
     "ivf_ann_topk": ivf_ann_topk,
@@ -617,4 +692,5 @@ SQL = {
     "ann_topk": SQL_ANN_TOPK,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
+    "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
 }

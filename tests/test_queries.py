@@ -73,7 +73,7 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "table_profile", "assemble_pipeline", "decontaminated_docs",
                "fingerprint_dups", "media_frame_counts",
                "bpe_pair_counts", "bm25_doc0_topk", "leakage_safe_split",
-               "full_corpus_pipeline"]
+               "full_corpus_pipeline", "embedding_quantize"]
 
 
 @pytest.mark.usefixtures("ray_session")
