@@ -10,6 +10,8 @@ embedding table.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -326,6 +328,51 @@ def ivf_index_dir(sf_dir: str) -> str:
     return os.path.join("/tmp", "ocrauto_ivf_index", tag)
 
 
+_IVF_INDEX_ROOT = os.path.join("/tmp", "ocrauto_ivf_index")
+
+
+def _centroids_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "centroids.parquet")
+
+
+def _write_centroids(index_dir: str, C: np.ndarray) -> None:
+    """Persist the trained centroid matrix beside ``data/`` (atomic
+    tmp+rename, same discipline as the sink) so probes are read-only."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(index_dir, exist_ok=True)
+    path = _centroids_path(index_dir)
+    t = pa.table({
+        "centroid": pa.array(np.arange(len(C), dtype=np.int32), pa.int32()),
+        "v": pa.array(C.tolist(), pa.list_(pa.float64())),
+    })
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+
+
+def _read_centroids(index_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_centroids_path(index_dir)).sort_by("centroid")
+    return _embed_matrix(t, "v")
+
+
+def _evict_stale_indexes(index_dir: str) -> None:
+    """Drop older fingerprints of the same source basename: the tag embeds
+    (size, mtime_ns), so regenerated scale dirs would otherwise accrete a
+    full duplicate embeddings copy under /tmp per rebuild."""
+    import shutil
+
+    root, tag = os.path.split(index_dir)
+    if root != _IVF_INDEX_ROOT or not os.path.isdir(root):
+        return  # only manage tags this module created
+    base = tag.rsplit("-", 2)[0]
+    for d in os.listdir(root):
+        if d != tag and d.rsplit("-", 2)[0] == base:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
 def ivf_index_build(sf_dir: str, index_dir: str | None = None,
                     num_partitions: int = 8) -> dict:
     """Build (or resume) the persisted IVF-flat index: one distributed
@@ -333,22 +380,29 @@ def ivf_index_build(sf_dir: str, index_dir: str | None = None,
     matrix) written via the resumable sink with ``partition_by="centroid"``,
     so the layout is ``data/centroid=<c>/part-NNNNN.parquet`` — selective
     probes read single value directories, and a killed build resumes with
-    O(P) manifest reads. Returns the sink summary plus ``index_dir``."""
-    import os
-
+    O(P) manifest reads. The centroid matrix is persisted with the index
+    (``centroids.parquet``) at first build, so a committed index answers
+    queries with ZERO k-means work and no re-read of the training sample.
+    Returns the sink summary plus ``index_dir``."""
     import ray
 
     from ocrautomator_ray.sinks.parquet_commit import resumable_write
 
     index_dir = index_dir or ivf_index_dir(sf_dir)
-    C = _train_centroids(sf_dir)
+    _evict_stale_indexes(index_dir)
+    if os.path.exists(_centroids_path(index_dir)):
+        C = _read_centroids(index_dir)  # committed index: no k-means
+    else:
+        C = _train_centroids(sf_dir)
+        _write_centroids(index_dir, C)
     ref = ray.put(C)
 
     def assign(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.schema([("vec_id", pa.int64()),
-                              ("embedding", pa.large_list(pa.float32())),
-                              ("centroid", pa.int32())]).empty_table()
+            # derive the empty table from the INPUT schema: a hand-written
+            # large_list(float32) here diverges from the source's
+            # list<float32> and Ray's block concat refuses to merge the two
+            return t.append_column("centroid", pa.array([], pa.int32()))
         En = _embed_matrix(t)
         En = En / np.linalg.norm(En, axis=1, keepdims=True)
         cent = np.argmax(En @ ray.get(ref).T, axis=1).astype(np.int32)
@@ -395,13 +449,15 @@ def ivf_index_topk(sf_dir: str, num_queries: int = ANN_NUM_QUERIES,
     read opens ONLY the probed ``centroid=<c>`` directories and each batch
     filters per query on the STORED assignment column instead of recomputing
     the argmax. pytest pins both the equality and the pruning (probed dirs ⊊
-    all dirs when the probe union is proper)."""
+    all dirs when the probe union is proper), plus that a committed index
+    answers with zero k-means iterations (centroids load from the persisted
+    ``centroids.parquet``, never retrain)."""
     import ray
 
     ivf_index_build(sf_dir)  # no-op when already committed (O(P) manifest reads)
     index_dir = ivf_index_dir(sf_dir)
     qids, Qn = _load_queries(sf_dir, num_queries)
-    C = _train_centroids(sf_dir)
+    C = _read_centroids(index_dir)  # persisted with the index; no retraining
     probe = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]
     ref = ray.put((qids, Qn, probe))
 
@@ -635,11 +691,21 @@ def embedding_quantize(sf_dir: str) -> rd.Dataset:
             "hi": pa.array(E.max(axis=0), pa.float64()),
         })
 
-    mm = ds.map_batches(partial_minmax, batch_format="pyarrow",
-                        zero_copy_batch=True).to_pandas()  # batches × dims rows
-    g = mm.groupby("dim")
-    lo = g["lo"].min().sort_index().to_numpy()
-    hi = g["hi"].max().sort_index().to_numpy()
+    # combine the per-block (lo, hi) partials with a dim-keyed exchange so
+    # the driver materializes exactly dims rows — combining raw partials
+    # driver-side is blocks × dims, which at 10^6 blocks is a ~64M-row pull
+    from ray.data.aggregate import Max, Min
+
+    from ocrautomator_ray.functions.exchange import tune_exchange
+
+    partials = ds.map_batches(partial_minmax, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    tune_exchange(partials, 4)
+    mm = (partials.groupby("dim", num_partitions=4)
+          .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+          .to_pandas().sort_values("dim"))  # exactly dims rows
+    lo = mm["lo"].to_numpy()
+    hi = mm["hi"].to_numpy()
     ref = ray.put((lo, hi))
 
     def quantize(t: pa.Table) -> pa.Table:

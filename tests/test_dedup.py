@@ -174,6 +174,52 @@ def test_ivf_index_persisted_probe_matches_and_prunes():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_ivf_index_probe_runs_zero_kmeans(monkeypatch):
+    """A committed index must answer probes READ-ONLY: centroids load from
+    the persisted centroids.parquet, so no k-means iteration (and no re-read
+    of the training sample) ever runs on the query path."""
+    import os
+
+    from ocrautomator_ray.functions import ann as A
+
+    A.ivf_index_build(SF)  # ensure committed (idempotent)
+    assert os.path.exists(A._centroids_path(A.ivf_index_dir(SF)))
+    baseline = A.ivf_ann_topk(SF).to_pandas()
+
+    def boom(*a, **k):
+        raise AssertionError("k-means ran on the probe path")
+
+    monkeypatch.setattr(A, "_train_centroids", boom)
+    via_index = A.ivf_index_topk(SF).to_pandas()
+    pd.testing.assert_frame_equal(
+        via_index.sort_values(["qid", "rank"]).reset_index(drop=True),
+        baseline.sort_values(["qid", "rank"]).reset_index(drop=True),
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_index_evicts_stale_fingerprints(tmp_path):
+    """Rebuilding after the source changes must not accrete a duplicate
+    embeddings copy per fingerprint under /tmp (disk-pressure guard)."""
+    import os
+    import shutil
+
+    from ocrautomator_ray.functions import ann as A
+
+    idx = A.ivf_index_dir(SF)
+    root, tag = os.path.split(idx)
+    stale = os.path.join(root, tag.rsplit("-", 2)[0] + "-999-888")
+    os.makedirs(stale, exist_ok=True)
+    # an unrelated basename must survive eviction
+    other = os.path.join(root, "otherbase-1-2")
+    os.makedirs(other, exist_ok=True)
+    A.ivf_index_build(SF)
+    assert not os.path.exists(stale)
+    assert os.path.exists(other)
+    shutil.rmtree(other, ignore_errors=True)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_per_key_runs_oversized_partition_stays_whole():
     """_per_key_runs relies on Ray 2.49's hash-shuffle finalize emitting ONE
     block per partition (splitting at target_max_block_size is an
