@@ -96,8 +96,8 @@ def oracle_sql() -> dict[str, str]:
     sql["assemble_pipeline"] = SQL_ASSEMBLE
     sql["full_corpus_pipeline"] = SQL_FULL_CORPUS
     # Rows-only (non-SQL-expressible): lsh_ann_topk, ivf_ann_topk,
-    # ivf_index_topk, approx_distinct_users_per_type, media_decode_stats,
-    # media_features, extract_pipeline — each has a pytest oracle instead
-    # (tests/): ivf_index_topk is pinned rows-identical to ivf_ann_topk and
-    # its read provably opens only the probed centroid directories.
+    # ivf_index_topk, approx_distinct_users_per_type, extract_pipeline —
+    # each has a pytest oracle instead (tests/): ivf_index_topk is pinned
+    # rows-identical to ivf_ann_topk and its read provably opens only the
+    # probed centroid directories.
     return sql

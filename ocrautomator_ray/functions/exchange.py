@@ -161,7 +161,29 @@ def pruned_read(path: str, columns: list[str],
     nblocks = read_blocks(path, bytes_per_block=(4 << 20) if heavy
                           else (16 << 20), lo=max(4, cpus))
     return rd.read_parquet(path, columns=columns,
+                           schema=_stripped_schema(path, columns),
                            override_num_blocks=nblocks)
+
+
+def _stripped_schema(path: str, columns: list[str]):
+    """The selected columns' schema with ALL metadata removed. Parquet
+    written by pandas carries a schema-level pandas-metadata dict, which
+    makes the Arrow schema UNHASHABLE — every downstream exchange then logs
+    'Failed to hash the schemas (for deduplication)' per block (Ray's
+    unify_schemas dedups via set()). Stripping at the read kills the warning
+    and restores the schema-dedup fast path for the whole plan."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        frags = [e.path for e in os.scandir(path) if e.name.endswith(".parquet")]
+        if not frags:
+            return None
+        path = sorted(frags)[0]
+    full = pq.read_schema(path)
+    return pa.schema([full.field(c).remove_metadata() for c in columns])
 
 
 def per_key_blocks(ds: rd.Dataset, keys: list[str], block_fn: Callable,

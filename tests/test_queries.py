@@ -73,7 +73,8 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "table_profile", "assemble_pipeline", "decontaminated_docs",
                "fingerprint_dups", "media_frame_counts",
                "bpe_pair_counts", "bm25_doc0_topk", "leakage_safe_split",
-               "full_corpus_pipeline", "embedding_quantize"]
+               "full_corpus_pipeline", "embedding_quantize",
+               "media_decode_stats", "media_features"]
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -95,8 +96,7 @@ def test_sql_oracled_query(name, ddb, contract):
 
 
 ROWS_ONLY = ["lsh_ann_topk", "ivf_ann_topk", "ivf_index_topk",
-             "approx_distinct_users_per_type", "media_decode_stats",
-             "media_features"]
+             "approx_distinct_users_per_type"]
 
 
 @pytest.mark.usefixtures("ray_session")
