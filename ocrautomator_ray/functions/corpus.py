@@ -4,7 +4,7 @@ The corpus-relative signal (document frequency) makes this a genuinely
 distributed computation — unlike the per-document ops in functions/text.py,
 no single batch can score a term without the global DF table. The layout:
 
-1. TF: one vectorized pandas pass per batch. Each document's text lives in
+1. TF: one vectorized Arrow pass per batch. Each document's text lives in
    exactly one input row, so a per-batch explode + group count yields FINAL
    (doc_id, term, tf) rows — no cross-batch combine needed.
 2. DF attach: ONE hash exchange on ``term`` co-locates every (doc, term) row
@@ -29,7 +29,6 @@ the term string — deterministic and oracle-exact without any ``log`` call
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -61,48 +60,41 @@ def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
 
     tf = docs.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    def attach_df(block: pd.DataFrame) -> pd.DataFrame:
-        if block.empty:
-            return pd.DataFrame({
-                "doc_id": pd.Series([], dtype=np.int64),
-                "term": pd.Series([], dtype=object),
-                "tf": pd.Series([], dtype=np.int64),
-                "df": pd.Series([], dtype=np.int64),
-            })
-        # rows are (doc, term)-distinct, so the term's row count IS its df
-        df = block.groupby("term")["doc_id"].transform("size")
-        return block.assign(df=df.to_numpy(dtype=np.int64))
+    def attach_df(block: pa.Table) -> pa.Table:
+        # rows are (doc, term)-distinct, so the term's row count IS its df;
+        # one np.unique over the term column replaces the former pandas
+        # transform("size") (the Arrow→pandas block conversion was the cost)
+        if block.num_rows == 0:
+            return block.append_column("df", pa.array([], pa.int64()))
+        term = block["term"].to_numpy(zero_copy_only=False)
+        _, inv, cnts = np.unique(term, return_inverse=True, return_counts=True)
+        return block.append_column(
+            "df", pa.array(cnts[inv].astype(np.int64), pa.int64()))
 
-    joined = per_key_blocks(tf, ["term"], attach_df, batch_format="pandas",
+    joined = per_key_blocks(tf, ["term"], attach_df,
                             num_partitions=auto_partitions(path))
 
-    def rank_block(block: pd.DataFrame) -> pd.DataFrame:
-        if block.empty:
-            return pd.DataFrame({
-                "doc_id": pd.Series([], dtype=np.int64),
-                "term": pd.Series([], dtype=object),
-                "tf": pd.Series([], dtype=np.int64),
-                "df": pd.Series([], dtype=np.int64),
-                "rank": pd.Series([], dtype=np.int64),
-            })
-        score = block["tf"].to_numpy(dtype=np.float64) \
-            / block["df"].to_numpy(dtype=np.float64)
-        g = block.assign(_score=score).sort_values(
-            ["doc_id", "_score", "term"], ascending=[True, False, True],
-            kind="mergesort",
-        )
-        rank = g.groupby("doc_id").cumcount().to_numpy() + 1
+    def rank_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return block.append_column("rank", pa.array([], pa.int64()))
+        # same IEEE double both engines: CAST(tf AS DOUBLE)/CAST(df AS DOUBLE)
+        score = pc.divide(pc.cast(block["tf"], pa.float64()),
+                          pc.cast(block["df"], pa.float64()))
+        idx = pc.sort_indices(
+            block.append_column("_score", score),
+            sort_keys=[("doc_id", "ascending"), ("_score", "descending"),
+                       ("term", "ascending")])
+        g = block.take(idx)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        starts = np.nonzero(np.r_[True, ids[1:] != ids[:-1]])[0]
+        run_len = np.diff(np.r_[starts, len(ids)])
+        rank = (np.arange(len(ids), dtype=np.int64)
+                - np.repeat(starts, run_len) + 1)
         keep = rank <= TFIDF_TOP_K
-        return pd.DataFrame({
-            "doc_id": g["doc_id"].to_numpy()[keep],
-            "term": g["term"].to_numpy()[keep],
-            "tf": g["tf"].to_numpy()[keep],
-            "df": g["df"].to_numpy()[keep],
-            "rank": rank[keep].astype(np.int64),
-        })
+        return g.filter(pa.array(keep)).append_column(
+            "rank", pa.array(rank[keep], pa.int64()))
 
     return per_key_blocks(joined, ["doc_id"], rank_block,
-                          batch_format="pandas",
                           num_partitions=auto_partitions(path))
 
 
@@ -258,17 +250,18 @@ def pack_sequences(sf_dir: str) -> rd.Dataset:
     offsets = np.cumsum(sums) - sums          # exclusive prefix per bucket
     off_ref = ray.put((buckets, offsets))
 
-    def assign(block: pd.DataFrame) -> pd.DataFrame:
-        if block.empty:
-            return pd.DataFrame({
-                "doc_id": pd.Series([], dtype=np.int64),
-                "n_tokens": pd.Series([], dtype=np.int64),
-                "seq_id": pd.Series([], dtype=np.int64),
-            })
+    assign_schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                               ("seq_id", pa.int64())])
+
+    def assign(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return assign_schema.empty_table()
         bks, offs = ray.get(off_ref)
-        g = block.sort_values("doc_id", kind="stable")
-        n = g["n_tokens"].to_numpy()
-        bucket = g["bucket"].to_numpy()
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="mergesort")
+        ids = ids[order]
+        n = block["n_tokens"].to_numpy(zero_copy_only=False)[order]
+        bucket = block["bucket"].to_numpy(zero_copy_only=False)[order]
         ex_cum = np.cumsum(n) - n
         # doc_id order implies bucket order, so the first row of each bucket
         # marks where the in-block cumsum must restart from the bucket offset
@@ -276,13 +269,13 @@ def pack_sequences(sf_dir: str) -> rd.Dataset:
         run_len = np.diff(np.append(np.flatnonzero(first), len(bucket)))
         in_bucket = ex_cum - np.repeat(ex_cum[first], run_len)
         prefix = offs[np.searchsorted(bks, bucket)] + in_bucket
-        return pd.DataFrame({
-            "doc_id": g["doc_id"].to_numpy(),
-            "n_tokens": n,
-            "seq_id": prefix // SEQ_LEN,
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "seq_id": pa.array(prefix // SEQ_LEN, pa.int64()),
         })
 
-    return per_key_blocks(cnt, ["bucket"], assign, batch_format="pandas",
+    return per_key_blocks(cnt, ["bucket"], assign,
                           num_partitions=auto_partitions(path))
 
 
@@ -460,29 +453,30 @@ def bpe_pair_counts(sf_dir: str, k: int = BPE_TOP_K) -> rd.Dataset:
         return pa.table({"tok_a": g["tok_a"], "tok_b": g["tok_b"],
                          "cnt": g["count_all"].cast(pa.int64())})
 
-    def topk_block(block: pd.DataFrame) -> pd.DataFrame:
-        if block.empty:
-            return pd.DataFrame({"tok_a": pd.Series([], dtype=object),
-                                 "tok_b": pd.Series([], dtype=object),
-                                 "cnt": pd.Series([], dtype=np.int64)})
-        g = (block.groupby(["tok_a", "tok_b"], as_index=False)["cnt"].sum()
-             .sort_values(["cnt", "tok_a", "tok_b"],
-                          ascending=[False, True, True], kind="mergesort"))
-        return g.head(k)
+    _BPE_SORT = [("cnt", "descending"), ("tok_a", "ascending"),
+                 ("tok_b", "ascending")]
 
-    def finalize(block: pd.DataFrame) -> pd.DataFrame:
-        g = block.sort_values(["cnt", "tok_a", "tok_b"],
-                              ascending=[False, True, True],
-                              kind="mergesort").head(k)
-        return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+    def topk_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pair_schema.empty_table()
+        g = pa.TableGroupBy(block, ["tok_a", "tok_b"]).aggregate(
+            [("cnt", "sum")]).rename_columns(["tok_a", "tok_b", "cnt"])
+        idx = pc.sort_indices(g, sort_keys=_BPE_SORT)
+        return g.take(idx.slice(0, k))
+
+    def finalize(block: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(block, sort_keys=_BPE_SORT)
+        g = block.take(idx.slice(0, k))
+        return g.append_column("rank", pa.array(
+            np.arange(1, g.num_rows + 1, dtype=np.int64), pa.int64()))
 
     pairs = docs.map_batches(pair_rows, batch_format="pyarrow",
                              zero_copy_batch=True)
     local = per_key_blocks(pairs, ["tok_a", "tok_b"], topk_block,
-                           batch_format="pandas",
                            num_partitions=auto_partitions(path))
-    return local.repartition(1).map_batches(finalize, batch_format="pandas",
-                                            batch_size=None)
+    return local.repartition(1).map_batches(finalize, batch_format="pyarrow",
+                                            batch_size=None,
+                                            zero_copy_batch=True)
 
 
 SQL_BPE_PAIRS = rf"""
@@ -573,50 +567,66 @@ def bm25_doc0_topk(sf_dir: str, k: int = BM25_TOP_K) -> rd.Dataset:
 
     contrib_schema = pa.schema([("doc_id", pa.int64()), ("c_u", pa.int64())])
 
-    def attach_df_score(block: pd.DataFrame) -> pd.DataFrame:
-        if block.empty:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
-                                 "c_u": pd.Series([], dtype=np.int64)})
-        df = block.groupby("term")["doc_id"].transform("size") \
-            .to_numpy(dtype=np.float64)
-        tf = block["tf"].to_numpy(dtype=np.float64)
-        dl = block["dl"].to_numpy(dtype=np.int64)
+    def attach_df_score(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return contrib_schema.empty_table()
+        # df = the term's row count in the block (rows are doc-distinct);
+        # np.unique replaces the former pandas transform("size")
+        term = block["term"].to_numpy(zero_copy_only=False)
+        _, inv, cnts = np.unique(term, return_inverse=True, return_counts=True)
+        df = cnts[inv].astype(np.float64)
+        tf = block["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = block["dl"].to_numpy(zero_copy_only=False)
         # parenthesization mirrors SQL_BM25 exactly (IEEE-identical doubles)
         idf = (np.float64(N) - df + 0.5) / (df + 0.5)
         part = (tf * (BM25_K1 + 1.0)) / (
             tf + BM25_K1 * ((1.0 - BM25_B)
                             + BM25_B * (dl * np.float64(N)) / np.float64(T)))
         c_u = np.floor(idf * part * 1_000_000 + 0.5).astype(np.int64)
-        keep = block["doc_id"].to_numpy() != 0
-        return pd.DataFrame({"doc_id": block["doc_id"].to_numpy()[keep],
-                             "c_u": c_u[keep]})
+        keep = block["doc_id"].to_numpy(zero_copy_only=False) != 0
+        return pa.table({
+            "doc_id": pa.array(
+                block["doc_id"].to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+            "c_u": pa.array(c_u[keep], pa.int64()),
+        })
 
-    def topk_block(block: pd.DataFrame) -> pd.DataFrame:
-        if block.empty:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
-                                 "score_u": pd.Series([], dtype=np.int64)})
-        g = (block.groupby("doc_id", as_index=False)["c_u"].sum()
-             .rename(columns={"c_u": "score_u"})
-             .sort_values(["score_u", "doc_id"], ascending=[False, True],
-                          kind="mergesort"))
-        return g.head(k)
+    topk_schema = pa.schema([("doc_id", pa.int64()), ("score_u", pa.int64())])
 
-    def finalize(block: pd.DataFrame) -> pd.DataFrame:
-        g = block.sort_values(["score_u", "doc_id"],
-                              ascending=[False, True],
-                              kind="mergesort").head(k)
-        return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+    def topk_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return topk_schema.empty_table()
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        c = block["c_u"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="mergesort")
+        ids, c = ids[order], c[order]
+        starts = np.nonzero(np.r_[True, ids[1:] != ids[:-1]])[0]
+        uids = ids[starts]
+        score = np.add.reduceat(c, starts).astype(np.int64)
+        sel = np.lexsort((uids, -score))[:k]
+        return pa.table({"doc_id": pa.array(uids[sel], pa.int64()),
+                         "score_u": pa.array(score[sel], pa.int64())})
+
+    def finalize(block: pa.Table) -> pa.Table:
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        score = block["score_u"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((ids, -score))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[sel], pa.int64()),
+            "score_u": pa.array(score[sel], pa.int64()),
+            "rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64),
+                             pa.int64()),
+        })
 
     docs = pruned_read(path, ["doc_id", "text"])
     tf = docs.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
     contrib = per_key_blocks(tf, ["term"], attach_df_score,
-                             batch_format="pandas",
                              num_partitions=auto_partitions(path))
     local = per_key_blocks(contrib, ["doc_id"], topk_block,
-                           batch_format="pandas",
                            num_partitions=auto_partitions(path))
-    return local.repartition(1).map_batches(finalize, batch_format="pandas",
-                                            batch_size=None)
+    return local.repartition(1).map_batches(finalize, batch_format="pyarrow",
+                                            batch_size=None,
+                                            zero_copy_batch=True)
 
 
 SQL_BM25 = rf"""

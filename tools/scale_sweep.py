@@ -35,9 +35,12 @@ DEFAULT_QUERIES = [
 
 
 def spilled_mb() -> float:
-    """Cumulative object-store spill for this Ray session, in MB — measured
-    as the bytes sitting in the session's spilled-objects directory (the
-    gRPC-backed memory_summary API needs the grpc package, absent here)."""
+    """Object-store spill bytes CURRENTLY on disk for this Ray session, in
+    MB — the bytes sitting in the session's spilled-objects directory (the
+    gRPC-backed memory_summary API needs the grpc package, absent here).
+    Ray deletes spilled files once their objects are freed, so a single
+    post-hoc call can miss transient spill; use ``SpillWatermark`` around a
+    query to capture the high-water mark instead."""
     import glob
     import os
 
@@ -52,8 +55,44 @@ def spilled_mb() -> float:
         for p in glob.glob(os.path.join(session, f"**/*{pat}*/**"),
                            recursive=True):
             if os.path.isfile(p):
-                total += os.path.getsize(p)
+                try:
+                    total += os.path.getsize(p)
+                except OSError:  # file freed between glob and stat
+                    pass
     return round(total / 1e6, 1)
+
+
+class SpillWatermark:
+    """Samples ``spilled_mb`` on a background thread while a query runs and
+    keeps the maximum, so spill that appears and is freed mid-run still
+    registers (a post-hoc scan reports 0.0 for it — false 'zero spill')."""
+
+    def __init__(self, interval_s: float = 0.25) -> None:
+        import threading
+
+        self._interval = interval_s
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.max_mb = 0.0
+
+    def __enter__(self) -> "SpillWatermark":
+        import threading
+
+        def sample() -> None:
+            while not self._stop.is_set():
+                self.max_mb = max(self.max_mb, spilled_mb())
+                self._stop.wait(self._interval)
+
+        self.max_mb = spilled_mb()
+        self._thread = threading.Thread(target=sample, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+        self.max_mb = max(self.max_mb, spilled_mb())
 
 
 def main() -> int:
@@ -80,12 +119,13 @@ def main() -> int:
     results, bad = {}, []
     for name in names:
         t0 = time.time()
-        res = qs[name](sf)
-        df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+        with SpillWatermark() as wm:
+            res = qs[name](sf)
+            df = (res.to_pandas() if hasattr(res, "to_pandas")
+                  else pd.DataFrame(res))
         engine_s = round(time.time() - t0, 2)
-        spill = spilled_mb()
         row = {"engine_sec": engine_s, "rows": len(df),
-               "spilled_mb_cum": spill}
+               "spilled_mb_peak": wm.max_mb}
         if name in osql and not engine_only:
             t0 = time.time()
             odf = con.execute(osql[name]).df()
@@ -102,7 +142,9 @@ def main() -> int:
         results[name] = row
         print(f"{name:28s} {json.dumps(row)}", flush=True)
     summary = {"sf_dir": sf, "num_cpus": cpus, "results": results,
-               "total_spilled_mb": spilled_mb(), "fails": bad}
+               "peak_spilled_mb": max(
+                   [r["spilled_mb_peak"] for r in results.values()] or [0.0]),
+               "fails": bad}
     print(json.dumps(summary))
     ray.shutdown()
     return 1 if bad else 0
