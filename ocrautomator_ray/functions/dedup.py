@@ -944,10 +944,110 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 # components are small cliques, so it converges in 2-3 rounds in practice.
 # ---------------------------------------------------------------------------
 
+def _round_fingerprint(sf_dir: str, threshold: float) -> dict:
+    """Identity of a propagation checkpoint's input: a checkpoint taken over
+    a different documents table (or threshold) must never be resumed."""
+    import os
+
+    p = f"{sf_dir}/documents.parquet"
+    st = os.stat(p)
+    return {"input": p, "size": st.st_size, "mtime_ns": st.st_mtime_ns,
+            "threshold": threshold}
+
+
+def _committed_rounds(checkpoint_dir: str) -> list[tuple[int, str, dict]]:
+    """Sorted (round, data_dir, meta) for every committed round — committed
+    means BOTH the parquet dir and its meta marker exist (the marker is
+    written last, so a kill between the two leaves the round uncommitted
+    and it is simply re-executed from its predecessor)."""
+    import glob
+    import json
+    import os
+
+    out = []
+    for mp in glob.glob(os.path.join(checkpoint_dir, "round-*.json")):
+        d = mp[:-5]
+        try:
+            with open(mp) as f:
+                meta = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if os.path.isdir(d):
+            out.append((int(os.path.basename(d).split("-")[1]), d, meta))
+    return sorted(out)
+
+
+def _prepare_checkpoint_dir(checkpoint_dir: str, fp: dict) -> None:
+    """Create/validate the checkpoint root: wipe it when its fingerprint
+    doesn't match this run's input; always clear stale tmp dirs."""
+    import json
+    import os
+    import shutil
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    fp_path = os.path.join(checkpoint_dir, "fingerprint.json")
+    stale = True
+    try:
+        with open(fp_path) as f:
+            stale = json.load(f) != fp
+    except (OSError, json.JSONDecodeError):
+        pass
+    if stale:
+        shutil.rmtree(checkpoint_dir)
+        os.makedirs(checkpoint_dir)
+        tmp = fp_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(fp, f)
+        os.rename(tmp, fp_path)
+    else:
+        for e in os.scandir(checkpoint_dir):
+            if e.name.endswith(".tmpdir"):
+                shutil.rmtree(e.path, ignore_errors=True)
+
+
+def _commit_round_data(adj: rd.Dataset, rnd: int,
+                       checkpoint_dir: str) -> rd.Dataset:
+    """Persist a round's adjacency (tmp dir + rename = atomic commit of the
+    data half) and return the read-back dataset — the parquet IS the round's
+    materialization, so a resumed driver starts from disk, not round 0."""
+    import os
+    import shutil
+
+    d = os.path.join(checkpoint_dir, f"round-{rnd:04d}")
+    tmp = d + ".tmpdir"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.isdir(d):  # data committed but meta missing: redo cleanly
+        shutil.rmtree(d)
+    adj.write_parquet(tmp)
+    os.rename(tmp, d)
+    return rd.read_parquet(d)
+
+
+def _commit_round_meta(rnd: int, checkpoint_dir: str, sig: int,
+                       converged: bool) -> None:
+    import json
+    import os
+
+    mp = os.path.join(checkpoint_dir, f"round-{rnd:04d}.json")
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"sig": sig, "converged": converged}, f)
+    os.rename(tmp, mp)
+
+
 def minhash_dup_clusters(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
-                         max_rounds: int = 12) -> rd.Dataset:
+                         max_rounds: int = 12,
+                         checkpoint_dir: str | None = None) -> rd.Dataset:
     """(doc_id, cluster_id) for every doc in ≥1 verified near-dup pair;
-    cluster_id = min doc_id of its connected component."""
+    cluster_id = min doc_id of its connected component.
+
+    ``checkpoint_dir`` (optional) makes the ITERATION restartable, not just
+    the sink downstream of it: each propagation round commits its adjacency
+    (atomic tmp+rename parquet dir, then a meta marker with the round's
+    convergence signature), so a driver killed mid-propagation resumes from
+    the last committed round — at 10^12 docs each round is a full exchange
+    over the node-sized adjacency, the expensive thing to lose. Checkpoints
+    are fingerprinted to the input table; a changed input wipes them."""
     pairs = minhash_lsh_dups(sf_dir, threshold).select_columns(["doc_a", "doc_b"])
 
     def seed_adj(t: pa.Table) -> pa.Table:
@@ -1022,15 +1122,35 @@ def minhash_dup_clusters(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
     from ocrautomator_ray.functions.exchange import per_key_blocks
 
     prev_sig = None
-    for _ in range(max_rounds):
+    start_round = 0
+    converged = False
+    if checkpoint_dir is not None:
+        _prepare_checkpoint_dir(checkpoint_dir,
+                                _round_fingerprint(sf_dir, threshold))
+        rounds = _committed_rounds(checkpoint_dir)
+        if rounds:
+            rnd, d, meta = rounds[-1]
+            adj = rd.read_parquet(d)
+            prev_sig = meta["sig"]
+            start_round = rnd + 1
+            converged = bool(meta.get("converged"))
+
+    for rnd in range(start_round, max_rounds):
+        if converged:
+            break
         # one hash exchange per round (propagate + dedup + signature fused
         # in-block); adjacency shrinks to ~nodes rows so the per-round pin
         # is small
-        adj = per_key_blocks(adj, ["u"], propagate_block,
-                             num_partitions=8).materialize()
+        adj = per_key_blocks(adj, ["u"], propagate_block, num_partitions=8)
+        if checkpoint_dir is not None:
+            # the committed parquet IS the round's materialization
+            adj = _commit_round_data(adj, rnd, checkpoint_dir)
+        else:
+            adj = adj.materialize()
         sig = scan_signature(adj)
-        if sig == prev_sig:
-            break
+        converged = sig == prev_sig
+        if checkpoint_dir is not None:
+            _commit_round_meta(rnd, checkpoint_dir, sig, converged)
         prev_sig = sig
 
     def final_labels(block: pa.Table) -> pa.Table:

@@ -29,9 +29,15 @@ from ocrautomator_ray.pipelines.curate import (
 )
 
 
-def build_full_corpus(sf_dir: str) -> rd.Dataset:
+def build_full_corpus(sf_dir: str,
+                      cluster_checkpoint_dir: str | None = None) -> rd.Dataset:
     """Lazy chain: near-dup removal → curation. Output columns:
-    (doc_id, norm_text, n_words, dup_word_frac_u, split)."""
+    (doc_id, norm_text, n_words, dup_word_frac_u, split).
+
+    ``cluster_checkpoint_dir`` makes the EAGER part of the chain — the
+    cluster-propagation rounds inside minhash_dup_clusters — restartable:
+    without it a driver death mid-propagation restarts the iteration from
+    round 0 even though the sink downstream resumes."""
     import pyarrow.compute as pc
 
     from ocrautomator_ray.functions.dedup import minhash_dup_clusters
@@ -41,7 +47,9 @@ def build_full_corpus(sf_dir: str) -> rd.Dataset:
         tune_exchange,
     )
 
-    drop = minhash_dup_clusters(sf_dir).map_batches(
+    drop = minhash_dup_clusters(
+        sf_dir, checkpoint_dir=cluster_checkpoint_dir,
+    ).map_batches(
         lambda t: t.filter(
             pc.not_equal(t["doc_id"], t["cluster_id"])
         ).select(["doc_id"]).rename_columns(["drop_id"]),
@@ -93,10 +101,18 @@ def run_full_corpus(sf_dir: str, out_dir: str, num_partitions: int = 16,
                     resume: bool = True,
                     partition_by: str | None = None) -> dict:
     """Execute the full pipeline into the resumable sink (pass
-    ``partition_by="split"`` for hive train/val/test directories)."""
+    ``partition_by="split"`` for hive train/val/test directories). The
+    cluster-propagation rounds checkpoint under the sink's out_dir, so a
+    killed run resumes BOTH halves: the iteration from its last committed
+    round and the sink from its committed partitions."""
+    import os
+
     from ocrautomator_ray.sinks.parquet_commit import resumable_write
 
-    return resumable_write(build_full_corpus(sf_dir), out_dir,
+    ckpt = os.path.join(out_dir, "_cluster_rounds") if resume else None
+    return resumable_write(build_full_corpus(sf_dir,
+                                             cluster_checkpoint_dir=ckpt),
+                           out_dir,
                            num_partitions=num_partitions, key="doc_id",
                            input_desc=f"{sf_dir}/documents.parquet",
                            resume=resume, partition_by=partition_by)
