@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     # -- changed since last driver attestation (cherry-picked to the front;
     #    later module updates overwrite the value but keep the position) --
+    q["semantic_dedup"] = _ann.QUERIES["semantic_dedup"]  # new this round
     q["embedding_quantize"] = _ann.QUERIES["embedding_quantize"]
     q["full_corpus_pipeline"] = run_full_corpus_flagship
     q["minhash_dup_clusters"] = _dedup.QUERIES["minhash_dup_clusters"]

@@ -570,6 +570,24 @@ GROUP BY label, dim
 # embedding_outliers — farthest-from-centroid vectors per label
 # ---------------------------------------------------------------------------
 
+def _label_centroid_matrix(sf_dir: str):
+    """(sorted labels, label→row dict, (labels, dim) int64 centroid matrix)
+    in exact micro-int units: centroid = floor(sum/n + ½) computed as
+    (2·sum + n) floor-div 2n in pure int arithmetic, so every consumer's
+    distance math is int64-exact and partition-invariant. Driver-side size
+    is labels × dims — the classic small broadcast side."""
+    cent = label_centroids(sf_dir).to_pandas()  # labels × dims rows — tiny
+    s = cent["sum_micros"].to_numpy()
+    n = cent["n"].to_numpy()
+    c = np.floor_divide(2 * s + n, 2 * n)
+    dim = int(cent["dim"].max())
+    labels = np.sort(cent["label"].unique())
+    lab_pos = {int(l): i for i, l in enumerate(labels)}
+    cmat = np.zeros((len(labels), dim), np.int64)
+    cmat[[lab_pos[int(l)] for l in cent["label"]],
+         cent["dim"].to_numpy() - 1] = c
+    return labels, lab_pos, cmat
+
 OUTLIER_K = 3
 
 
@@ -586,16 +604,7 @@ def embedding_outliers(sf_dir: str, k: int = OUTLIER_K) -> rd.Dataset:
     is one streaming map with a per-batch per-label top-k partial (lossless:
     the global top-k is a subset of batch top-ks), then a tiny label
     exchange finalizes."""
-    cent = label_centroids(sf_dir).to_pandas()  # labels × dims rows — tiny
-    s = cent["sum_micros"].to_numpy()
-    n = cent["n"].to_numpy()
-    c = np.floor_divide(2 * s + n, 2 * n)
-    dim = int(cent["dim"].max())
-    labels = np.sort(cent["label"].unique())
-    lab_pos = {int(l): i for i, l in enumerate(labels)}
-    cmat = np.zeros((len(labels), dim), np.int64)
-    cmat[[lab_pos[int(l)] for l in cent["label"]],
-         cent["dim"].to_numpy() - 1] = c
+    labels, lab_pos, cmat = _label_centroid_matrix(sf_dir)
 
     out_schema = pa.schema([("label", pa.int64()), ("vec_id", pa.int64()),
                             ("dist2", pa.int64())])
@@ -744,8 +753,118 @@ FROM e JOIN mm USING (dim)
 """
 
 
+# ---------------------------------------------------------------------------
+# semantic_dedup — SemDeDup-style semantic deduplication (Abbas et al. 2023,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication"): within each cluster (the `label` column stands in for the
+# k-means assignment SemDeDup computes; at real scale the persisted IVF
+# index's `centroid` column is the same thing), vectors that are
+# cosine-similar above a threshold are semantic duplicates, and the KEPT
+# representative is the one FARTHEST from the cluster centroid (SemDeDup's
+# low-centroid-similarity rule), ties toward the smaller vec_id.
+#
+# Drop rule (EXISTS-shaped, so it is deterministic and partition-invariant —
+# no greedy sequential selection): a vector is dropped iff SOME same-label
+# vector with cosine ≥ threshold has strictly higher priority, where
+# priority = (larger exact-int dist² to centroid, then smaller vec_id).
+#
+# Distribution: centroids come from the label_centroids exchange (driver
+# holds labels × dims ints, the classic small side); ONE label-keyed
+# exchange co-locates each cluster, and the block computes its per-cluster
+# cosine matrix with one float64 matmul + a triangular any() over the
+# priority order. The partitioning assumption is SemDeDup's own: clusters
+# are sized so a cluster's vectors fit one worker (SemDeDup uses ~100k
+# clusters at 100M+ points precisely for this); a cluster too large for one
+# block would use embedding_neardup's block-pair decomposition instead.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.4  # same verified regime as embedding_neardup
+
+
+def semantic_dedup(sf_dir: str,
+                   threshold: float = SEMDEDUP_THRESHOLD) -> rd.Dataset:
+    """(vec_id, label, dist2, kept): kept=0 iff a same-label vector with
+    cosine ≥ threshold dominates this one (farther from the label centroid
+    in exact micro-int squared distance; ties → smaller vec_id wins)."""
+    from ocrautomator_ray.functions.exchange import per_key_blocks, pruned_read
+
+    labels_sorted, _, cmat = _label_centroid_matrix(sf_dir)
+
+    out_schema = pa.schema([("vec_id", pa.int64()), ("label", pa.int64()),
+                            ("dist2", pa.int64()), ("kept", pa.int64())])
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        E = _embed_matrix(t)
+        micros = np.floor(E * 1e6 + 0.5).astype(np.int64)
+        diff = micros - cmat[np.searchsorted(labels_sorted, lab)]
+        d2 = np.einsum("ij,ij->i", diff, diff)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        # priority order within each label: dist2 desc, vec_id asc
+        order = np.lexsort((ids, -d2, lab))
+        ls = lab[order]
+        starts = np.nonzero(np.r_[True, ls[1:] != ls[:-1]])[0]
+        ends = np.r_[starts[1:], len(ls)]
+        kept = np.ones(len(ids), bool)
+        for s, e in zip(starts, ends):  # loop over LABEL GROUPS, not rows
+            sub = order[s:e]
+            if len(sub) < 2:
+                continue
+            M = (En[sub] @ En[sub].T) >= threshold
+            drop = np.tril(M, k=-1).any(axis=1)
+            kept[sub[drop]] = False
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "label": pa.array(lab, pa.int64()),
+            "dist2": pa.array(d2, pa.int64()),
+            "kept": pa.array(kept.astype(np.int64), pa.int64()),
+        })
+
+    ds = pruned_read(f"{sf_dir}/embeddings.parquet",
+                     ["vec_id", "label", "embedding"])
+    return per_key_blocks(ds, ["label"], block, num_partitions=4)
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)*1000000 + 0.5)
+              AS BIGINT) AS v
+  FROM embeddings
+), cent AS (
+  SELECT label, dim,
+         CAST(FLOOR((2.0*SUM(v) + COUNT(*)) / (2*COUNT(*))) AS BIGINT) AS c
+  FROM e GROUP BY label, dim
+), d AS (
+  SELECT e.vec_id, e.label,
+         CAST(SUM((e.v - c.c)*(e.v - c.c)) AS BIGINT) AS dist2
+  FROM e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+  GROUP BY e.vec_id, e.label
+), dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[]))
+       >= {SEMDEDUP_THRESHOLD}
+  JOIN d da ON da.vec_id = a.vec_id
+  JOIN d db ON db.vec_id = b.vec_id
+  WHERE db.dist2 > da.dist2 OR (db.dist2 = da.dist2 AND b.vec_id < a.vec_id)
+)
+SELECT d.vec_id, d.label, d.dist2,
+       CAST(CASE WHEN dropped.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS kept
+FROM d LEFT JOIN dropped ON d.vec_id = dropped.vec_id
+"""
+
+
 QUERIES = {
     "ann_topk": ann_topk,
+    "semantic_dedup": semantic_dedup,
     "embedding_quantize": embedding_quantize,
     "embedding_outliers": embedding_outliers,
     "lsh_ann_topk": lsh_ann_topk,
@@ -756,6 +875,7 @@ QUERIES = {
 
 SQL = {
     "ann_topk": SQL_ANN_TOPK,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,

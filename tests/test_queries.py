@@ -74,7 +74,7 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "fingerprint_dups", "media_frame_counts",
                "bpe_pair_counts", "bm25_doc0_topk", "leakage_safe_split",
                "full_corpus_pipeline", "embedding_quantize",
-               "media_decode_stats", "media_features"]
+               "media_decode_stats", "media_features", "semantic_dedup"]
 
 
 @pytest.mark.usefixtures("ray_session")
