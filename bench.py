@@ -180,6 +180,7 @@ def run_benchmarks() -> dict:
     timed("bpe_pair_counts", corpus.bpe_pair_counts, consume="count")
     timed("bm25_doc0_topk", corpus.bm25_doc0_topk, consume="count")
     timed("ivf_index_topk", ann.ivf_index_topk)
+    timed("semantic_dedup", ann.semantic_dedup, consume="count")
 
     from ocrautomator_ray.pipelines.curate import run_curate_flagship
     from ocrautomator_ray.pipelines.extract import run_flagship
