@@ -18,6 +18,7 @@ from ocrautomator_ray.functions import corpus as _corpus
 from ocrautomator_ray.functions import curate as _curate
 from ocrautomator_ray.functions import dedup as _dedup
 from ocrautomator_ray.functions import filters as _filters
+from ocrautomator_ray.functions import lm as _lm
 from ocrautomator_ray.functions import media as _media
 from ocrautomator_ray.functions import mix as _mix
 from ocrautomator_ray.functions import relational as _relational
@@ -65,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- changed since last driver attestation (cherry-picked to the front;
     #    later module updates overwrite the value but keep the position) --
     q["semantic_dedup"] = _ann.QUERIES["semantic_dedup"]  # new this round
+    q.update(_lm.QUERIES)  # new this round (bigram LM score, dup n-grams)
     q["embedding_quantize"] = _ann.QUERIES["embedding_quantize"]
     q["full_corpus_pipeline"] = run_full_corpus_flagship
     q["minhash_dup_clusters"] = _dedup.QUERIES["minhash_dup_clusters"]
@@ -107,6 +109,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_ann.SQL)
     sql.update(_curate.SQL)
     sql.update(_media.SQL)
+    sql.update(_lm.SQL)
     sql.update(_mix.SQL)
     sql["curate_pipeline"] = SQL_CURATE
     sql["assemble_pipeline"] = SQL_ASSEMBLE

@@ -88,8 +88,8 @@ def run_benchmarks() -> dict:
 
     from ocrautomator_ray.pipelines.extract import PipelineConfig, run_extraction
     from ocrautomator_ray.functions import (
-        ann, corpus, curate, dedup, mix, relational, relational2, relational3,
-        relational4, text,
+        ann, corpus, curate, dedup, lm, mix, relational, relational2,
+        relational3, relational4, text,
     )
 
     bench_path = _bench_input(SF_DIR)
@@ -181,6 +181,9 @@ def run_benchmarks() -> dict:
     timed("bm25_doc0_topk", corpus.bm25_doc0_topk, consume="count")
     timed("ivf_index_topk", ann.ivf_index_topk)
     timed("semantic_dedup", ann.semantic_dedup, consume="count")
+    timed("bigram_lm_score", lm.bigram_lm_score, consume="count")
+    timed("dup_ngram_stats", lm.dup_ngram_stats, consume="count")
+    timed("dsir_importance", lm.dsir_importance, consume="count")
 
     from ocrautomator_ray.pipelines.curate import run_curate_flagship
     from ocrautomator_ray.pipelines.extract import run_flagship

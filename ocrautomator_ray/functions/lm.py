@@ -1,0 +1,448 @@
+"""Language-model-shaped corpus scoring: bigram-LM quality scores and
+duplicate-n-gram statistics.
+
+Two operators a training-data pipeline runs corpus-wide, both genuinely
+distributed (each needs a global model table no single batch can see):
+
+* ``bigram_lm_score`` — the CCNet-style perplexity filter (Wenzek et al.,
+  LREC 2020) re-expressed with an add-one-smoothed bigram model trained on
+  the corpus itself.  Per document it reports the mean smoothed bigram
+  probability, integerized at 1e-9 so the distributed result is bit-exact
+  vs the SQL oracle (the same reasoning as corpus_freq_score: a true
+  log-perplexity would hash-unstably depend on libm rounding; the
+  arithmetic-mean probability induces the same low-quality tails with
+  int-only math).  score_u = floor( Σ_i k_i·floor((c(a_i,b_i)+1)·1e9 /
+  (c(a_i)+V)) / m ) where c(a,b) is the corpus bigram count, c(a) the
+  count of token a as a left context (= Σ_b c(a,b)), V the corpus distinct
+  token count and m the document's bigram count.
+* ``dup_ngram_stats`` — the detection half of exact substring dedup
+  (Lee et al., ACL 2022 "Deduplicating Training Data Makes Language Models
+  Better"): per document, how many of its token 8-grams also occur
+  elsewhere in the corpus (or again in the same document).  Documents with
+  a high duplicated-gram share are boilerplate/template candidates.
+
+Distribution shapes (both all-integer end to end):
+
+  bigram_lm_score:  per-batch bigram combiner (adjacent-pair trick shared
+  with bpe_pair_counts) → ONE exchange keyed on the LEFT token computes
+  c(a,b) and c(a) together (all of a context's rows land in one block, so
+  two reduceat passes over one lexsorted buffer finish the model locally)
+  → doc-keyed exchange sums the per-bigram integer contributions.  V comes
+  from a distinct-token side exchange (one int per partition to the
+  driver).  Skew: a stop-word context's rows land in one partition — the
+  group pass is vectorized, and the standard top-K-vocabulary broadcast
+  drops in ahead of the exchange if a corpus ever needs it (same note as
+  corpus_freq_score).
+
+  dup_ngram_stats:  per-batch gram combiner (sliding windows gathered from
+  the flat token buffer — one fancy-indexed take + one binary_join, no
+  per-doc Python) → ONE gram-keyed exchange computes each gram's corpus
+  count and flags the duplicated rows → doc-keyed sum.  The gram exchange
+  moves (gram, doc, k) rows — the same asymptotics as the decontaminate
+  gram exchange that is probe-proven flat at 100×.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ocrautomator_ray.functions.dedup import _tokenize_re2
+from ocrautomator_ray.functions.exchange import (
+    auto_partitions,
+    per_key_blocks,
+    pruned_read,
+)
+
+LM_SCALE = 1_000_000_000
+NGRAM_N = 8
+
+_BIGRAM_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("a", pa.string()), ("b", pa.string()),
+    ("k", pa.int64()),
+])
+_CONTRIB_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("contrib", pa.int64()), ("k", pa.int64()),
+])
+_LM_OUT_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+    ("lm_score_u", pa.int64()),
+])
+
+
+def _bigram_rows(t: pa.Table) -> pa.Table:
+    """Per-batch (doc_id, a, b, k) bigram multiplicities.  Each document's
+    text lives in exactly one input row, so pairs never cross batches and
+    the per-batch group-count is a FINAL count for its (doc, a, b) key."""
+    flat, cnt = _tokenize_re2(t["text"])
+    if len(flat) == 0:
+        return _BIGRAM_SCHEMA.empty_table()
+    offs = np.zeros(len(cnt) + 1, np.int64)
+    np.cumsum(cnt, out=offs[1:])
+    last = offs[1:][cnt > 0] - 1
+    is_a = np.ones(len(flat), bool)
+    is_a[last] = False
+    idx = np.nonzero(is_a)[0]
+    if len(idx) == 0:
+        return _BIGRAM_SCHEMA.empty_table()
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    doc_of = np.repeat(ids, cnt)
+    g = pa.TableGroupBy(pa.table({
+        "doc_id": pa.array(doc_of[idx], pa.int64()),
+        "a": flat.take(pa.array(idx)),
+        "b": flat.take(pa.array(idx + 1)),
+    }), ["doc_id", "a", "b"]).aggregate([([], "count_all")])
+    return pa.table({"doc_id": g["doc_id"], "a": g["a"], "b": g["b"],
+                     "k": g["count_all"].cast(pa.int64())})
+
+
+def _context_block(block: pa.Table, v: int) -> pa.Table:
+    """All rows of a left-context token are in this block (the exchange
+    invariant), so c(a,b) and c(a) are exact here: factorize both token
+    columns to ints, one lexsort, two reduceat passes.  unit overflow
+    bound: (c(a,b)+1)·1e9 < 2^63 holds while any single bigram stays under
+    ~9.2e9 corpus occurrences — beyond that a 100-TB run would drop the
+    scale to 1e6, same pipeline."""
+    if block.num_rows == 0:
+        return _CONTRIB_SCHEMA.empty_table()
+    a = block["a"].to_numpy(zero_copy_only=False)
+    b = block["b"].to_numpy(zero_copy_only=False)
+    k = block["k"].to_numpy(zero_copy_only=False)
+    ids = block["doc_id"].to_numpy(zero_copy_only=False)
+    _, ia = np.unique(a, return_inverse=True)
+    _, ib = np.unique(b, return_inverse=True)
+    order = np.lexsort((ib, ia))
+    ia, ib, k, ids = ia[order], ib[order], k[order], ids[order]
+    new_ab = np.r_[True, (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])]
+    ab_starts = np.flatnonzero(new_ab)
+    ab_len = np.diff(np.r_[ab_starts, len(k)])
+    cab_row = np.repeat(np.add.reduceat(k, ab_starts), ab_len)
+    a_starts = np.flatnonzero(np.r_[True, ia[1:] != ia[:-1]])
+    a_len = np.diff(np.r_[a_starts, len(k)])
+    ca_row = np.repeat(np.add.reduceat(k, a_starts), a_len)
+    unit = (cab_row + 1) * LM_SCALE // (ca_row + v)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "contrib": pa.array(k * unit, pa.int64()),
+                     "k": pa.array(k, pa.int64())})
+
+
+def _doc_mean_block(block: pa.Table) -> pa.Table:
+    if block.num_rows == 0:
+        return _LM_OUT_SCHEMA.empty_table()
+    ids = block["doc_id"].to_numpy(zero_copy_only=False)
+    contrib = block["contrib"].to_numpy(zero_copy_only=False)
+    kk = block["k"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="mergesort")
+    ids, contrib, kk = ids[order], contrib[order], kk[order]
+    starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+    s = np.add.reduceat(contrib, starts)
+    m = np.add.reduceat(kk, starts)
+    return pa.table({"doc_id": pa.array(ids[starts], pa.int64()),
+                     "n_bigrams": pa.array(m.astype(np.int64), pa.int64()),
+                     "lm_score_u": pa.array(s // m, pa.int64())})
+
+
+def corpus_vocab_size(path: str) -> int:
+    """Global distinct-token count: per-batch distinct → token-keyed
+    exchange (each token is counted in exactly one block) → the driver sums
+    one int per partition."""
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        flat, _ = _tokenize_re2(t["text"])
+        return pa.table({"w": pc.unique(flat)})
+
+    def block_vcount(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"v": pa.array([], pa.int64())})
+        n = len(pc.unique(block["w"]))
+        return pa.table({"v": pa.array([n], pa.int64())})
+
+    toks = pruned_read(path, ["text"]).map_batches(
+        batch_distinct, batch_format="pyarrow", zero_copy_batch=True)
+    counts = per_key_blocks(toks, ["w"], block_vcount,
+                            num_partitions=auto_partitions(path))
+    return int(counts.sum("v"))
+
+
+def bigram_lm_score(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_bigrams, lm_score_u): mean add-one-smoothed bigram
+    probability ×1e9, floored — low scores flag improbable token sequences
+    (gibberish / OCR noise), the docs a perplexity filter drops."""
+    path = f"{sf_dir}/documents.parquet"
+    v = corpus_vocab_size(path)
+
+    bigrams = pruned_read(path, ["doc_id", "text"]).map_batches(
+        _bigram_rows, batch_format="pyarrow", zero_copy_batch=True)
+    contrib = per_key_blocks(bigrams, ["a"],
+                             lambda block: _context_block(block, v),
+                             num_partitions=auto_partitions(path))
+    return per_key_blocks(contrib, ["doc_id"], _doc_mean_block,
+                          num_partitions=8)
+
+
+SQL_BIGRAM_LM = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS tl
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, generate_subscripts(tl, 1) AS pos, unnest(tl) AS tok FROM d
+),
+big AS (
+  SELECT a.doc_id, a.tok AS a, b.tok AS b, COUNT(*) AS k
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2, 3
+),
+cab AS (SELECT a, b, CAST(SUM(k) AS BIGINT) AS cab FROM big GROUP BY a, b),
+ca  AS (SELECT a, CAST(SUM(k) AS BIGINT) AS ca FROM big GROUP BY a),
+v   AS (SELECT COUNT(DISTINCT tok) AS v FROM toks)
+SELECT big.doc_id AS doc_id,
+       CAST(SUM(k) AS BIGINT) AS n_bigrams,
+       CAST(CAST(SUM(k * ((cab + 1) * {LM_SCALE}
+                          // (ca + (SELECT v FROM v)))) AS HUGEINT)
+            // SUM(k) AS BIGINT) AS lm_score_u
+FROM big JOIN cab USING (a, b) JOIN ca USING (a)
+GROUP BY big.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# dup_ngram_stats — duplicated token-8-gram occurrences per document
+# --------------------------------------------------------------------------
+
+_GRAM_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("gram", pa.string()), ("k", pa.int64()),
+])
+_GRAM_PART_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("k", pa.int64()), ("dup_k", pa.int64()),
+])
+_GRAM_OUT_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("n_grams", pa.int64()),
+    ("n_dup_grams", pa.int64()),
+])
+
+
+def _gram_rows(t: pa.Table) -> pa.Table:
+    """Per-batch (doc_id, gram, k): sliding 8-token windows gathered from
+    the flat token buffer with one fancy-indexed take, joined back to
+    strings with one binary_join — no per-document Python loop."""
+    flat, cnt = _tokenize_re2(t["text"])
+    if len(flat) == 0:
+        return _GRAM_SCHEMA.empty_table()
+    nwin = np.maximum(cnt - (NGRAM_N - 1), 0)
+    total = int(nwin.sum())
+    if total == 0:
+        return _GRAM_SCHEMA.empty_table()
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    offs = np.zeros(len(cnt) + 1, np.int64)
+    np.cumsum(cnt, out=offs[1:])
+    win_doc = np.repeat(np.arange(len(cnt)), nwin)
+    win_no = (np.arange(total, dtype=np.int64)
+              - np.repeat(np.cumsum(nwin) - nwin, nwin))
+    win_start = win_no + np.repeat(offs[:-1], nwin)
+    gather = (win_start[:, None]
+              + np.arange(NGRAM_N, dtype=np.int64)[None, :]).ravel()
+    gathered = flat.take(pa.array(gather))
+    lists = pa.ListArray.from_arrays(
+        pa.array(np.arange(total + 1, dtype=np.int32) * NGRAM_N, pa.int32()),
+        gathered)
+    grams = pc.binary_join(lists, " ")
+    g = pa.TableGroupBy(pa.table({
+        "doc_id": pa.array(ids[win_doc], pa.int64()),
+        "gram": grams,
+    }), ["doc_id", "gram"]).aggregate([([], "count_all")])
+    return pa.table({"doc_id": g["doc_id"], "gram": g["gram"],
+                     "k": g["count_all"].cast(pa.int64())})
+
+
+def _per_gram_block(block: pa.Table) -> pa.Table:
+    """All rows of a gram co-located → its corpus count is the block-local
+    sum; a row is 'duplicated' when its gram occurs >1 time corpus-wide
+    (in another document or again in the same one)."""
+    if block.num_rows == 0:
+        return _GRAM_PART_SCHEMA.empty_table()
+    gram = block["gram"].to_numpy(zero_copy_only=False)
+    k = block["k"].to_numpy(zero_copy_only=False)
+    order = np.argsort(gram, kind="mergesort")
+    gram_s, k_s = gram[order], k[order]
+    starts = np.flatnonzero(np.r_[True, gram_s[1:] != gram_s[:-1]])
+    run_len = np.diff(np.r_[starts, len(k_s)])
+    cg_row = np.repeat(np.add.reduceat(k_s, starts), run_len)
+    ids = block["doc_id"].to_numpy(zero_copy_only=False)[order]
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "k": pa.array(k_s, pa.int64()),
+        "dup_k": pa.array(np.where(cg_row > 1, k_s, 0), pa.int64()),
+    })
+
+
+def _doc_gram_block(block: pa.Table) -> pa.Table:
+    if block.num_rows == 0:
+        return _GRAM_OUT_SCHEMA.empty_table()
+    ids = block["doc_id"].to_numpy(zero_copy_only=False)
+    k = block["k"].to_numpy(zero_copy_only=False)
+    dup = block["dup_k"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="mergesort")
+    ids, k, dup = ids[order], k[order], dup[order]
+    starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+    return pa.table({
+        "doc_id": pa.array(ids[starts], pa.int64()),
+        "n_grams": pa.array(np.add.reduceat(k, starts).astype(np.int64),
+                            pa.int64()),
+        "n_dup_grams": pa.array(np.add.reduceat(dup, starts).astype(np.int64),
+                                pa.int64()),
+    })
+
+
+def dup_ngram_stats(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_grams, n_dup_grams): of the document's token 8-grams,
+    how many occurrences belong to a gram seen more than once corpus-wide.
+    Documents with fewer than 8 tokens emit no rows (no gram exists) —
+    matching the SQL oracle's inner grouping."""
+    path = f"{sf_dir}/documents.parquet"
+    grams = pruned_read(path, ["doc_id", "text"]).map_batches(
+        _gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+    flagged = per_key_blocks(grams, ["gram"], _per_gram_block,
+                             num_partitions=auto_partitions(path))
+    return per_key_blocks(flagged, ["doc_id"], _doc_gram_block,
+                          num_partitions=8)
+
+
+SQL_DUP_NGRAMS = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS tl
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(tl[p + 1 : p + {NGRAM_N}], ' ') AS gram
+  FROM d, LATERAL (SELECT unnest(range(0, greatest(len(tl) - {NGRAM_N - 1},
+                                                   0))) AS p) u
+),
+gd AS (SELECT doc_id, gram, COUNT(*) AS k FROM grams GROUP BY doc_id, gram),
+cg AS (SELECT gram, CAST(SUM(k) AS BIGINT) AS cg FROM gd GROUP BY gram)
+SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN cg > 1 THEN k ELSE 0 END) AS BIGINT) AS n_dup_grams
+FROM gd JOIN cg USING (gram)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# dsir_importance — data-selection importance weights (DSIR, Xie et al.,
+# NeurIPS 2023): weight every raw-corpus document by how much its unigram
+# distribution looks like a TARGET slice (here lang='en' — the "I have a
+# small high-quality set, upsample raw data that resembles it" move).  DSIR
+# proper uses hashed-n-gram log-likelihood ratios; this keeps the same
+# estimator shape with an arithmetic-mean smoothed count ratio so the score
+# is all-integer (no libm, hash-exact vs SQL; same trade documented on
+# bigram_lm_score / corpus_freq_score).  importance_u =
+# floor( Σ_w k_w · floor((c_tgt(w)+1)·1e6 / (c_raw(w)+1)) / n ) — the
+# constant normalizer T_raw/T_tgt drops out of the RANKING, which is what a
+# resampler consumes.  Distribution: per-batch (token, doc, k, tgt)
+# combiner → ONE token-keyed exchange computes c_raw and c_tgt together
+# (two reduceat passes over one sorted buffer) → doc-keyed integer mean.
+# A weighted/top-k resample over the output composes with the existing
+# weighted_sample / sample_k operators.
+# --------------------------------------------------------------------------
+
+DSIR_SCALE = 1_000_000
+DSIR_TARGET_LANG = "en"
+
+_DSIR_TOK_SCHEMA = pa.schema([
+    ("w", pa.string()), ("doc_id", pa.int64()), ("k", pa.int64()),
+    ("tgt", pa.int64()),
+])
+_DSIR_OUT_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+    ("importance_u", pa.int64()),
+])
+
+
+def _dsir_tok_rows(t: pa.Table) -> pa.Table:
+    flat, cnt = _tokenize_re2(t["text"])
+    if len(flat) == 0:
+        return _DSIR_TOK_SCHEMA.empty_table()
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    tgt = pc.equal(t["lang"], DSIR_TARGET_LANG).to_numpy(zero_copy_only=False)
+    g = pa.TableGroupBy(pa.table({
+        "w": flat,
+        "doc_id": pa.array(np.repeat(ids, cnt), pa.int64()),
+        "tgt": pa.array(np.repeat(tgt.astype(np.int64), cnt), pa.int64()),
+    }), ["w", "doc_id", "tgt"]).aggregate([([], "count_all")])
+    return pa.table({"w": g["w"], "doc_id": g["doc_id"],
+                     "k": g["count_all"].cast(pa.int64()), "tgt": g["tgt"]})
+
+
+def _dsir_token_block(block: pa.Table) -> pa.Table:
+    """All rows of a token co-located: c_raw = Σk, c_tgt = Σk·tgt per run."""
+    if block.num_rows == 0:
+        return _CONTRIB_SCHEMA.empty_table()
+    w = block["w"].to_numpy(zero_copy_only=False)
+    k = block["k"].to_numpy(zero_copy_only=False)
+    tgt = block["tgt"].to_numpy(zero_copy_only=False)
+    order = np.argsort(w, kind="mergesort")
+    w, k, tgt = w[order], k[order], tgt[order]
+    starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+    run_len = np.diff(np.r_[starts, len(k)])
+    c_raw = np.repeat(np.add.reduceat(k, starts), run_len)
+    c_tgt = np.repeat(np.add.reduceat(k * tgt, starts), run_len)
+    unit = (c_tgt + 1) * DSIR_SCALE // (c_raw + 1)
+    ids = block["doc_id"].to_numpy(zero_copy_only=False)[order]
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "contrib": pa.array(k * unit, pa.int64()),
+                     "k": pa.array(k, pa.int64())})
+
+
+def _dsir_doc_block(block: pa.Table) -> pa.Table:
+    if block.num_rows == 0:
+        return _DSIR_OUT_SCHEMA.empty_table()
+    t = _doc_mean_block(block)
+    return t.rename_columns(["doc_id", "n_tokens", "importance_u"])
+
+
+def dsir_importance(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_tokens, importance_u): mean smoothed target/raw unigram
+    count ratio ×1e6 — high = the document's vocabulary resembles the
+    target slice; feed into weighted_sample for DSIR-style resampling."""
+    path = f"{sf_dir}/documents.parquet"
+    rows = pruned_read(path, ["doc_id", "text", "lang"]).map_batches(
+        _dsir_tok_rows, batch_format="pyarrow", zero_copy_batch=True)
+    contrib = per_key_blocks(rows, ["w"], _dsir_token_block,
+                             num_partitions=auto_partitions(path))
+    return per_key_blocks(contrib, ["doc_id"], _dsir_doc_block,
+                          num_partitions=8)
+
+
+SQL_DSIR = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w,
+         CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END AS tgt
+  FROM documents
+),
+td AS (SELECT w, doc_id, tgt, COUNT(*) AS k FROM toks GROUP BY 1, 2, 3),
+c AS (
+  SELECT w, CAST(SUM(k) AS BIGINT) AS c_raw,
+         CAST(SUM(k * tgt) AS BIGINT) AS c_tgt
+  FROM td GROUP BY w
+)
+SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+       CAST(CAST(SUM(k * ((c_tgt + 1) * {DSIR_SCALE} // (c_raw + 1)))
+                 AS HUGEINT) // SUM(k) AS BIGINT) AS importance_u
+FROM td JOIN c USING (w)
+GROUP BY doc_id
+"""
+
+
+QUERIES = {"bigram_lm_score": bigram_lm_score,
+           "dup_ngram_stats": dup_ngram_stats,
+           "dsir_importance": dsir_importance}
+SQL = {"bigram_lm_score": SQL_BIGRAM_LM,
+       "dup_ngram_stats": SQL_DUP_NGRAMS,
+       "dsir_importance": SQL_DSIR}
