@@ -1,7 +1,7 @@
 """Language-model-shaped corpus scoring: bigram-LM quality scores and
 duplicate-n-gram statistics.
 
-Two operators a training-data pipeline runs corpus-wide, both genuinely
+Operators a training-data pipeline runs corpus-wide, all genuinely
 distributed (each needs a global model table no single batch can see):
 
 * ``bigram_lm_score`` — the CCNet-style perplexity filter (Wenzek et al.,
@@ -20,6 +20,11 @@ distributed (each needs a global model table no single batch can see):
   Better"): per document, how many of its token 8-grams also occur
   elsewhere in the corpus (or again in the same document).  Documents with
   a high duplicated-gram share are boilerplate/template candidates.
+* ``dup_ngram_removed_docs`` — the removal half of the same paper: rebuild
+  every document with the tokens covered by any duplicated 8-gram deleted
+  (see the section comment below for the three-stage shape).
+* ``dsir_importance`` — DSIR-style data-selection importance weights (see
+  its section comment).
 
 Distribution shapes (both all-integer end to end):
 
@@ -333,6 +338,193 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# dup_ngram_removed_docs — the REMOVAL half of exact substring dedup
+# (Lee et al., ACL 2022): rebuild every document with the tokens covered by
+# any duplicated 8-gram deleted.  dup_ngram_stats detects; this edits.
+#
+# Distribution shape (three streaming stages, no driver state):
+#   1. per-batch window explode → (gram, doc_id, pos) rows, one per sliding
+#      window (the positions are what the removal needs; the stats operator
+#      could pre-group, this one cannot),
+#   2. ONE gram-keyed exchange: a gram's corpus count is its block-local run
+#      length; emit (doc_id, pos) for windows of grams seen >1× corpus-wide,
+#   3. ONE doc-keyed exchange over the UNION of those duplicated-window rows
+#      and the original (doc_id, text) rows (pos = -1 tags the text side;
+#      dedup.py:553 uses the same union-into-exchange shape): per block,
+#      coverage is a +1/−1 difference array over the doc's token range
+#      (+1 at pos, −1 at pos+8) prefix-summed once — tokens with coverage 0
+#      survive and one binary_join rebuilds the text.  All vectorized; the
+#      only per-row data moved twice is the 8-token gram string, the same
+#      asymptotics as the decontaminate gram exchange (probe-flat at 100×).
+# --------------------------------------------------------------------------
+
+_WIN_SCHEMA = pa.schema([
+    ("gram", pa.string()), ("doc_id", pa.int64()), ("pos", pa.int64()),
+])
+_COVER_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("pos", pa.int64()), ("text", pa.string()),
+])
+_REMOVE_OUT_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+    ("n_removed", pa.int64()), ("clean_text", pa.string()),
+])
+
+
+def _window_rows(t: pa.Table) -> pa.Table:
+    """Per-batch (gram, doc_id, pos): every sliding 8-token window with its
+    0-based start position — same gather as _gram_rows minus the group-by
+    (removal needs each occurrence's position, not multiplicities)."""
+    flat, cnt = _tokenize_re2(t["text"])
+    if len(flat) == 0:
+        return _WIN_SCHEMA.empty_table()
+    nwin = np.maximum(cnt - (NGRAM_N - 1), 0)
+    total = int(nwin.sum())
+    if total == 0:
+        return _WIN_SCHEMA.empty_table()
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    offs = np.zeros(len(cnt) + 1, np.int64)
+    np.cumsum(cnt, out=offs[1:])
+    win_doc = np.repeat(np.arange(len(cnt)), nwin)
+    pos = (np.arange(total, dtype=np.int64)
+           - np.repeat(np.cumsum(nwin) - nwin, nwin))
+    win_start = pos + np.repeat(offs[:-1], nwin)
+    gather = (win_start[:, None]
+              + np.arange(NGRAM_N, dtype=np.int64)[None, :]).ravel()
+    lists = pa.ListArray.from_arrays(
+        pa.array(np.arange(total + 1, dtype=np.int32) * NGRAM_N, pa.int32()),
+        flat.take(pa.array(gather)))
+    return pa.table({"gram": pc.binary_join(lists, " "),
+                     "doc_id": pa.array(ids[win_doc], pa.int64()),
+                     "pos": pa.array(pos, pa.int64())})
+
+
+def _dup_window_block(block: pa.Table) -> pa.Table:
+    """All occurrences of a gram are co-located (exchange invariant), so its
+    corpus count is the block-local run length; forward only the duplicated
+    windows, tagged for the doc-keyed union exchange (text = null)."""
+    if block.num_rows == 0:
+        return _COVER_SCHEMA.empty_table()
+    gram = block["gram"].to_numpy(zero_copy_only=False)
+    order = np.argsort(gram, kind="mergesort")
+    gram_s = gram[order]
+    starts = np.flatnonzero(np.r_[True, gram_s[1:] != gram_s[:-1]])
+    run_len = np.diff(np.r_[starts, len(gram_s)])
+    dup = np.repeat(run_len > 1, run_len)
+    keep = order[dup]
+    return pa.table({
+        "doc_id": block["doc_id"].take(pa.array(keep)),
+        "pos": block["pos"].take(pa.array(keep)),
+        "text": pa.nulls(len(keep), pa.string()),
+    })
+
+
+def _remove_covered_block(block: pa.Table) -> pa.Table:
+    """Block holds BOTH row kinds for each of its doc_ids: the original text
+    row (pos = -1) and the duplicated-window rows.  Coverage per token =
+    prefix sum of a ±1 difference array (+1 at each dup window's start, −1
+    past its end); tokens at coverage 0 survive, one binary_join per block
+    rebuilds every doc's text."""
+    if block.num_rows == 0:
+        return _REMOVE_OUT_SCHEMA.empty_table()
+    pos = block["pos"].to_numpy(zero_copy_only=False)
+    text_side = pos == -1
+    docs = block.filter(pa.array(text_side))
+    ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="mergesort")
+    ids = ids[order]
+    flat, cnt = _tokenize_re2(docs["text"].take(pa.array(order)))
+    offs = np.zeros(len(cnt) + 1, np.int64)
+    np.cumsum(cnt, out=offs[1:])
+    total = int(offs[-1])
+    diff = np.zeros(total + 1, np.int64)
+    dup_ids = block["doc_id"].to_numpy(zero_copy_only=False)[~text_side]
+    dup_pos = pos[~text_side]
+    if len(dup_ids):
+        di = np.searchsorted(ids, dup_ids)
+        start = offs[di] + dup_pos
+        np.add.at(diff, start, 1)
+        np.add.at(diff, start + NGRAM_N, -1)
+    kept = np.cumsum(diff[:-1]) == 0
+    kept_cum = np.zeros(total + 1, np.int64)
+    np.cumsum(kept, out=kept_cum[1:])
+    loffs = kept_cum[offs]
+    lst = pa.ListArray.from_arrays(
+        pa.array(loffs, pa.int64()).cast(pa.int32()),
+        flat.take(pa.array(np.flatnonzero(kept))))
+    n_kept = np.diff(loffs)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_tokens": pa.array(cnt.astype(np.int64), pa.int64()),
+        "n_removed": pa.array((cnt - n_kept).astype(np.int64), pa.int64()),
+        "clean_text": pc.binary_join(lst, " "),
+    })
+
+
+def dup_ngram_removed_docs(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_tokens, n_removed, clean_text): every document rebuilt
+    with the tokens covered by any corpus-duplicated 8-gram deleted.  Docs
+    shorter than 8 tokens have no windows and pass through unchanged; a doc
+    that is wall-to-wall boilerplate comes back as the empty string."""
+    path = f"{sf_dir}/documents.parquet"
+    n_parts = auto_partitions(path)
+    wins = pruned_read(path, ["doc_id", "text"]).map_batches(
+        _window_rows, batch_format="pyarrow", zero_copy_batch=True)
+    dup_wins = per_key_blocks(wins, ["gram"], _dup_window_block,
+                              num_partitions=n_parts)
+
+    def tag_text(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "pos": pa.array(np.full(t.num_rows, -1, np.int64),
+                                         pa.int64()),
+                         "text": t["text"]})
+
+    texts = pruned_read(path, ["doc_id", "text"]).map_batches(
+        tag_text, batch_format="pyarrow", zero_copy_batch=True)
+    return per_key_blocks(texts.union(dup_wins), ["doc_id"],
+                          _remove_covered_block, num_partitions=n_parts)
+
+
+SQL_DUP_NGRAM_REMOVED = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS tl
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, p, array_to_string(tl[p + 1 : p + {NGRAM_N}], ' ') AS gram
+  FROM d, LATERAL (SELECT unnest(range(0, greatest(len(tl) - {NGRAM_N - 1},
+                                                   0))) AS p) u
+),
+cg AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
+toks AS (
+  SELECT doc_id, generate_subscripts(tl, 1) AS pos, unnest(tl) AS tok FROM d
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, t.pos
+  FROM grams g JOIN cg USING (gram)
+  JOIN toks t ON t.doc_id = g.doc_id
+             AND t.pos BETWEEN g.p + 1 AND g.p + {NGRAM_N}
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+  WHERE c.pos IS NULL
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       CAST(len(d.tl) AS BIGINT) AS n_tokens,
+       CAST(len(d.tl) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(agg.clean_text, '') AS clean_text
+FROM d LEFT JOIN agg USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # dsir_importance — data-selection importance weights (DSIR, Xie et al.,
 # NeurIPS 2023): weight every raw-corpus document by how much its unigram
 # distribution looks like a TARGET slice (here lang='en' — the "I have a
@@ -442,7 +634,9 @@ GROUP BY doc_id
 
 QUERIES = {"bigram_lm_score": bigram_lm_score,
            "dup_ngram_stats": dup_ngram_stats,
+           "dup_ngram_removed_docs": dup_ngram_removed_docs,
            "dsir_importance": dsir_importance}
 SQL = {"bigram_lm_score": SQL_BIGRAM_LM,
        "dup_ngram_stats": SQL_DUP_NGRAMS,
+       "dup_ngram_removed_docs": SQL_DUP_NGRAM_REMOVED,
        "dsir_importance": SQL_DSIR}

@@ -297,3 +297,46 @@ def test_bucket_pair_chunking_is_lossless_on_hot_buckets():
             for j in range(i + 1, len(rows)):
                 want.add((min(rows[i], rows[j]), max(rows[i], rows[j])))
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["a", "b"]), max_size=20),
+                min_size=1, max_size=8))
+def test_dup_ngram_removal_matches_brute_force(token_lists):
+    """The three-stage removal chain (window explode → duplicated-window
+    flagging → coverage-diff rebuild) run single-block equals a brute-force
+    reference for any token layout: every token covered by a corpus-
+    duplicated 8-gram is deleted, everything else survives in order."""
+    from collections import Counter
+
+    from ocrautomator_ray.functions.lm import (
+        NGRAM_N,
+        _dup_window_block,
+        _remove_covered_block,
+        _window_rows,
+    )
+
+    texts = [" ".join(toks) for toks in token_lists]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    dup = _dup_window_block(_window_rows(t))
+    tag = pa.table({"doc_id": t["doc_id"],
+                    "pos": pa.array([-1] * len(texts), pa.int64()),
+                    "text": t["text"]})
+    got = _remove_covered_block(
+        pa.concat_tables([tag, dup])).to_pandas().set_index("doc_id")
+
+    grams = Counter()
+    for toks in token_lists:
+        for p in range(max(len(toks) - NGRAM_N + 1, 0)):
+            grams[tuple(toks[p:p + NGRAM_N])] += 1
+    for i, toks in enumerate(token_lists):
+        covered = set()
+        for p in range(max(len(toks) - NGRAM_N + 1, 0)):
+            if grams[tuple(toks[p:p + NGRAM_N])] > 1:
+                covered.update(range(p, p + NGRAM_N))
+        kept = [w for j, w in enumerate(toks) if j not in covered]
+        row = got.loc[i]
+        assert row["n_tokens"] == len(toks)
+        assert row["n_removed"] == len(toks) - len(kept)
+        assert row["clean_text"] == " ".join(kept)

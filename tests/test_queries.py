@@ -75,7 +75,8 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "bpe_pair_counts", "bm25_doc0_topk", "leakage_safe_split",
                "full_corpus_pipeline", "embedding_quantize",
                "media_decode_stats", "media_features", "semantic_dedup",
-               "bigram_lm_score", "dup_ngram_stats", "dsir_importance"]
+               "bigram_lm_score", "dup_ngram_stats", "dsir_importance",
+               "dup_ngram_removed_docs"]
 
 
 @pytest.mark.usefixtures("ray_session")
