@@ -183,6 +183,8 @@ def run_benchmarks() -> dict:
     timed("semantic_dedup", ann.semantic_dedup, consume="count")
     timed("bigram_lm_score", lm.bigram_lm_score, consume="count")
     timed("dup_ngram_stats", lm.dup_ngram_stats, consume="count")
+    timed("dup_ngram_removed_docs", lm.dup_ngram_removed_docs, consume="count")
+    timed("oov_stats", lm.oov_stats, consume="count")
     timed("dsir_importance", lm.dsir_importance, consume="count")
 
     from ocrautomator_ray.pipelines.curate import run_curate_flagship

@@ -632,11 +632,128 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# oov_stats — vocabulary-coverage / out-of-vocabulary rate per document
+# against the corpus top-K vocabulary (the tokenizer-coverage question every
+# training run asks before committing a vocab: which documents would shatter
+# into byte fallbacks?).
+#
+# Distribution shape: (1) per-batch (token, k) partial counts → ONE
+# token-keyed exchange where each block holds its tokens' FULL corpus counts
+# and emits only its local top-K candidates (the global top-K is a subset of
+# the union of block top-Ks, since a token's rows never straddle blocks) —
+# driver state is K×partitions rows, O(buckets) like the shuffle histogram;
+# (2) the K-token vocab is ray.put ONCE and read zero-copy by every map task
+# (never re-shipped per batch); (3) per-batch FINAL doc stats — each doc's
+# text lives in one row, so no second exchange exists at all.  Tie-break at
+# the rank-K boundary is (count DESC, token ASC), byte-identical to the SQL
+# ORDER BY.
+# --------------------------------------------------------------------------
+
+VOCAB_K = 512
+
+_VOCAB_SCHEMA = pa.schema([("w", pa.string()), ("k", pa.int64())])
+_OOV_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("n_oov", pa.int64()),
+])
+
+
+def _vocab_rows(t: pa.Table) -> pa.Table:
+    flat, _ = _tokenize_re2(t["text"])
+    if len(flat) == 0:
+        return _VOCAB_SCHEMA.empty_table()
+    g = pa.TableGroupBy(pa.table({"w": flat}), ["w"]).aggregate(
+        [([], "count_all")])
+    return pa.table({"w": g["w"], "k": g["count_all"].cast(pa.int64())})
+
+
+def _vocab_top_block(block: pa.Table) -> pa.Table:
+    """All partials of a token are co-located → its corpus count is exact
+    here; emit the block-local top-K by (count DESC, token ASC)."""
+    if block.num_rows == 0:
+        return _VOCAB_SCHEMA.empty_table()
+    w = block["w"].to_numpy(zero_copy_only=False)
+    k = block["k"].to_numpy(zero_copy_only=False)
+    order = np.argsort(w, kind="mergesort")
+    w, k = w[order], k[order]
+    starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+    c = np.add.reduceat(k, starts)
+    uw = w[starts]
+    top = np.lexsort((uw, -c))[:VOCAB_K]
+    return pa.table({"w": pa.array(uw[top], pa.string()),
+                     "k": pa.array(c[top].astype(np.int64), pa.int64())})
+
+
+def corpus_top_vocab(path: str, k: int = VOCAB_K) -> np.ndarray:
+    """The corpus's top-``k`` tokens by total count (ties broken token-ASC),
+    returned SORTED for searchsorted membership probes."""
+    rows = pruned_read(path, ["text"]).map_batches(
+        _vocab_rows, batch_format="pyarrow", zero_copy_batch=True)
+    cand = per_key_blocks(rows, ["w"], _vocab_top_block,
+                          num_partitions=auto_partitions(path))
+    pdf = cand.to_pandas()  # ≤ K × partitions rows — bounded driver state
+    pdf = pdf.sort_values(["k", "w"], ascending=[False, True],
+                          kind="mergesort").head(k)
+    return np.sort(pdf["w"].to_numpy())
+
+
+def oov_stats(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_tokens, n_oov): occurrences of tokens outside the corpus
+    top-{VOCAB_K} vocabulary, per document (docs with no tokens emit no row,
+    matching the oracle's inner grouping)."""
+    import ray
+
+    path = f"{sf_dir}/documents.parquet"
+    vref = ray.put(corpus_top_vocab(path))
+
+    def doc_stats(t: pa.Table) -> pa.Table:
+        flat, cnt = _tokenize_re2(t["text"])
+        if len(flat) == 0:
+            return _OOV_SCHEMA.empty_table()
+        vocab = ray.get(vref)  # zero-copy object-store read, never re-shipped
+        w = flat.to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vocab, w).clip(max=max(len(vocab) - 1, 0))
+        oov = (vocab[idx] != w) if len(vocab) else np.ones(len(w), bool)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        offs = np.zeros(len(cnt) + 1, np.int64)
+        np.cumsum(cnt, out=offs[1:])
+        nz = cnt > 0
+        n_oov = np.add.reduceat(oov, offs[:-1][nz])
+        return pa.table({
+            "doc_id": pa.array(ids[nz], pa.int64()),
+            "n_tokens": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            "n_oov": pa.array(n_oov.astype(np.int64), pa.int64()),
+        })
+
+    return pruned_read(path, ["doc_id", "text"]).map_batches(
+        doc_stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_OOV = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+c AS (SELECT w, COUNT(*) AS c_w FROM toks GROUP BY w),
+vocab AS (SELECT w FROM c ORDER BY c_w DESC, w ASC LIMIT {VOCAB_K})
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov
+FROM toks LEFT JOIN vocab USING (w)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {"bigram_lm_score": bigram_lm_score,
            "dup_ngram_stats": dup_ngram_stats,
            "dup_ngram_removed_docs": dup_ngram_removed_docs,
+           "oov_stats": oov_stats,
            "dsir_importance": dsir_importance}
 SQL = {"bigram_lm_score": SQL_BIGRAM_LM,
        "dup_ngram_stats": SQL_DUP_NGRAMS,
        "dup_ngram_removed_docs": SQL_DUP_NGRAM_REMOVED,
+       "oov_stats": SQL_OOV,
        "dsir_importance": SQL_DSIR}
