@@ -340,3 +340,35 @@ def test_dup_ngram_removal_matches_brute_force(token_lists):
         assert row["n_tokens"] == len(toks)
         assert row["n_removed"] == len(toks) - len(kept)
         assert row["clean_text"] == " ".join(kept)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "c", "d"]), max_size=30),
+                min_size=1, max_size=8),
+       st.integers(1, 6))
+def test_oov_vocab_and_stats_match_brute_force(token_lists, k):
+    """corpus_top_vocab's block-local top-K candidate rule and the
+    searchsorted membership probe equal a brute-force reference for any
+    token layout and vocab size — including ties at the rank-K boundary
+    (count DESC, token ASC, the SQL ORDER BY)."""
+    from collections import Counter
+
+    import ocrautomator_ray.functions.lm as lm
+
+    texts = [" ".join(toks) for toks in token_lists]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    # single-block path: the candidate rule must already be exact
+    cand = lm._vocab_top_block(lm._vocab_rows(t)).to_pandas()
+    counts = Counter(w for toks in token_lists for w in toks)
+    want = sorted(counts, key=lambda w: (-counts[w], w))[:lm.VOCAB_K]
+    got = cand.sort_values(["k", "w"], ascending=[False, True])["w"].tolist()
+    assert got == want
+    vocab = np.sort(np.array(want[:k], dtype=object))
+    for i, toks in enumerate(token_lists):
+        if not toks:
+            continue
+        n_oov = sum(1 for w in toks if w not in set(want[:k]))
+        idx = np.searchsorted(vocab, np.array(toks, dtype=object)).clip(
+            max=len(vocab) - 1)
+        assert int((vocab[idx] != np.array(toks, dtype=object)).sum()) == n_oov
