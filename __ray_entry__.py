@@ -66,7 +66,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- changed since last driver attestation (cherry-picked to the front;
     #    later module updates overwrite the value but keep the position) --
     q["semantic_dedup"] = _ann.QUERIES["semantic_dedup"]  # new this round
-    q.update(_lm.QUERIES)  # new this round (bigram LM score, dup n-grams)
+    q.update(_lm.QUERIES)  # new this round (bigram LM score, dup n-grams,
+    #                        dup-n-gram removal, OOV stats, DSIR weights)
+    q["token_budget_mix"] = _mix.QUERIES["token_budget_mix"]  # new this round
     q["embedding_quantize"] = _ann.QUERIES["embedding_quantize"]
     q["full_corpus_pipeline"] = run_full_corpus_flagship
     q["minhash_dup_clusters"] = _dedup.QUERIES["minhash_dup_clusters"]

@@ -174,6 +174,7 @@ def run_benchmarks() -> dict:
           consume="count")
     timed("revenue_by_region", relational4.revenue_by_region)
     timed("seeded_shuffle", mix.seeded_shuffle, consume="count")
+    timed("token_budget_mix", mix.token_budget_mix, consume="count")
     timed("mix_corpus", mix.mix_corpus, consume="count")
     timed("rp_project", mix.rp_project, consume="count")
     timed("simhash_dups", dedup.simhash_dups, consume="count")

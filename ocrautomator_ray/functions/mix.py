@@ -170,6 +170,105 @@ QUALIFY ROW_NUMBER() OVER (
 
 
 # ---------------------------------------------------------------------------
+# token_budget_mix — fill per-source TOKEN budgets in seeded-shuffle order
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 800  # tokens per source; bites at every test scale
+
+
+def token_budget_mix(sf_dir: str, budget: int = TOKEN_BUDGET) -> rd.Dataset:
+    """(doc_id, source, n_tokens): docs taken per source in seeded-shuffle
+    order until the source's TOKEN budget fills — how a pretraining mix is
+    actually specified (tokens, not doc counts; e.g. "30B web, 5B code").
+    A doc is kept iff its source's running token total INCLUDING it stays
+    ≤ budget, so the cut is deterministic and independent of scan order.
+
+    Two-phase prefix sum (the seeded_shuffle / pack_sequences pattern, per
+    source): a (source, hash-bucket) token-sum aggregate — ≤ sources ×
+    SHUFFLE_BUCKETS rows — comes back to the driver for exclusive prefix
+    offsets, then ONE exchange keyed on (source, bucket) lets each block
+    rank its runs locally by (h, doc_id) and add the run's global offset.
+    No global sort; the exchange moves (doc_id, source, h, n_tok) rows,
+    never text. Driver state is O(sources × buckets): sources here are
+    mixture components (corpus tags, dozens), not web domains — a
+    per-domain budget would key the same shape on domain-hash buckets
+    instead of materializing per-domain offsets."""
+    from ocrautomator_ray.functions.dedup import _tokenize_re2
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        _, cnt = _tokenize_re2(t["text"])
+        h = mix_hash(ids, SHUFFLE_SEED)
+        return pa.table({
+            "doc_id": t["doc_id"], "source": t["source"],
+            "h": pa.array(h, pa.int64()),
+            "bucket": pa.array(h // _BUCKET_WIDTH, pa.int64()),
+            "n_tok": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    keyed_ds = pruned_read(path, ["doc_id", "source", "text"]).map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True)
+
+    sums = (keyed_ds.select_columns(["source", "bucket", "n_tok"])
+            .groupby(["source", "bucket"], num_partitions=8).sum("n_tok")
+            .to_pandas())  # ≤ sources × SHUFFLE_BUCKETS rows — bounded
+    sources = np.sort(sums["source"].unique())
+    mat = np.zeros((len(sources), SHUFFLE_BUCKETS + 1), np.int64)
+    si = np.searchsorted(sources, sums["source"].to_numpy())
+    mat[si, sums["bucket"].to_numpy() + 1] = sums["sum(n_tok)"].to_numpy()
+    offsets = np.cumsum(mat, axis=1)  # tokens BEFORE each (source, bucket)
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("source", pa.string()),
+                            ("n_tokens", pa.int64())])
+
+    def budget_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        src = block["source"].to_numpy(zero_copy_only=False)
+        h = block["h"].to_numpy(zero_copy_only=False)
+        b = block["bucket"].to_numpy(zero_copy_only=False)
+        ntok = block["n_tok"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h, b, src))
+        src_s, b_s, ntok_s = src[order], b[order], ntok[order]
+        new_run = np.r_[True, (src_s[1:] != src_s[:-1]) | (b_s[1:] != b_s[:-1])]
+        starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.r_[starts, len(ntok_s)])
+        c = np.cumsum(ntok_s)
+        run_excl = np.repeat(c[starts] - ntok_s[starts], run_len)
+        within_excl = c - ntok_s - run_excl
+        si_row = np.searchsorted(sources, src_s)
+        before = offsets[si_row, b_s] + within_excl
+        keep = order[before + ntok_s <= budget]
+        keep.sort()
+        return pa.table({
+            "doc_id": block["doc_id"].take(pa.array(keep)),
+            "source": block["source"].take(pa.array(keep)),
+            "n_tokens": block["n_tok"].take(pa.array(keep)),
+        })
+
+    return per_key_blocks(keyed_ds, ["source", "bucket"], budget_block,
+                          num_partitions=16)
+
+
+SQL_TOKEN_BUDGET_MIX = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         {sql_mix_hash('doc_id', SHUFFLE_SEED)} AS h
+  FROM documents
+)
+SELECT doc_id, source, n_tokens
+FROM t
+QUALIFY SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id)
+        <= {TOKEN_BUDGET}
+"""
+
+
+# ---------------------------------------------------------------------------
 # mix_corpus — per-source ratio mixing with deterministic upsampling
 # ---------------------------------------------------------------------------
 
@@ -354,6 +453,7 @@ LIMIT {SAMPLE_K}
 
 QUERIES = {
     "seeded_shuffle": seeded_shuffle,
+    "token_budget_mix": token_budget_mix,
     "sample_k": sample_k,
     "source_cap": source_cap,
     "mix_corpus": mix_corpus,
@@ -363,6 +463,7 @@ QUERIES = {
 
 SQL = {
     "seeded_shuffle": SQL_SEEDED_SHUFFLE,
+    "token_budget_mix": SQL_TOKEN_BUDGET_MIX,
     "sample_k": SQL_SAMPLE_K,
     "source_cap": SQL_SOURCE_CAP,
     "mix_corpus": SQL_MIX_CORPUS,

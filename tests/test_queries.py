@@ -76,7 +76,7 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "full_corpus_pipeline", "embedding_quantize",
                "media_decode_stats", "media_features", "semantic_dedup",
                "bigram_lm_score", "dup_ngram_stats", "dsir_importance",
-               "dup_ngram_removed_docs", "oov_stats"]
+               "dup_ngram_removed_docs", "oov_stats", "token_budget_mix"]
 
 
 @pytest.mark.usefixtures("ray_session")
