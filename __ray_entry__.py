@@ -34,6 +34,10 @@ from ocrautomator_ray.pipelines.full_corpus import (
     SQL_FULL_CORPUS,
     run_full_corpus_flagship,
 )
+from ocrautomator_ray.pipelines.training_mix import (
+    SQL_TRAINING_MIX,
+    run_training_mix_flagship,
+)
 
 
 def entry() -> Any:
@@ -69,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(_lm.QUERIES)  # new this round (bigram LM score, dup n-grams,
     #                        dup-n-gram removal, OOV stats, DSIR weights)
     q["token_budget_mix"] = _mix.QUERIES["token_budget_mix"]  # new this round
+    q["training_mix_pipeline"] = run_training_mix_flagship  # new this round
     q["embedding_quantize"] = _ann.QUERIES["embedding_quantize"]
     q["full_corpus_pipeline"] = run_full_corpus_flagship
     q["minhash_dup_clusters"] = _dedup.QUERIES["minhash_dup_clusters"]
@@ -116,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
     sql["curate_pipeline"] = SQL_CURATE
     sql["assemble_pipeline"] = SQL_ASSEMBLE
     sql["full_corpus_pipeline"] = SQL_FULL_CORPUS
+    sql["training_mix_pipeline"] = SQL_TRAINING_MIX
     # Rows-only (non-SQL-expressible): lsh_ann_topk, ivf_ann_topk,
     # ivf_index_topk, approx_distinct_users_per_type, extract_pipeline —
     # each has a pytest oracle instead (tests/): ivf_index_topk is pinned

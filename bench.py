@@ -197,6 +197,9 @@ def run_benchmarks() -> dict:
     timed("curate_pipeline", lambda sf: run_curate_flagship(sf), consume="count")
     timed("full_corpus_pipeline", lambda sf: run_full_corpus_flagship(sf),
           consume="count")
+    from ocrautomator_ray.pipelines.training_mix import run_training_mix_flagship
+    timed("training_mix_pipeline", lambda sf: run_training_mix_flagship(sf),
+          consume="count")
 
     ray.shutdown()
 

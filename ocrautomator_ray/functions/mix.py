@@ -176,26 +176,11 @@ QUALIFY ROW_NUMBER() OVER (
 TOKEN_BUDGET = 800  # tokens per source; bites at every test scale
 
 
-def token_budget_mix(sf_dir: str, budget: int = TOKEN_BUDGET) -> rd.Dataset:
-    """(doc_id, source, n_tokens): docs taken per source in seeded-shuffle
-    order until the source's TOKEN budget fills — how a pretraining mix is
-    actually specified (tokens, not doc counts; e.g. "30B web, 5B code").
-    A doc is kept iff its source's running token total INCLUDING it stays
-    ≤ budget, so the cut is deterministic and independent of scan order.
-
-    Two-phase prefix sum (the seeded_shuffle / pack_sequences pattern, per
-    source): a (source, hash-bucket) token-sum aggregate — ≤ sources ×
-    SHUFFLE_BUCKETS rows — comes back to the driver for exclusive prefix
-    offsets, then ONE exchange keyed on (source, bucket) lets each block
-    rank its runs locally by (h, doc_id) and add the run's global offset.
-    No global sort; the exchange moves (doc_id, source, h, n_tok) rows,
-    never text. Driver state is O(sources × buckets): sources here are
-    mixture components (corpus tags, dozens), not web domains — a
-    per-domain budget would key the same shape on domain-hash buckets
-    instead of materializing per-domain offsets."""
+def keyed_token_docs(path: str) -> rd.Dataset:
+    """(doc_id, source, h, bucket, n_tok) rows for the budget machinery —
+    the text is dropped at the map, so everything downstream moves ints and
+    short source tags only."""
     from ocrautomator_ray.functions.dedup import _tokenize_re2
-
-    path = f"{sf_dir}/documents.parquet"
 
     def keyed(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -208,24 +193,34 @@ def token_budget_mix(sf_dir: str, budget: int = TOKEN_BUDGET) -> rd.Dataset:
             "n_tok": pa.array(cnt.astype(np.int64), pa.int64()),
         })
 
-    keyed_ds = pruned_read(path, ["doc_id", "source", "text"]).map_batches(
+    return pruned_read(path, ["doc_id", "source", "text"]).map_batches(
         keyed, batch_format="pyarrow", zero_copy_batch=True)
 
+
+def apply_token_budget(keyed_ds: rd.Dataset,
+                       budget: int = TOKEN_BUDGET) -> rd.Dataset:
+    """Keep each source's docs in (h, doc_id) order while the running token
+    total INCLUDING the doc stays ≤ budget. Input/output columns:
+    (doc_id, source, h, bucket, n_tok); the caller projects what it needs.
+    NOTE: ``keyed_ds`` is executed twice (the sums pass and the budget
+    exchange) — keep its lineage cheap or materialize it first."""
     sums = (keyed_ds.select_columns(["source", "bucket", "n_tok"])
             .groupby(["source", "bucket"], num_partitions=8).sum("n_tok")
             .to_pandas())  # ≤ sources × SHUFFLE_BUCKETS rows — bounded
     sources = np.sort(sums["source"].unique())
-    mat = np.zeros((len(sources), SHUFFLE_BUCKETS + 1), np.int64)
+    mat = np.zeros((max(len(sources), 1), SHUFFLE_BUCKETS + 1), np.int64)
     si = np.searchsorted(sources, sums["source"].to_numpy())
     mat[si, sums["bucket"].to_numpy() + 1] = sums["sum(n_tok)"].to_numpy()
     offsets = np.cumsum(mat, axis=1)  # tokens BEFORE each (source, bucket)
 
-    out_schema = pa.schema([("doc_id", pa.int64()), ("source", pa.string()),
-                            ("n_tokens", pa.int64())])
+    keyed_schema = pa.schema([
+        ("doc_id", pa.int64()), ("source", pa.string()), ("h", pa.int64()),
+        ("bucket", pa.int64()), ("n_tok", pa.int64()),
+    ])
 
     def budget_block(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
-            return out_schema.empty_table()
+            return keyed_schema.empty_table()
         ids = block["doc_id"].to_numpy(zero_copy_only=False)
         src = block["source"].to_numpy(zero_copy_only=False)
         h = block["h"].to_numpy(zero_copy_only=False)
@@ -243,14 +238,35 @@ def token_budget_mix(sf_dir: str, budget: int = TOKEN_BUDGET) -> rd.Dataset:
         before = offsets[si_row, b_s] + within_excl
         keep = order[before + ntok_s <= budget]
         keep.sort()
-        return pa.table({
-            "doc_id": block["doc_id"].take(pa.array(keep)),
-            "source": block["source"].take(pa.array(keep)),
-            "n_tokens": block["n_tok"].take(pa.array(keep)),
-        })
+        return block.take(pa.array(keep))
 
     return per_key_blocks(keyed_ds, ["source", "bucket"], budget_block,
                           num_partitions=16)
+
+
+def token_budget_mix(sf_dir: str, budget: int = TOKEN_BUDGET) -> rd.Dataset:
+    """(doc_id, source, n_tokens): docs taken per source in seeded-shuffle
+    order until the source's TOKEN budget fills — how a pretraining mix is
+    actually specified (tokens, not doc counts; e.g. "30B web, 5B code").
+    A doc is kept iff its source's running token total INCLUDING it stays
+    ≤ budget, so the cut is deterministic and independent of scan order.
+
+    Two-phase prefix sum (the seeded_shuffle / pack_sequences pattern, per
+    source): a (source, hash-bucket) token-sum aggregate — ≤ sources ×
+    SHUFFLE_BUCKETS rows — comes back to the driver for exclusive prefix
+    offsets, then ONE exchange keyed on (source, bucket) lets each block
+    rank its runs locally by (h, doc_id) and add the run's global offset.
+    No global sort; the exchange moves (doc_id, source, h, n_tok) rows,
+    never text. Driver state is O(sources × buckets): sources here are
+    mixture components (corpus tags, dozens), not web domains — a
+    per-domain budget would key the same shape on domain-hash buckets
+    instead of materializing per-domain offsets."""
+    kept = apply_token_budget(keyed_token_docs(f"{sf_dir}/documents.parquet"),
+                              budget)
+    return kept.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                            "n_tokens": t["n_tok"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 SQL_TOKEN_BUDGET_MIX = rf"""
