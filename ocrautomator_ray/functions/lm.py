@@ -25,6 +25,10 @@ distributed (each needs a global model table no single batch can see):
   (see the section comment below for the three-stage shape).
 * ``dsir_importance`` — DSIR-style data-selection importance weights (see
   its section comment).
+* ``perplexity_buckets`` — CCNet's head/middle/tail tertile labels over the
+  bigram-LM score (see its section comment).
+* ``source_overlap_matrix`` — cross-source distinct-8-gram contamination
+  matrix (see its section comment).
 
 Distribution shapes (both all-integer end to end):
 
@@ -54,7 +58,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ocrautomator_ray.functions.dedup import _tokenize_re2
+from ocrautomator_ray.functions.dedup import _ramp, _tokenize_re2
 from ocrautomator_ray.functions.exchange import (
     auto_partitions,
     per_key_blocks,
@@ -747,13 +751,241 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# perplexity_buckets — CCNet-style head/middle/tail tertiles over the
+# bigram-LM score (Wenzek et al., LREC 2020 keep the head+middle of the
+# perplexity distribution and drop/downweight the tail; the bucket label is
+# what that policy consumes).
+#
+# Distribution shape: the scores table (docs-sized, three int64 columns) is
+# materialized once so its three-exchange lineage doesn't run twice, then the
+# dense-rank two-phase pattern (seeded_shuffle / pack_sequences): a
+# 64-bucket histogram over the DESC-score key comes back to the driver
+# (O(buckets) ints), ONE exchange keyed on the score bucket ranks each run
+# locally and adds the bucket's prefix offset, and the NTILE boundary is pure
+# integer arithmetic on (rank, total) — no global sort at any size.
+# --------------------------------------------------------------------------
+
+PPL_TILES = 3
+PPL_BUCKETS = 64
+_PPL_WIDTH = LM_SCALE // PPL_BUCKETS
+_PPL_OUT_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("lm_score_u", pa.int64()),
+    ("bucket", pa.int64()),
+])
+
+
+def perplexity_buckets(sf_dir: str) -> rd.Dataset:
+    """(doc_id, lm_score_u, bucket): bucket = NTILE({PPL_TILES}) over
+    (lm_score_u DESC, doc_id) — 1 = head (most fluent), 3 = tail (the docs a
+    CCNet-style filter drops).  Docs with <2 tokens have no bigrams, hence
+    no score and no row (same inner grouping as bigram_lm_score)."""
+    scores = bigram_lm_score(sf_dir).materialize()
+
+    def keyed(t: pa.Table) -> pa.Table:
+        s = t["lm_score_u"].to_numpy(zero_copy_only=False)
+        key = LM_SCALE - s  # ascending key == score descending
+        return pa.table({
+            "doc_id": t["doc_id"], "lm_score_u": t["lm_score_u"],
+            "key": pa.array(key, pa.int64()),
+            "bucket_k": pa.array(np.minimum(key // _PPL_WIDTH,
+                                            PPL_BUCKETS - 1), pa.int64()),
+        })
+
+    counts = (scores.map_batches(keyed, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+              .groupby("bucket_k", num_partitions=8).count().to_pandas())
+    offsets = np.zeros(PPL_BUCKETS + 1, np.int64)
+    np.add.at(offsets, counts["bucket_k"].to_numpy() + 1,
+              counts["count()"].to_numpy())
+    offsets = np.cumsum(offsets)
+    n = int(offsets[-1])
+    q, rem = divmod(n, PPL_TILES)
+
+    def rank_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _PPL_OUT_SCHEMA.empty_table()
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        key = block["key"].to_numpy(zero_copy_only=False)
+        b = block["bucket_k"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, key, b))
+        b_sorted = b[order]
+        starts = np.flatnonzero(np.r_[True, b_sorted[1:] != b_sorted[:-1]])
+        run_len = np.diff(np.r_[starts, len(b_sorted)])
+        r = offsets[b_sorted] + _ramp(run_len)  # global 0-based rank
+        # NTILE: the first `rem` tiles hold q+1 rows, the rest q — exactly
+        # DuckDB's semantics, all-integer.
+        head = rem * (q + 1)
+        tile = np.where(r < head, r // max(q + 1, 1),
+                        rem + (r - head) // max(q, 1)) + 1
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "lm_score_u": block["lm_score_u"].take(pa.array(order)),
+            "bucket": pa.array(tile, pa.int64()),
+        })
+
+    keyed_ds = scores.map_batches(keyed, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return per_key_blocks(keyed_ds, ["bucket_k"], rank_block,
+                          num_partitions=min(16, PPL_BUCKETS))
+
+
+SQL_PPL_BUCKETS = f"""
+WITH scores AS ({SQL_BIGRAM_LM})
+SELECT doc_id, lm_score_u,
+       CAST(NTILE({PPL_TILES}) OVER (ORDER BY lm_score_u DESC, doc_id)
+            AS BIGINT) AS bucket
+FROM scores
+"""
+
+
+# --------------------------------------------------------------------------
+# source_overlap_matrix — cross-source n-gram contamination matrix: for every
+# source pair, how many DISTINCT token 8-grams they share.  The question a
+# corpus audit asks before mixing ("is src3 just a scrape of src7?") and the
+# cross-split cousin of decontaminate.
+#
+# Distribution shape: per-batch distinct (gram, source) rows → ONE gram-keyed
+# exchange; the exchange invariant co-locates all of a gram's rows, so each
+# block folds its grams' source sets into uint64 BITMASKS (sources here are
+# mixture components, dozens — asserted ≤ 64; a per-DOMAIN matrix at web
+# scale would hash domains into ≤64 buckets the same way, or chunk the mask),
+# dedups the masks, and one (U×S)ᵀ·(U×S) integer matmul yields the block's
+# full pair-count matrix.  Each block then emits ≤ S² rows; the final
+# aggregate sums S²-sized partials — driver/output state is O(S²) regardless
+# of corpus size, and the gram exchange is the decontaminate shape
+# (probe-flat at 100×).
+# --------------------------------------------------------------------------
+
+_SRC_GRAM_SCHEMA = pa.schema([("gram", pa.string()), ("source", pa.string())])
+_OVERLAP_SCHEMA = pa.schema([
+    ("source_a", pa.string()), ("source_b", pa.string()),
+    ("n", pa.int64()),
+])
+
+
+def _source_gram_rows(t: pa.Table) -> pa.Table:
+    """Per-batch DISTINCT (gram, source): the _gram_rows gather followed by a
+    two-key distinct — multiplicities are irrelevant to set overlap, so the
+    exchange moves each batch's (gram, source) at most once."""
+    flat, cnt = _tokenize_re2(t["text"])
+    if len(flat) == 0:
+        return _SRC_GRAM_SCHEMA.empty_table()
+    nwin = np.maximum(cnt - (NGRAM_N - 1), 0)
+    total = int(nwin.sum())
+    if total == 0:
+        return _SRC_GRAM_SCHEMA.empty_table()
+    offs = np.zeros(len(cnt) + 1, np.int64)
+    np.cumsum(cnt, out=offs[1:])
+    win_doc = np.repeat(np.arange(len(cnt)), nwin)
+    pos = (np.arange(total, dtype=np.int64)
+           - np.repeat(np.cumsum(nwin) - nwin, nwin))
+    win_start = pos + np.repeat(offs[:-1], nwin)
+    gather = (win_start[:, None]
+              + np.arange(NGRAM_N, dtype=np.int64)[None, :]).ravel()
+    lists = pa.ListArray.from_arrays(
+        pa.array(np.arange(total + 1, dtype=np.int32) * NGRAM_N, pa.int32()),
+        flat.take(pa.array(gather)))
+    src = t["source"].to_numpy(zero_copy_only=False)
+    g = pa.TableGroupBy(pa.table({
+        "gram": pc.binary_join(lists, " "),
+        "source": pa.array(src[win_doc], pa.string()),
+    }), ["gram", "source"]).aggregate([])
+    return g
+
+
+def corpus_sources(path: str) -> np.ndarray:
+    """Sorted distinct sources — O(S) driver state from one tiny aggregate."""
+    ds = pruned_read(path, ["source"]).groupby(
+        "source", num_partitions=4).count().to_pandas()
+    return np.sort(ds["source"].to_numpy())
+
+
+def source_overlap_matrix(sf_dir: str) -> rd.Dataset:
+    """(source_a, source_b, n_shared_grams) for source_a < source_b, counting
+    DISTINCT token 8-grams present in both sources; pairs sharing nothing
+    emit no row (the SQL inner join's shape)."""
+    path = f"{sf_dir}/documents.parquet"
+    sources = corpus_sources(path)
+    ns = len(sources)
+    if ns > 64:  # pragma: no cover - the documented scale path
+        raise NotImplementedError(
+            "source bitmask is uint64; hash sources into <=64 buckets or "
+            "chunk the mask for wider mixtures")
+
+    def pair_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _OVERLAP_SCHEMA.empty_table()
+        gram = block["gram"].to_numpy(zero_copy_only=False)
+        src = block["source"].to_numpy(zero_copy_only=False)
+        _, gid = np.unique(gram, return_inverse=True)
+        si = np.searchsorted(sources, src)
+        masks = np.zeros(gid.max() + 1, np.uint64)
+        np.bitwise_or.at(masks, gid, np.uint64(1) << si.astype(np.uint64))
+        um, uc = np.unique(masks, return_counts=True)
+        bits = ((um[:, None] >> np.arange(ns, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        pairmat = (bits * uc[:, None]).T @ bits  # [i,j] = grams with both
+        ii, jj = np.triu_indices(ns, k=1)
+        n = pairmat[ii, jj]
+        nz = n > 0
+        return pa.table({
+            "source_a": pa.array(sources[ii[nz]], pa.string()),
+            "source_b": pa.array(sources[jj[nz]], pa.string()),
+            "n": pa.array(n[nz], pa.int64()),
+        })
+
+    rows = pruned_read(path, ["source", "text"]).map_batches(
+        _source_gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+    partials = per_key_blocks(rows, ["gram"], pair_block,
+                              num_partitions=auto_partitions(path))
+
+    def final_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.schema([("source_a", pa.string()),
+                              ("source_b", pa.string()),
+                              ("n_shared_grams", pa.int64())]).empty_table()
+        g = pa.TableGroupBy(block, ["source_a", "source_b"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"source_a": g["source_a"],
+                         "source_b": g["source_b"],
+                         "n_shared_grams": g["n_sum"].cast(pa.int64())})
+
+    return per_key_blocks(partials, ["source_a", "source_b"], final_block,
+                          num_partitions=4)
+
+
+SQL_SOURCE_OVERLAP = rf"""
+WITH d AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS tl
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT source,
+         array_to_string(tl[p + 1 : p + {NGRAM_N}], ' ') AS gram
+  FROM d, LATERAL (SELECT unnest(range(0, greatest(len(tl) - {NGRAM_N - 1},
+                                                   0))) AS p) u
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {"bigram_lm_score": bigram_lm_score,
+           "perplexity_buckets": perplexity_buckets,
            "dup_ngram_stats": dup_ngram_stats,
            "dup_ngram_removed_docs": dup_ngram_removed_docs,
            "oov_stats": oov_stats,
-           "dsir_importance": dsir_importance}
+           "dsir_importance": dsir_importance,
+           "source_overlap_matrix": source_overlap_matrix}
 SQL = {"bigram_lm_score": SQL_BIGRAM_LM,
+       "perplexity_buckets": SQL_PPL_BUCKETS,
        "dup_ngram_stats": SQL_DUP_NGRAMS,
        "dup_ngram_removed_docs": SQL_DUP_NGRAM_REMOVED,
        "oov_stats": SQL_OOV,
-       "dsir_importance": SQL_DSIR}
+       "dsir_importance": SQL_DSIR,
+       "source_overlap_matrix": SQL_SOURCE_OVERLAP}

@@ -17,6 +17,8 @@ one small hash exchange; nothing sorts or shuffles the full corpus:
   ``frac(w)`` — the standard epoch-replication trick, deterministic.
 - ``weighted_sample`` — Bernoulli keep with probability proportional to a
   quality proxy, driven by the same doc hash (stable across pipelines).
+- ``temperature_mix``  — UniMax/alpha-temperature source quotas (∝ √tokens),
+  filled in hash order; integer-exact via isqrt.
 - ``rp_project``      — sign-random-projection 64→8 dims in EXACT integer
   arithmetic (elements integerized at 1e-6 before the matmul) so the
   distributed result is bit-identical to any serial oracle.
@@ -285,6 +287,88 @@ QUALIFY SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id)
 
 
 # ---------------------------------------------------------------------------
+# temperature_mix — UniMax/alpha-temperature source sampling (alpha = 0.5)
+# ---------------------------------------------------------------------------
+#
+# The multilingual-mix move (UniMax, Chung et al. 2023; the mT5 alpha-
+# sampling family): sample sources proportionally to n_s^alpha so large
+# sources are damped and small ones boosted.  alpha = 1/2 keeps the whole
+# computation integer-exact via isqrt: quota_s = B·⌊√tok_s⌋ // Σ⌊√tok⌋ docs,
+# filled in seeded-hash order.  Weights come from TOKEN counts (how real
+# mixes are specified), via one tiny (source → Σ n_tok) aggregate — O(S)
+# driver state; the pick is the source_cap exchange with per-source quotas.
+
+TEMP_BUDGET = 100  # total docs across sources; bites at every test scale
+
+
+def temperature_mix(sf_dir: str, budget: int = TEMP_BUDGET) -> rd.Dataset:
+    """(doc_id, source): at most quota_s docs per source — the ones with the
+    smallest shuffle hash — where quota_s ∝ isqrt(source token count).  The
+    floor-division quota can undershoot ``budget`` by < S docs (no
+    largest-remainder pass: determinism beats exact budget fill here, and
+    the SQL mirror stays one QUALIFY)."""
+    from ocrautomator_ray.functions.dedup import _tokenize_re2
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        _, cnt = _tokenize_re2(t["text"])
+        return pa.table({"source": t["source"],
+                         "n_tok": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    sums = (pruned_read(path, ["source", "text"])
+            .map_batches(tok_counts, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("source", num_partitions=4).sum("n_tok")
+            .to_pandas())  # O(sources) driver state
+    import math
+
+    sources = np.sort(sums["source"].to_numpy())
+    tok = sums.set_index("source")["sum(n_tok)"].loc[sources].to_numpy()
+    w = np.array([math.isqrt(int(x)) for x in tok], np.int64)
+    denom = max(int(w.sum()), 1)
+    quota = budget * w // denom
+
+    ds = pruned_read(path, ["doc_id", "source"])
+    out_schema = pa.schema([("doc_id", pa.int64()), ("source", pa.string())])
+
+    def pick_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        src = block["source"].to_numpy(zero_copy_only=False)
+        h = mix_hash(ids, SHUFFLE_SEED)
+        order = np.lexsort((ids, h, src))
+        s_sorted = src[order]
+        starts = np.nonzero(np.r_[True, s_sorted[1:] != s_sorted[:-1]])[0]
+        run_len = np.diff(np.r_[starts, len(s_sorted)])
+        cap_row = quota[np.searchsorted(sources, s_sorted)]
+        keep = order[_ramp(run_len) < cap_row]
+        keep.sort()
+        return block.take(pa.array(keep))
+
+    return per_key_blocks(ds, ["source"], pick_block)
+
+
+SQL_TEMPERATURE_MIX = rf"""
+WITH n AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tok
+  FROM documents GROUP BY source
+),
+w AS (SELECT source, CAST(FLOOR(SQRT(n_tok)) AS BIGINT) AS w FROM n),
+q AS (SELECT source, {TEMP_BUDGET} * w // (SELECT SUM(w) FROM w) AS quota
+      FROM w)
+SELECT d.doc_id, d.source
+FROM documents d JOIN q USING (source)
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY d.source
+    ORDER BY {sql_mix_hash('d.doc_id', SHUFFLE_SEED)}, d.doc_id) <= q.quota
+"""
+
+
+# ---------------------------------------------------------------------------
 # mix_corpus — per-source ratio mixing with deterministic upsampling
 # ---------------------------------------------------------------------------
 
@@ -470,6 +554,7 @@ LIMIT {SAMPLE_K}
 QUERIES = {
     "seeded_shuffle": seeded_shuffle,
     "token_budget_mix": token_budget_mix,
+    "temperature_mix": temperature_mix,
     "sample_k": sample_k,
     "source_cap": source_cap,
     "mix_corpus": mix_corpus,
@@ -480,6 +565,7 @@ QUERIES = {
 SQL = {
     "seeded_shuffle": SQL_SEEDED_SHUFFLE,
     "token_budget_mix": SQL_TOKEN_BUDGET_MIX,
+    "temperature_mix": SQL_TEMPERATURE_MIX,
     "sample_k": SQL_SAMPLE_K,
     "source_cap": SQL_SOURCE_CAP,
     "mix_corpus": SQL_MIX_CORPUS,

@@ -77,7 +77,8 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "media_decode_stats", "media_features", "semantic_dedup",
                "bigram_lm_score", "dup_ngram_stats", "dsir_importance",
                "dup_ngram_removed_docs", "oov_stats", "token_budget_mix",
-               "training_mix_pipeline"]
+               "training_mix_pipeline", "perplexity_buckets",
+               "source_overlap_matrix", "temperature_mix"]
 
 
 @pytest.mark.usefixtures("ray_session")
