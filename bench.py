@@ -187,6 +187,9 @@ def run_benchmarks() -> dict:
     timed("dup_ngram_removed_docs", lm.dup_ngram_removed_docs, consume="count")
     timed("oov_stats", lm.oov_stats, consume="count")
     timed("dsir_importance", lm.dsir_importance, consume="count")
+    timed("perplexity_buckets", lm.perplexity_buckets, consume="count")
+    timed("source_overlap_matrix", lm.source_overlap_matrix, consume="count")
+    timed("temperature_mix", mix.temperature_mix, consume="count")
 
     from ocrautomator_ray.pipelines.curate import run_curate_flagship
     from ocrautomator_ray.pipelines.extract import run_flagship

@@ -1,0 +1,90 @@
+"""Independent property pins for the round-4 additions — stronger than the
+SQL-oracle conformance in test_queries.py because the expectations here are
+derived from first principles (brute force / closed form), not from a mirror
+of the same arithmetic.
+
+* perplexity_buckets: the tiles partition the scored docs into NTILE-sized
+  groups AND the tile sequence is monotone in (score DESC, doc_id) order.
+* source_overlap_matrix: equals a pure-Python brute force over token 8-gram
+  sets (no SQL, no shared code with the engine path).
+* temperature_mix: per-source row counts equal the closed-form isqrt quotas.
+"""
+
+import math
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+DOCS = f"{SF}/documents.parquet"
+
+_TOKEN = re.compile(r"\s+")
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in _TOKEN.split(text.lower()) if t]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_perplexity_buckets_are_ntile_partition():
+    from ocrautomator_ray.functions.lm import PPL_TILES, perplexity_buckets
+
+    df = perplexity_buckets(SF).to_pandas()
+    n = len(df)
+    q, rem = divmod(n, PPL_TILES)
+    sizes = df["bucket"].value_counts().sort_index()
+    assert list(sizes.index) == list(range(1, PPL_TILES + 1))
+    expected = [q + 1 if i < rem else q for i in range(PPL_TILES)]
+    assert list(sizes.to_numpy()) == expected
+    # tile labels must be monotone along the (score DESC, doc_id) order
+    df = df.sort_values(["lm_score_u", "doc_id"],
+                        ascending=[False, True], kind="mergesort")
+    b = df["bucket"].to_numpy()
+    assert (np.diff(b) >= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_overlap_matrix_matches_bruteforce():
+    from ocrautomator_ray.functions.lm import NGRAM_N, source_overlap_matrix
+
+    t = pq.read_table(DOCS, columns=["source", "text"]).to_pandas()
+    grams: dict[str, set] = {}
+    for src, text in zip(t["source"], t["text"]):
+        toks = _tokens(text)
+        s = grams.setdefault(src, set())
+        for i in range(max(len(toks) - NGRAM_N + 1, 0)):
+            s.add(" ".join(toks[i:i + NGRAM_N]))
+    expected = {}
+    srcs = sorted(grams)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            k = len(grams[a] & grams[b])
+            if k:
+                expected[(a, b)] = k
+
+    df = source_overlap_matrix(SF).to_pandas()
+    got = {(r.source_a, r.source_b): r.n_shared_grams
+           for r in df.itertuples()}
+    assert (df["source_a"] < df["source_b"]).all()
+    assert got == expected
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_temperature_mix_quotas_closed_form():
+    from ocrautomator_ray.functions.mix import TEMP_BUDGET, temperature_mix
+
+    t = pq.read_table(DOCS, columns=["source", "text"]).to_pandas()
+    tok = t.assign(n=[len(_tokens(x)) for x in t["text"]]) \
+           .groupby("source")["n"].sum().sort_index()
+    w = np.array([math.isqrt(int(x)) for x in tok.to_numpy()], np.int64)
+    quota = TEMP_BUDGET * w // max(int(w.sum()), 1)
+    n_docs = t.groupby("source").size().loc[tok.index].to_numpy()
+    expected = pd.Series(np.minimum(quota, n_docs), index=tok.index)
+
+    df = temperature_mix(SF).to_pandas()
+    got = df.groupby("source").size().reindex(tok.index, fill_value=0)
+    assert (got.to_numpy() == expected.to_numpy()).all()
+    assert len(df) <= TEMP_BUDGET
