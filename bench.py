@@ -190,6 +190,7 @@ def run_benchmarks() -> dict:
     timed("perplexity_buckets", lm.perplexity_buckets, consume="count")
     timed("source_overlap_matrix", lm.source_overlap_matrix, consume="count")
     timed("temperature_mix", mix.temperature_mix, consume="count")
+    timed("label_dispersion", ann.label_dispersion, consume="count")
 
     from ocrautomator_ray.pipelines.curate import run_curate_flagship
     from ocrautomator_ray.pipelines.extract import run_flagship

@@ -567,6 +567,85 @@ GROUP BY label, dim
 
 
 # ---------------------------------------------------------------------------
+# label_dispersion — per-(label, dim) second moments (intra-cluster variance)
+# ---------------------------------------------------------------------------
+#
+# The second-moment extension of label_centroids: per (label, dim) the
+# mergeable sufficient statistics (n, Σe, Σe²) of the micro-int embedding
+# values — what a SemDeDup deployment reads to pick its per-cluster epsilon,
+# and what an embedding-drift monitor compares across snapshots.  Variance
+# is consumer-side float ((Σe² − (Σe)²/n)/n); the OPERATOR stays all-integer
+# so the distributed result is bit-exact on any partitioning.  Overflow
+# bound: Σe² < 2^63 holds while a single label holds < ~9.2e6 vectors at
+# micro scale — past that a 100-TB run drops to milli-ints (same note as
+# bigram_lm_score's scale constant) or splits labels finer, which the
+# SemDeDup scale path requires anyway.
+
+
+def label_dispersion(sf_dir: str) -> rd.Dataset:
+    """(label, dim, n, sum_micros, sumsq_micros): count / sum / sum-of-
+    squares of each embedding dimension per label, in exact micro-int
+    units — the classic partial+final moments aggregate over a vector
+    column (labels × dims result rows, one hash exchange)."""
+    from ray.data.aggregate import Sum
+
+    ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["label", "embedding"])
+
+    partial_schema = pa.schema([
+        ("label", pa.int64()), ("dim", pa.int64()),
+        ("sum_micros", pa.int64()), ("sumsq_micros", pa.int64()),
+        ("n", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return partial_schema.empty_table()
+        micros = np.floor(_embed_matrix(t) * 1e6 + 0.5).astype(np.int64)
+        dim = micros.shape[1]
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        sqs = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, inv, micros)
+        np.add.at(sqs, inv, micros * micros)
+        counts = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                                    len(uniq)), pa.int64()),
+            "sum_micros": pa.array(sums.reshape(-1), pa.int64()),
+            "sumsq_micros": pa.array(sqs.reshape(-1), pa.int64()),
+            "n": pa.array(np.repeat(counts, dim), pa.int64()),
+        })
+
+    from ocrautomator_ray.functions.exchange import tune_exchange
+
+    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    tune_exchange(out)
+    return out.groupby(["label", "dim"], num_partitions=8).aggregate(
+        Sum("sum_micros", alias_name="sum_micros"),
+        Sum("sumsq_micros", alias_name="sumsq_micros"),
+        Sum("n", alias_name="n"),
+    )
+
+
+SQL_LABEL_DISPERSION = """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(dim AS BIGINT) AS dim,
+       CAST(SUM(e) AS BIGINT) AS sum_micros,
+       CAST(SUM(e * e) AS BIGINT) AS sumsq_micros,
+       COUNT(*) AS n
+FROM (
+    SELECT label, generate_subscripts(embedding, 1) AS dim,
+           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)*1000000 + 0.5)
+                AS BIGINT) AS e
+    FROM embeddings
+)
+GROUP BY label, dim
+"""
+
+
+# ---------------------------------------------------------------------------
 # embedding_outliers — farthest-from-centroid vectors per label
 # ---------------------------------------------------------------------------
 
@@ -871,9 +950,11 @@ QUERIES = {
     "ivf_ann_topk": ivf_ann_topk,
     "ivf_index_topk": ivf_index_topk,
     "label_centroids": label_centroids,
+    "label_dispersion": label_dispersion,
 }
 
 SQL = {
+    "label_dispersion": SQL_LABEL_DISPERSION,
     "ann_topk": SQL_ANN_TOPK,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "label_centroids": SQL_LABEL_CENTROIDS,

@@ -78,7 +78,8 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "bigram_lm_score", "dup_ngram_stats", "dsir_importance",
                "dup_ngram_removed_docs", "oov_stats", "token_budget_mix",
                "training_mix_pipeline", "perplexity_buckets",
-               "source_overlap_matrix", "temperature_mix"]
+               "source_overlap_matrix", "temperature_mix",
+               "label_dispersion"]
 
 
 @pytest.mark.usefixtures("ray_session")
