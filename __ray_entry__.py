@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["token_budget_mix"] = _mix.QUERIES["token_budget_mix"]  # new this round
     q["temperature_mix"] = _mix.QUERIES["temperature_mix"]  # new this round
     q["label_dispersion"] = _ann.QUERIES["label_dispersion"]  # new this round
+    q["source_report"] = _text.QUERIES["source_report"]  # new this round
     q["training_mix_pipeline"] = run_training_mix_flagship  # new this round
     q["embedding_quantize"] = _ann.QUERIES["embedding_quantize"]
     q["full_corpus_pipeline"] = run_full_corpus_flagship

@@ -191,6 +191,7 @@ def run_benchmarks() -> dict:
     timed("source_overlap_matrix", lm.source_overlap_matrix, consume="count")
     timed("temperature_mix", mix.temperature_mix, consume="count")
     timed("label_dispersion", ann.label_dispersion, consume="count")
+    timed("source_report", text.source_report, consume="count")
 
     from ocrautomator_ray.pipelines.curate import run_curate_flagship
     from ocrautomator_ray.pipelines.extract import run_flagship

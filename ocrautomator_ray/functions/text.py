@@ -423,6 +423,105 @@ HAVING COUNT(*) >= {FP_MIN_SHARED}
 SQL_FINGERPRINT_DUPS = _fp_dups_sql()
 
 
+# --------------------------------------------------------------------------
+# source_report — the per-source corpus report card (the audit table a mix
+# decision is made from: volume, token mass, character quality, language
+# spread per source).  Classic partial+final: each batch pre-aggregates to
+# (source, lang) partials — S×L rows, tiny — so the ONE source-keyed
+# exchange moves partials, never text; all-integer output, hash-exact.
+# --------------------------------------------------------------------------
+
+_REPORT_PART_SCHEMA = pa.schema([
+    ("source", pa.string()), ("lang", pa.string()),
+    ("n_docs", pa.int64()), ("n_tokens", pa.int64()),
+    ("n_chars", pa.int64()), ("alpha_cnt", pa.int64()),
+])
+_REPORT_SCHEMA = pa.schema([
+    ("source", pa.string()), ("n_docs", pa.int64()),
+    ("n_tokens", pa.int64()), ("n_chars", pa.int64()),
+    ("alpha_cnt", pa.int64()), ("n_langs", pa.int64()),
+    ("n_en_docs", pa.int64()),
+])
+
+
+def source_report(sf_dir: str) -> rd.Dataset:
+    """(source, n_docs, n_tokens, n_chars, alpha_cnt, n_langs, n_en_docs):
+    one row per source — corpus volume, token mass, alpha-character count
+    (the quality_score numerator summed), distinct languages, and English
+    share — everything the temperature_mix / token_budget_mix budget
+    decisions read, in one exchange."""
+    from ocrautomator_ray.functions.dedup import _tokenize_re2
+    from ocrautomator_ray.functions.exchange import per_key_blocks
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _REPORT_PART_SCHEMA.empty_table()
+        _, cnt = _tokenize_re2(t["text"])
+        g = pa.TableGroupBy(pa.table({
+            "source": t["source"], "lang": t["lang"],
+            "n_tok": pa.array(cnt.astype(np.int64), pa.int64()),
+            "n_ch": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            "alpha": pc.cast(pc.count_substring_regex(t["text"], "[a-z]"),
+                             pa.int64()),
+        }), ["source", "lang"]).aggregate([
+            ([], "count_all"), ("n_tok", "sum"), ("n_ch", "sum"),
+            ("alpha", "sum")])
+        return pa.table({
+            "source": g["source"], "lang": g["lang"],
+            "n_docs": g["count_all"].cast(pa.int64()),
+            "n_tokens": g["n_tok_sum"].cast(pa.int64()),
+            "n_chars": g["n_ch_sum"].cast(pa.int64()),
+            "alpha_cnt": g["alpha_sum"].cast(pa.int64()),
+        })
+
+    def final_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _REPORT_SCHEMA.empty_table()
+        src = block["source"].to_numpy(zero_copy_only=False)
+        lang = block["lang"].to_numpy(zero_copy_only=False)
+        nd = block["n_docs"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((lang, src))
+        src, lang, nd = src[order], lang[order], nd[order]
+        cols = {c: block[c].to_numpy(zero_copy_only=False)[order]
+                for c in ("n_tokens", "n_chars", "alpha_cnt")}
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        new_lang = np.r_[True, (src[1:] != src[:-1]) | (lang[1:] != lang[:-1])]
+        out = {"source": pa.array(src[starts], pa.string()),
+               "n_docs": pa.array(np.add.reduceat(nd, starts), pa.int64())}
+        for c in ("n_tokens", "n_chars", "alpha_cnt"):
+            out[c] = pa.array(np.add.reduceat(cols[c], starts), pa.int64())
+        out["n_langs"] = pa.array(
+            np.add.reduceat(new_lang.astype(np.int64), starts), pa.int64())
+        out["n_en_docs"] = pa.array(
+            np.add.reduceat(np.where(lang == "en", nd, 0), starts), pa.int64())
+        return pa.table(out)
+
+    rows = pruned_read(f"{sf_dir}/documents.parquet",
+                       ["source", "lang", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    return per_key_blocks(rows, ["source"], final_block, num_partitions=4)
+
+
+SQL_SOURCE_REPORT = r"""
+WITH per AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> ''))) AS n_tokens,
+         SUM(length(text)) AS n_chars,
+         SUM(length(regexp_replace(text, '[^a-z]', '', 'g'))) AS alpha_cnt
+  FROM documents GROUP BY source, lang
+)
+SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(alpha_cnt) AS BIGINT) AS alpha_cnt,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(CASE WHEN lang = 'en' THEN n_docs ELSE 0 END) AS BIGINT)
+           AS n_en_docs
+FROM per GROUP BY source
+"""
+
+
 QUERIES = {
     "token_stats": token_stats,
     "fingerprint_dups": fingerprint_dups,
@@ -430,6 +529,7 @@ QUERIES = {
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
     "normalize_text": normalize_text,
+    "source_report": source_report,
 }
 
 SQL = {
@@ -439,4 +539,5 @@ SQL = {
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "normalize_text": SQL_NORMALIZE_TEXT,
+    "source_report": SQL_SOURCE_REPORT,
 }
