@@ -27,7 +27,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
         prog="ocrautomator_ray.run",
         description="Ray-Data-native interleaved-document extraction pipeline",
     )
-    p.add_argument("--pipeline", choices=["extract", "curate", "assemble"],
+    p.add_argument("--pipeline",
+                   choices=["extract", "curate", "assemble", "full-corpus",
+                            "training-mix"],
                    default="extract",
                    help="extract: the OCR/span flagship; curate: normalize + "
                         "quality-filter + dedup + split over documents.parquet; "
@@ -99,6 +101,21 @@ def main(argv: list[str] | None = None) -> dict:
             return run_assembly(args.input, args.out,
                                 num_partitions=args.partitions,
                                 resume=not args.no_resume)
+
+        if args.pipeline == "full-corpus":
+            from ocrautomator_ray.pipelines.full_corpus import run_full_corpus
+
+            return run_full_corpus(args.input, args.out,
+                                   num_partitions=args.partitions,
+                                   resume=not args.no_resume,
+                                   partition_by=args.partition_by)
+
+        if args.pipeline == "training-mix":
+            from ocrautomator_ray.pipelines.training_mix import run_training_mix
+
+            return run_training_mix(args.input, args.out,
+                                    num_partitions=args.partitions,
+                                    resume=not args.no_resume)
 
         from ocrautomator_ray.pipelines.extract import PipelineConfig, run_extraction
         from ocrautomator_ray.sources.io import read_docs
