@@ -763,7 +763,11 @@ GROUP BY doc_id
 # 64-bucket histogram over the DESC-score key comes back to the driver
 # (O(buckets) ints), ONE exchange keyed on the score bucket ranks each run
 # locally and adds the bucket's prefix offset, and the NTILE boundary is pure
-# integer arithmetic on (rank, total) — no global sort at any size.
+# integer arithmetic on (rank, total) — no global sort at any size.  The
+# materialization is object-store blocks (spillable), ~24 bytes/doc; a
+# 10^12-doc run would checkpoint the scores through the resumable sink
+# instead (the run_training_mix picked-mix discipline) and read them back for
+# both passes, which also makes the whole operator restartable.
 # --------------------------------------------------------------------------
 
 PPL_TILES = 3

@@ -1,0 +1,44 @@
+"""CLI dispatch smoke for the corpus pipelines: `--pipeline full-corpus` and
+`--pipeline training-mix` must run end-to-end in a fresh process (workers
+import by cwd), commit partitions, and be a no-op on immediate rerun (the
+whole-product resume contract, both checkpoint halves included)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_cli(pipeline: str, out: str) -> None:
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)  # subprocess owns its own local session
+    cmd = [sys.executable, "-m", "ocrautomator_ray.run", "--pipeline",
+           pipeline, "--input", SF, "--out", out, "--partitions", "4",
+           "--num-cpus", "4", "--quiet"]
+    r = subprocess.run(cmd, cwd="/root/repo", env=env, capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
+@pytest.mark.parametrize("pipeline", ["full-corpus", "training-mix"])
+def test_cli_pipeline_runs_and_rerun_resumes(pipeline, tmp_path):
+    out = str(tmp_path / pipeline)
+    _run_cli(pipeline, out)
+    parts = sorted(os.listdir(os.path.join(out, "data")))
+    assert parts, "no committed fragments"
+    manifests = [f for f in os.listdir(os.path.join(out, "manifest"))
+                 if f.startswith("part-") and f.endswith(".json")]
+    assert len(manifests) == 4
+    stamp = {f: os.stat(os.path.join(out, "data", f)).st_mtime_ns
+             for f in parts}
+    with open(os.path.join(out, "manifest", manifests[0])) as f:
+        assert json.load(f).get("status") == "committed"
+
+    # rerun = full resume: no fragment rewritten
+    _run_cli(pipeline, out)
+    for f, m in stamp.items():
+        assert os.stat(os.path.join(out, "data", f)).st_mtime_ns == m, f
