@@ -45,10 +45,24 @@ def main() -> int:
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    def oracle(sql: str) -> pd.DataFrame:
+        # Fresh connection per query: a single shared connection accumulates
+        # buffer-pool state across 100+ queries (several of them recursive
+        # CTEs over 6M-row tables at the 10× dir) and eventually OOMs the
+        # whole sweep; per-query connections release everything, and the
+        # explicit cap keeps DuckDB from fighting Ray's object store for
+        # the same RAM.
+        con = duckdb.connect()
+        con.execute("SET memory_limit='32GB'")
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        try:
+            return con.execute(sql).df()
+        finally:
+            con.close()
+
     qs, osql = e.queries(), e.oracle_sql()
     bad = []
     for name, fn in qs.items():
@@ -59,7 +73,7 @@ def main() -> int:
         if name not in osql:
             print(f"{name:32s} rows={len(df):7d}  (no oracle)")
             continue
-        odf = con.execute(osql[name]).df()
+        odf = oracle(osql[name])
         df, odf = _canon(df), _canon(odf)
         rows = len(df) == len(odf)
         schema = list(df.columns) == list(odf.columns)

@@ -112,10 +112,21 @@ def main() -> int:
     import __ray_entry__ as e
 
     qs, osql = e.queries(), e.oracle_sql()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    def oracle(sql: str) -> pd.DataFrame:
+        # fresh connection + cap per query — a shared connection accumulates
+        # buffer-pool state across the sweep and can OOM at the scaled dirs
+        # (same fix as tools/check_correctness.py)
+        con = duckdb.connect()
+        con.execute("SET memory_limit='32GB'")
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        try:
+            return con.execute(sql).df()
+        finally:
+            con.close()
+
     results, bad = {}, []
     for name in names:
         t0 = time.time()
@@ -128,7 +139,7 @@ def main() -> int:
                "spilled_mb_peak": wm.max_mb}
         if name in osql and not engine_only:
             t0 = time.time()
-            odf = con.execute(osql[name]).df()
+            odf = oracle(osql[name])
             row["oracle_sec"] = round(time.time() - t0, 2)
             df, odf = _canon(df), _canon(odf)
             ok = (len(df) == len(odf)
