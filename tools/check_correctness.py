@@ -54,7 +54,12 @@ def main() -> int:
         # explicit cap keeps DuckDB from fighting Ray's object store for
         # the same RAM.
         con = duckdb.connect()
-        con.execute("SET memory_limit='32GB'")
+        # 16 GB cap + an explicit spill dir: the box is a ~88 GiB cgroup
+        # shared with Ray's object store, and without temp_directory an
+        # in-memory DuckDB cannot spill — the per-byte media oracles at the
+        # scaled dirs then die on malloc instead of spilling.
+        con.execute("SET memory_limit='16GB'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS "
                         f"SELECT * FROM read_parquet('{sf}/{t}.parquet')")
