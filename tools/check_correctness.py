@@ -8,9 +8,9 @@ columns sorted by name, rows sorted, values hashed. Usage:
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 
-import duckdb
 import numpy as np
 import pandas as pd
 
@@ -34,6 +34,22 @@ def _hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
+def _oracle_subprocess(sf: str, sql: str) -> pd.DataFrame:
+    import subprocess
+    import tempfile
+
+    exec_py = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "_oracle_exec.py")
+    with tempfile.TemporaryDirectory(prefix="oracle_") as td:
+        sql_file = os.path.join(td, "q.sql")
+        out = os.path.join(td, "out.parquet")
+        with open(sql_file, "w") as f:
+            f.write(sql)
+        subprocess.run([sys.executable, exec_py, sf, sql_file, out],
+                       check=True)
+        return pd.read_parquet(out)
+
+
 def main() -> int:
     import ray
 
@@ -47,26 +63,13 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     def oracle(sql: str) -> pd.DataFrame:
-        # Fresh connection per query: a single shared connection accumulates
-        # buffer-pool state across 100+ queries (several of them recursive
-        # CTEs over 6M-row tables at the 10× dir) and eventually OOMs the
-        # whole sweep; per-query connections release everything, and the
-        # explicit cap keeps DuckDB from fighting Ray's object store for
-        # the same RAM.
-        con = duckdb.connect()
-        # 16 GB cap + an explicit spill dir: the box is a ~88 GiB cgroup
-        # shared with Ray's object store, and without temp_directory an
-        # in-memory DuckDB cannot spill — the per-byte media oracles at the
-        # scaled dirs then die on malloc instead of spilling.
-        con.execute("SET memory_limit='16GB'")
-        con.execute("SET temp_directory='/tmp/duckdb_spill'")
-        for t in TABLES:
-            con.execute(f"CREATE VIEW {t} AS "
-                        f"SELECT * FROM read_parquet('{sf}/{t}.parquet')")
-        try:
-            return con.execute(sql).df()
-        finally:
-            con.close()
+        # Run every oracle in a Ray-free SUBPROCESS (tools/_oracle_exec.py):
+        # merely importing ray swaps the process allocator, under which
+        # DuckDB 1.0's spill path dies with "bad allocation" on the heavy
+        # media oracles at the scaled dirs even though the same SQL
+        # succeeds in a clean process. A fresh process per query also
+        # releases all buffer-pool state between the 100+ sweep queries.
+        return _oracle_subprocess(sf, sql)
 
     qs, osql = e.queries(), e.oracle_sql()
     bad = []

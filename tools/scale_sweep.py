@@ -20,7 +20,6 @@ import json
 import sys
 import time
 
-import duckdb
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
@@ -114,23 +113,23 @@ def main() -> int:
     qs, osql = e.queries(), e.oracle_sql()
 
     def oracle(sql: str) -> pd.DataFrame:
-        # fresh connection + cap per query — a shared connection accumulates
-        # buffer-pool state across the sweep and can OOM at the scaled dirs
-        # (same fix as tools/check_correctness.py)
-        con = duckdb.connect()
-        # 16 GB cap + an explicit spill dir: the box is a ~88 GiB cgroup
-        # shared with Ray's object store, and without temp_directory an
-        # in-memory DuckDB cannot spill — the per-byte media oracles at the
-        # scaled dirs then die on malloc instead of spilling.
-        con.execute("SET memory_limit='16GB'")
-        con.execute("SET temp_directory='/tmp/duckdb_spill'")
-        for t in TABLES:
-            con.execute(f"CREATE VIEW {t} AS "
-                        f"SELECT * FROM read_parquet('{sf}/{t}.parquet')")
-        try:
-            return con.execute(sql).df()
-        finally:
-            con.close()
+        # Run every oracle in a Ray-free SUBPROCESS (tools/_oracle_exec.py):
+        # merely importing ray swaps the process allocator, under which
+        # DuckDB 1.0's spill path dies with "bad allocation" on the heavy
+        # media oracles at the scaled dirs even though the same SQL
+        # succeeds in a clean process (same fix as check_correctness.py).
+        import subprocess
+        import tempfile
+        exec_py = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "_oracle_exec.py")
+        with tempfile.TemporaryDirectory(prefix="oracle_") as td:
+            sql_file = os.path.join(td, "q.sql")
+            out = os.path.join(td, "out.parquet")
+            with open(sql_file, "w") as f:
+                f.write(sql)
+            subprocess.run([sys.executable, exec_py, sf, sql_file, out],
+                           check=True)
+            return pd.read_parquet(out)
 
     results, bad = {}, []
     for name in names:
