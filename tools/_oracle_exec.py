@@ -28,11 +28,14 @@ def main() -> int:
     with open(sql_file) as f:
         sql = f.read()
     con = duckdb.connect()
-    # 16 GB cap + a spill dir that MUST pre-exist (DuckDB 1.0 does not
-    # create temp_directory, and a failed eviction also surfaces as
-    # "bad allocation").
+    # Capped + a spill dir that MUST pre-exist (DuckDB 1.0 does not create
+    # temp_directory, and a failed eviction also surfaces as "bad
+    # allocation"). 32 GB default: the subprocess is the only DuckDB on the
+    # box and Ray's 10×-dir sweeps leave the object store nearly idle, while
+    # a 16 GB cap turns the quadratic minhash-mirror oracles spill-bound
+    # (~3× the round-3 wall). Override with ORACLE_MEM for tighter boxes.
     os.makedirs("/tmp/duckdb_spill", exist_ok=True)
-    con.execute("SET memory_limit='16GB'")
+    con.execute(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '32GB')}'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS "
