@@ -17,7 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from ocrautomator_ray.functions.exchange import pruned_read
+from ocrautomator_ray.functions.exchange import pruned_read, stripped_read
 
 ANN_NUM_QUERIES = 10
 ANN_K = 5
@@ -41,7 +41,7 @@ def _embed_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
 def _load_queries(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.compute as pc
 
-    ds = rd.read_parquet(
+    ds = stripped_read(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding"],
         filter=(pc.field("vec_id") < num_queries),
@@ -224,7 +224,7 @@ def _train_centroids(sf_dir: str, n_centroids: int = IVF_CENTROIDS,
     """
     import pyarrow.compute as pc
 
-    ds = rd.read_parquet(
+    ds = stripped_read(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filter=((pc.bit_wise_and(pc.field("vec_id"), 3) == 0)
                 & (pc.field("vec_id") < 4 * IVF_TRAIN_SAMPLE)),

@@ -34,7 +34,10 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ocrautomator_ray.functions.dedup import _tokenize_re2
-from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks, pruned_read
+from ocrautomator_ray.functions.exchange import (auto_partitions,
+                                                    per_key_blocks,
+                                                    pruned_read,
+                                                    stripped_read)
 from ocrautomator_ray.functions.filters import WORD_RE
 
 TFIDF_TOP_K = 3
@@ -527,8 +530,8 @@ def bm25_doc0_topk(sf_dir: str, k: int = BM25_TOP_K) -> rd.Dataset:
     path = f"{sf_dir}/documents.parquet"
 
     # query = document 0's distinct tokens (tiny pruned filtered read)
-    q = rd.read_parquet(path, columns=["doc_id", "text"],
-                        filter=(pc.field("doc_id") == 0)).to_pandas()
+    q = stripped_read(path, columns=["doc_id", "text"],
+                      filter=(pc.field("doc_id") == 0)).to_pandas()
     q_flat, _ = _tokenize_re2(pa.array(q["text"].tolist(), pa.string()))
     q_terms = set(q_flat.to_pylist())
     q_ref = ray.put(pa.array(sorted(q_terms), pa.string()))

@@ -165,8 +165,43 @@ def pruned_read(path: str, columns: list[str],
                            override_num_blocks=nblocks)
 
 
-def _stripped_schema(path: str, columns: list[str]):
-    """The selected columns' schema with ALL metadata removed. Parquet
+def arrow_clean(df) -> "object":
+    """Convert a pandas UDF output to a metadata-free Arrow table.
+
+    A pandas-format map stage whose OUTPUT feeds a hash exchange should
+    return ``arrow_clean(df)`` instead of ``df``: a raw DataFrame block is
+    partitioned as pandas and converted to Arrow inside the shuffle
+    AGGREGATOR (a generic Ray actor where this package's import-time
+    metadata strip is not loaded), where ``pa.Table.from_pandas`` attaches
+    schema-level pandas metadata — and a schema with ANY metadata is
+    unhashable, so every shard merge logs 'Failed to hash the schemas (for
+    deduplication)' and loses the schema-dedup fast path."""
+    import pyarrow as pa
+
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def stripped_read(path: str, columns: list[str], **kwargs) -> rd.Dataset:
+    """``read_parquet`` with a metadata-stripped schema (see
+    ``_stripped_schema``) but WITHOUT ``pruned_read``'s block-count sizing —
+    for call sites that own their own ``filter=`` / block choices. Without
+    the strip, pandas-written source parquet makes every downstream
+    exchange log 'Failed to hash the schemas (for deduplication)' per
+    block.
+
+    The schema MUST equal the projection exactly (Ray rebuilds each
+    projected batch with ``Table.from_batches(..., schema=schema)``), and a
+    pushed-down ``filter=`` binds against that same schema — so any column
+    the filter references must be INCLUDED in ``columns`` even if the
+    caller doesn't need it downstream (drop it in the next map)."""
+    return rd.read_parquet(path, columns=columns,
+                           schema=_stripped_schema(path, columns), **kwargs)
+
+
+def _stripped_schema(path: str, columns: list[str] | None):
+    """The selected columns' schema (all columns when ``columns`` is None)
+    with ALL metadata removed. Parquet
     written by pandas carries a schema-level pandas-metadata dict, which
     makes the Arrow schema UNHASHABLE — every downstream exchange then logs
     'Failed to hash the schemas (for deduplication)' per block (Ray's
@@ -183,7 +218,8 @@ def _stripped_schema(path: str, columns: list[str]):
             return None
         path = sorted(frags)[0]
     full = pq.read_schema(path)
-    return pa.schema([full.field(c).remove_metadata() for c in columns])
+    names = columns if columns is not None else full.names
+    return pa.schema([full.field(c).remove_metadata() for c in names])
 
 
 def per_key_blocks(ds: rd.Dataset, keys: list[str], block_fn: Callable,

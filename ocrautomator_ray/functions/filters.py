@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ocrautomator_ray.functions.exchange import pruned_read
+from ocrautomator_ray.functions.exchange import pruned_read, stripped_read
 from ray.data.aggregate import Sum
 
 WORD_RE = r"\S+"
@@ -158,7 +158,7 @@ def percentile_filter_docs(sf_dir: str) -> rd.Dataset:
         np.array([r["n"] for r in counts], dtype=np.int64),
         PCTL_NUM, PCTL_DEN,
     )
-    return rd.read_parquet(
+    return stripped_read(
         path, columns=["doc_id", "n_chars"],
         filter=pc.field("n_chars") >= thr,  # predicate pushdown at the read
     )

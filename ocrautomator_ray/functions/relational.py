@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ocrautomator_ray.functions.exchange import pruned_read
+from ocrautomator_ray.functions.exchange import pruned_read, stripped_read
 from ray.data.aggregate import Count, Min, Sum
 
 
@@ -42,7 +42,7 @@ def _cents(x, scale: int = 100):
 # --------------------------------------------------------------------------
 
 def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(
+    ds = stripped_read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                  "l_discount", "l_shipdate"],
@@ -92,7 +92,7 @@ GROUP BY l_returnflag, l_linestatus
 # --------------------------------------------------------------------------
 
 def filter_project(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(
+    return stripped_read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
                  "l_shipdate", "l_discount"],
@@ -115,14 +115,18 @@ WHERE l_shipdate > TIMESTAMP '1997-01-01' AND l_discount > 0.05
 # --------------------------------------------------------------------------
 
 def first_event_per_user(sf_dir: str) -> rd.Dataset:
-    from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks
+    from ocrautomator_ray.functions.exchange import (arrow_clean,
+                                                     auto_partitions,
+                                                     per_key_blocks)
 
     ev_path = f"{sf_dir}/events.parquet"
     ds = pruned_read(ev_path, ["user_id", "ts", "event_id", "event_type"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        # per-batch pre-reduce: keep each user's first row; shrinks the shuffle
-        return df.sort_values(["ts", "event_id"]).drop_duplicates("user_id")
+    def partial(df: pd.DataFrame):
+        # per-batch pre-reduce: keep each user's first row; shrinks the
+        # shuffle. arrow_clean: pandas output feeding a hash exchange.
+        return arrow_clean(
+            df.sort_values(["ts", "event_id"]).drop_duplicates("user_id"))
 
     def first_rows(block: pd.DataFrame) -> pd.DataFrame:
         # block holds every surviving row of each of its users (hash exchange)
@@ -177,7 +181,7 @@ def customers_without_orders(sf_dir: str) -> rd.Dataset:
     degenerate/empty)."""
     import ray
 
-    custkeys = rd.read_parquet(
+    custkeys = stripped_read(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderdate"],
         filter=(pc.field("o_orderdate") >= pa.scalar(pd.Timestamp("1998-07-01"))),

@@ -13,7 +13,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ocrautomator_ray.functions.exchange import pruned_read
+from ocrautomator_ray.functions.exchange import pruned_read, stripped_read
 from ray.data.aggregate import Sum
 
 # --------------------------------------------------------------------------
@@ -24,12 +24,16 @@ _SPLIT_DATE = "1998-01-01"
 
 
 def union_orders_halves(sf_dir: str) -> rd.Dataset:
-    lo = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_totalprice"],
+    # o_orderdate is projected only because the pushed-down filter must bind
+    # against the read schema (see stripped_read); partial()'s select drops it.
+    lo = stripped_read(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_totalprice", "o_orderdate"],
         filter=(pc.field("o_orderdate") < pa.scalar(pd.Timestamp(_SPLIT_DATE))),
     )
-    hi = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_totalprice"],
+    hi = stripped_read(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_totalprice", "o_orderdate"],
         filter=(pc.field("o_orderdate") >= pa.scalar(pd.Timestamp(_SPLIT_DATE))),
     )
 
@@ -73,7 +77,7 @@ GROUP BY o_orderstatus
 # --------------------------------------------------------------------------
 
 def revenue_by_priority(sf_dir: str) -> rd.Dataset:
-    line = rd.read_parquet(
+    line = stripped_read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -186,14 +190,16 @@ TOPK_PER_USER = 2
 
 
 def top_events_per_user(sf_dir: str) -> rd.Dataset:
-    from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks
+    from ocrautomator_ray.functions.exchange import (arrow_clean,
+                                                     auto_partitions,
+                                                     per_key_blocks)
 
     ev_path = f"{sf_dir}/events.parquet"
     ds = pruned_read(ev_path, ["user_id", "event_id", "value"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame):
         # batch-local top-k per user — shrinks the shuffle to k rows/user/batch
-        return (
+        return arrow_clean(
             df.sort_values(["value", "event_id"], ascending=[False, True])
             .groupby("user_id", as_index=False)
             .head(TOPK_PER_USER)

@@ -27,7 +27,10 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Max, Min, Sum
 
-from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks, pruned_read
+from ocrautomator_ray.functions.exchange import (auto_partitions,
+                                                    per_key_blocks,
+                                                    pruned_read,
+                                                    stripped_read)
 
 # --------------------------------------------------------------------------
 # followers_within_window — interval self-join: for each 'click' event, count
@@ -458,10 +461,10 @@ def customer_order_counts(sf_dir: str) -> rd.Dataset:
     orders_path = f"{sf_dir}/orders.parquet"
     from ocrautomator_ray.functions.exchange import read_blocks
 
-    cust = rd.read_parquet(cust_path, columns=["c_custkey"],
-                           override_num_blocks=read_blocks(cust_path))
-    orders = rd.read_parquet(orders_path, columns=["o_custkey"],
-                             override_num_blocks=read_blocks(orders_path))
+    cust = stripped_read(cust_path, columns=["c_custkey"],
+                         override_num_blocks=read_blocks(cust_path))
+    orders = stripped_read(orders_path, columns=["o_custkey"],
+                           override_num_blocks=read_blocks(orders_path))
 
     def partial(t: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(t, "o_custkey").aggregate([([], "count_all")])

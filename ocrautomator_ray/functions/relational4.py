@@ -35,6 +35,7 @@ from ocrautomator_ray.functions.exchange import (
     auto_partitions,
     per_key_blocks,
     read_blocks,
+    stripped_read,
     tune_exchange,
 )
 from ocrautomator_ray.functions.relational import _cents
@@ -228,9 +229,9 @@ def _era_revenue(ds: rd.Dataset, late: bool, out_col: str,
 def customer_era_revenue(sf_dir: str) -> rd.Dataset:
     path = f"{sf_dir}/orders.parquet"
     n_parts = auto_partitions(path)
-    ds = rd.read_parquet(path, columns=["o_custkey", "o_orderdate",
-                                        "o_totalprice"],
-                         override_num_blocks=read_blocks(path))
+    ds = stripped_read(path, columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"],
+                       override_num_blocks=read_blocks(path))
     tune_exchange(ds, n_parts)
     early = _era_revenue(ds, late=False, out_col="early_cents",
                          num_partitions=n_parts)
@@ -495,7 +496,7 @@ def orders_of_big_buyers(sf_dir: str) -> rd.Dataset:
             "total_cents": _cents(t["o_totalprice"]),
         })
 
-    orders = rd.read_parquet(
+    orders = stripped_read(
         orders_path, columns=["o_orderkey", "o_custkey", "o_totalprice"],
         override_num_blocks=read_blocks(orders_path),
     ).map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True)
@@ -544,9 +545,9 @@ def revenue_by_region(sf_dir: str) -> rd.Dataset:
     n2r[nk] = rn[np.searchsorted(rk, nr)]
     lookup_ref = ray.put(n2r)
 
-    orders = rd.read_parquet(orders_path,
-                             columns=["o_custkey", "o_totalprice"],
-                             override_num_blocks=read_blocks(orders_path))
+    orders = stripped_read(orders_path,
+                           columns=["o_custkey", "o_totalprice"],
+                           override_num_blocks=read_blocks(orders_path))
 
     def partial(t: pa.Table) -> pa.Table:
         tt = pa.table({"o_custkey": t["o_custkey"],
@@ -569,8 +570,8 @@ def revenue_by_region(sf_dir: str) -> rd.Dataset:
         orders.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True),
         ["o_custkey"], final_sum, num_partitions=n_parts)
-    cust = rd.read_parquet(cust_path, columns=["c_custkey", "c_nationkey"],
-                           override_num_blocks=read_blocks(cust_path))
+    cust = stripped_read(cust_path, columns=["c_custkey", "c_nationkey"],
+                         override_num_blocks=read_blocks(cust_path))
     joined = per_cust.join(cust, join_type="inner",
                            num_partitions=n_parts,
                            on=("o_custkey",), right_on=("c_custkey",))

@@ -269,8 +269,10 @@ def read_driver_docs(sf_dir: str, media_every: int = 3, seed: int = 42):
     doc table on the driver."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "n_chars"])
+    from ocrautomator_ray.functions.exchange import stripped_read
+
+    ds = stripped_read(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text", "n_chars"])
     return ds.map_batches(
         lambda t: docs_batch_from_documents(t, media_every, seed),
         batch_format="pyarrow", zero_copy_batch=True,
