@@ -18,6 +18,7 @@ from ocrautomator_ray.functions import corpus as _corpus
 from ocrautomator_ray.functions import curate as _curate
 from ocrautomator_ray.functions import dedup as _dedup
 from ocrautomator_ray.functions import filters as _filters
+from ocrautomator_ray.functions import kmeans as _kmeans
 from ocrautomator_ray.functions import lm as _lm
 from ocrautomator_ray.functions import media as _media
 from ocrautomator_ray.functions import mix as _mix
@@ -102,6 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(_text.QUERIES)
     q.update(_corpus.QUERIES)
     q.update(_sketch.QUERIES)
+    # -- new post-window additions (first driver attestation lands next
+    #    round; this round they are sweep- and pytest-verified) --
+    q.update(_kmeans.QUERIES)
     return q
 
 
@@ -119,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_ann.SQL)
     sql.update(_curate.SQL)
     sql.update(_media.SQL)
+    sql.update(_kmeans.SQL)
     sql.update(_lm.SQL)
     sql.update(_mix.SQL)
     sql["curate_pipeline"] = SQL_CURATE

@@ -1,0 +1,199 @@
+"""Distributed k-means (Lloyd's algorithm) over the embedding column.
+
+The engine's other centroid consumers (`ivf_index_build`, `label_centroids`)
+either train on a bounded driver-side sample or aggregate around GIVEN
+labels. This module is the missing third piece: training cluster centroids
+on the FULL table with the iteration itself distributed — the canonical
+"iterative algorithm on Ray Data" shape, and the scale path when a sampled
+trainer isn't representative (billions of vectors, rare modes).
+
+Per Lloyd round, over a streaming pass of the embeddings table:
+
+- every block assigns its rows to the nearest centroid by EXACT integer
+  arithmetic (embeddings integerized to micros, argmin of int64 dist², ties
+  to the smaller cluster id — bit-identical on any partitioning),
+- the block emits (cluster, dim) partial sums — k × dim rows per block,
+  never embedding rows,
+- ONE hash exchange reduces the partials; the driver folds the k × dim
+  result into the next centroid matrix via int64 floor division.
+
+Driver state is O(k · dim) per round (the centroid matrix — a few KB),
+broadcast back into the next pass's closure. Seeding is the `sample_k`
+pattern: the k vectors with the smallest Knuth shuffle hash (exchangeable ⇒
+uniform), ordered by (hash, vec_id) so centroid ids are reproducible. Empty
+clusters keep their previous centroid and report n = 0.
+
+The SQL oracle unrolls the same `KM_ITERS` rounds as chained CTEs — the
+assignment is a dim-join + QUALIFY argmin, the update a GROUP BY with
+FLOOR(SUM/COUNT) (exact here: |Σmicros| < 2^53 and quotient gaps ≫ 1 ulp,
+while DuckDB's `//` truncates toward zero and would disagree with numpy's
+floor division on negative sums).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ocrautomator_ray.functions.ann import _embed_matrix
+from ocrautomator_ray.functions.exchange import pruned_read, tune_exchange
+from ocrautomator_ray.functions.mix import SHUFFLE_SEED, mix_hash, sql_mix_hash
+
+KM_K = 8
+KM_ITERS = 3
+
+
+def _micros(t: pa.Table) -> np.ndarray:
+    """(n, dim) int64 micro-embeddings — same integerization as
+    label_centroids, so distributed sums are order-independent. |v| ≲ 1 in
+    the tables ⇒ |micros| ≲ 1e6 ⇒ dist² ≤ 64·(2e6)² ≈ 2.6e14 and
+    |Σmicros| ≤ n·1e6 — both far inside int64 (and Σ inside double's 2^53,
+    which the SQL mirror's FLOOR(SUM/COUNT) relies on)."""
+    return np.floor(_embed_matrix(t) * 1e6 + 0.5).astype(np.int64)
+
+
+def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
+    """(k, dim) int64 seed centroids: the k vec_ids with the smallest
+    shuffle hash, ordered by (hash, vec_id) — rank = cluster id. Per-batch
+    bottom-k prune is lossless (the global bottom-k is a subset of batch
+    bottom-ks), so the driver sorts k × blocks rows, never the table."""
+    ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("h", pa.array([], pa.int64()))
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = mix_hash(ids, SHUFFLE_SEED)
+        if len(ids) > k:
+            keep = np.lexsort((ids, h))[:k]
+            keep.sort()
+            t, h = t.take(pa.array(keep)), h[keep]
+        return t.append_column("h", pa.array(h, pa.int64()))
+
+    df = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .sort(key=["h", "vec_id"]).limit(k).to_pandas())
+    E = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return np.floor(E * 1e6 + 0.5).astype(np.int64)
+
+
+def kmeans_fit(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> rd.Dataset:
+    """(cluster, dim, centroid_micros, n) after ``iters`` Lloyd rounds.
+
+    ``dim`` is 1-based (generate_subscripts parity), ``centroid_micros`` the
+    final micro-int centroid value, ``n`` the cluster's size under the LAST
+    assignment (repeated per dim; 0 for an empty cluster, whose centroid
+    stays at its previous value). k × dim output rows.
+    """
+    from ray.data.aggregate import Sum
+
+    C = _init_centroids(sf_dir, k)
+    dim = C.shape[1]
+    partial_schema = pa.schema([
+        ("cluster", pa.int64()), ("dim", pa.int64()),
+        ("sum_micros", pa.int64()), ("n", pa.int64()),
+    ])
+    clusters = np.repeat(np.arange(k, dtype=np.int64), dim)
+    dims = np.tile(np.arange(1, dim + 1, dtype=np.int64), k)
+
+    ns = np.zeros(k, dtype=np.int64)
+    for _ in range(iters):
+        def assign_partial(t: pa.Table, C=C) -> pa.Table:
+            if t.num_rows == 0:
+                return partial_schema.empty_table()
+            M = _micros(t)
+            # dist² = |m|² − 2m·cᵀ + |c|², all int64 (margins in _micros)
+            d = ((M * M).sum(axis=1, keepdims=True) - 2 * (M @ C.T)
+                 + (C * C).sum(axis=1))
+            a = np.argmin(d, axis=1)  # first occurrence = smaller cluster id
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, a, M)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(clusters, pa.int64()),
+                "dim": pa.array(dims, pa.int64()),
+                "sum_micros": pa.array(sums.reshape(-1), pa.int64()),
+                "n": pa.array(np.repeat(counts, dim), pa.int64()),
+            })
+
+        ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["embedding"])
+        out = ds.map_batches(assign_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        tune_exchange(out)
+        agg = (out.groupby(["cluster", "dim"], num_partitions=8)
+                  .aggregate(Sum("sum_micros", alias_name="sum_micros"),
+                             Sum("n", alias_name="n"))
+                  .to_pandas().sort_values(["cluster", "dim"]))
+        sums = agg["sum_micros"].to_numpy(dtype=np.int64).reshape(k, dim)
+        ns = agg["n"].to_numpy(dtype=np.int64).reshape(k, dim)[:, 0]
+        nz = ns > 0
+        C = C.copy()
+        C[nz] = sums[nz] // ns[nz, None]  # floor division, mirrored in SQL
+
+    return rd.from_arrow(pa.table({
+        "cluster": pa.array(clusters, pa.int64()),
+        "dim": pa.array(dims, pa.int64()),
+        "centroid_micros": pa.array(C.reshape(-1), pa.int64()),
+        "n": pa.array(np.repeat(ns, dim), pa.int64()),
+    }))
+
+
+def _sql_kmeans(k: int = KM_K, iters: int = KM_ITERS) -> str:
+    """Unrolled Lloyd rounds as chained CTEs, mirroring kmeans_fit exactly."""
+    h = sql_mix_hash("vec_id", SHUFFLE_SEED)
+    parts = [f"""
+WITH emb AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)*1000000 + 0.5)
+                AS BIGINT) AS v
+    FROM embeddings
+),
+seeds AS (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY {h}, vec_id) - 1 AS c
+    FROM (SELECT vec_id FROM embeddings ORDER BY {h}, vec_id LIMIT {k})
+),
+cent0 AS (
+    SELECT s.c, e.dim, e.v FROM seeds s JOIN emb e USING (vec_id)
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+a{i} AS (
+    SELECT vec_id, c FROM (
+        SELECT e.vec_id, c.c, SUM((e.v - c.v) * (e.v - c.v)) AS d
+        FROM emb e JOIN cent{i - 1} c USING (dim)
+        GROUP BY e.vec_id, c.c)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) = 1
+),
+u{i} AS (
+    -- FLOOR(double division), NOT //: DuckDB's // truncates toward zero,
+    -- numpy's floor division floors — they disagree on negative sums
+    SELECT a.c, e.dim,
+           CAST(FLOOR(CAST(SUM(e.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v,
+           COUNT(*) AS n
+    FROM a{i} a JOIN emb e USING (vec_id)
+    GROUP BY a.c, e.dim
+),
+cent{i} AS (
+    SELECT p.c, p.dim, COALESCE(u.v, p.v) AS v
+    FROM cent{i - 1} p LEFT JOIN u{i} u ON u.c = p.c AND u.dim = p.dim
+)""")
+    parts.append(f"""
+SELECT p.c AS cluster, CAST(p.dim AS BIGINT) AS dim,
+       COALESCE(u.v, p.v) AS centroid_micros,
+       COALESCE(u.n, 0) AS n
+FROM cent{iters - 1} p
+LEFT JOIN u{iters} u ON u.c = p.c AND u.dim = p.dim
+""")
+    return "".join(parts)
+
+
+SQL_KMEANS_FIT = _sql_kmeans()
+
+
+QUERIES = {
+    "kmeans_fit": kmeans_fit,
+}
+
+SQL = {
+    "kmeans_fit": SQL_KMEANS_FIT,
+}

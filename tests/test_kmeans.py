@@ -1,0 +1,95 @@
+"""Pure-numpy serial oracle for the distributed k-means
+(functions/kmeans.py). The SQL oracle in __ray_entry__ is the primary gate;
+this pins the semantics against an independent single-process Lloyd run
+(exact integer arithmetic end-to-end) plus the properties SQL equality
+can't express: determinism across runs and the empty-cluster carry rule."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from ocrautomator_ray.functions import kmeans as KM
+from ocrautomator_ray.functions.mix import SHUFFLE_SEED, mix_hash
+
+SF = "/root/testdata/sf0.001"
+
+
+def _serial_lloyd(vec_ids, E, k, iters):
+    """Single-process mirror of kmeans_fit: micro-int Lloyd with hash-rank
+    seeding, argmin ties to the smaller cluster, floor-div updates,
+    empty clusters carrying their previous centroid."""
+    M = np.floor(E.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    h = mix_hash(vec_ids.astype(np.int64), SHUFFLE_SEED)
+    C = M[np.lexsort((vec_ids, h))[:k]].copy()
+    ns = np.zeros(k, dtype=np.int64)
+    for _ in range(iters):
+        d = ((M * M).sum(axis=1, keepdims=True) - 2 * (M @ C.T)
+             + (C * C).sum(axis=1))
+        a = np.argmin(d, axis=1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, a, M)
+        ns = np.bincount(a, minlength=k).astype(np.int64)
+        nz = ns > 0
+        C = C.copy()
+        C[nz] = sums[nz] // ns[nz, None]
+    return C, ns
+
+
+@pytest.fixture(scope="module")
+def emb():
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    E = np.stack(t["embedding"].to_pandas().to_numpy())
+    return ids, E
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_matches_serial_lloyd(emb):
+    ids, E = emb
+    df = KM.kmeans_fit(SF).to_pandas().sort_values(
+        ["cluster", "dim"]).reset_index(drop=True)
+    k, dim = KM.KM_K, E.shape[1]
+    assert len(df) == k * dim
+    C, ns = _serial_lloyd(ids, E, k, KM.KM_ITERS)
+    got_C = df["centroid_micros"].to_numpy(dtype=np.int64).reshape(k, dim)
+    got_n = df["n"].to_numpy(dtype=np.int64).reshape(k, dim)
+    assert (got_n == ns[:, None]).all()  # n repeated per dim
+    np.testing.assert_array_equal(got_C, C)
+    assert int(ns.sum()) == len(ids)  # last assignment covers every vector
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_deterministic_across_runs():
+    a = KM.kmeans_fit(SF).to_pandas().sort_values(["cluster", "dim"])
+    b = KM.kmeans_fit(SF).to_pandas().sort_values(["cluster", "dim"])
+    assert (a.to_numpy() == b.to_numpy()).all()
+
+
+def test_ties_go_to_smaller_cluster_and_empty_keeps_centroid():
+    # Make the two seed rows (lowest hash ranks) IDENTICAL: every point then
+    # ties between the two seed centroids, the argmin tie rule sends all of
+    # them to the smaller cluster id, and cluster 1 is empty from round 1 on
+    # — pinning both the tie-break and the carry-previous-centroid rule the
+    # SQL oracle mirrors with ORDER BY d, c and COALESCE.
+    ids = np.arange(6, dtype=np.int64)
+    h = mix_hash(ids, SHUFFLE_SEED)
+    order = np.lexsort((ids, h))[:2]
+    E = np.full((6, 2), 0.25, dtype=np.float64)
+    E[order[0]] = [0.5, -0.5]
+    E[order[1]] = [0.5, -0.5]
+    M = np.floor(E * 1e6 + 0.5).astype(np.int64)
+    seed_micro = np.floor(np.array([0.5, -0.5]) * 1e6 + 0.5).astype(np.int64)
+
+    C1, ns1 = _serial_lloyd(ids, E, 2, 1)
+    assert ns1.tolist() == [6, 0]  # ties all went to the smaller id
+    np.testing.assert_array_equal(C1[1], seed_micro)  # carried, not updated
+    np.testing.assert_array_equal(C1[0], M.sum(axis=0) // 6)
+
+    # round 2: the CARRIED centroid re-captures its two identical points —
+    # the carry rule is live behavior, not dead state
+    C2, ns2 = _serial_lloyd(ids, E, 2, 2)
+    assert ns2.tolist() == [4, 2]
+    np.testing.assert_array_equal(C2[1], seed_micro)
+    np.testing.assert_array_equal(
+        C2[0], M[~np.isin(ids, ids[order])].sum(axis=0) // 4)
