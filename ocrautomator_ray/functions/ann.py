@@ -373,6 +373,28 @@ def _evict_stale_indexes(index_dir: str) -> None:
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
+def _make_assign(C: np.ndarray):
+    """Per-batch nearest-centroid assignment against the broadcast centroid
+    matrix — shared by the base build and epoch appends so both layouts are
+    assigned by byte-identical arithmetic."""
+    import ray
+
+    ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # derive the empty table from the INPUT schema: a hand-written
+            # large_list(float32) here diverges from the source's
+            # list<float32> and Ray's block concat refuses to merge the two
+            return t.append_column("centroid", pa.array([], pa.int32()))
+        En = _embed_matrix(t)
+        En = En / np.linalg.norm(En, axis=1, keepdims=True)
+        cent = np.argmax(En @ ray.get(ref).T, axis=1).astype(np.int32)
+        return t.append_column("centroid", pa.array(cent, pa.int32()))
+
+    return assign
+
+
 def ivf_index_build(sf_dir: str, index_dir: str | None = None,
                     num_partitions: int = 8) -> dict:
     """Build (or resume) the persisted IVF-flat index: one distributed
@@ -395,19 +417,7 @@ def ivf_index_build(sf_dir: str, index_dir: str | None = None,
     else:
         C = _train_centroids(sf_dir)
         _write_centroids(index_dir, C)
-    ref = ray.put(C)
-
-    def assign(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            # derive the empty table from the INPUT schema: a hand-written
-            # large_list(float32) here diverges from the source's
-            # list<float32> and Ray's block concat refuses to merge the two
-            return t.append_column("centroid", pa.array([], pa.int32()))
-        En = _embed_matrix(t)
-        En = En / np.linalg.norm(En, axis=1, keepdims=True)
-        cent = np.argmax(En @ ray.get(ref).T, axis=1).astype(np.int32)
-        return t.append_column("centroid", pa.array(cent, pa.int32()))
-
+    assign = _make_assign(C)
     ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
     summary = resumable_write(
         ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
@@ -420,14 +430,52 @@ def ivf_index_build(sf_dir: str, index_dir: str | None = None,
     return summary
 
 
+def ivf_index_append(new_path: str, index_dir: str,
+                     num_partitions: int = 4) -> dict:
+    """Fold a NEW embeddings fragment into a committed index without
+    rebuilding: assign only the fragment's vectors against the PERSISTED
+    centroid matrix (zero training) and commit them as an epoch sub-sink —
+    ``epochs/<basename>-<size>-<mtime_ns>/`` with its own manifests and the
+    same hive ``centroid=<c>`` layout. The watch-mode path: at 10^12 rows an
+    arriving fragment is a millionth of the table and a full rebuild is not
+    an option; append cost is O(fragment), probe cost stays n_probe/NC of
+    the (now larger) table. Idempotent: the epoch tag fingerprints the
+    fragment, so re-appending the same file resumes to a no-op, and a
+    killed append resumes with O(P) manifest reads like any sink. Probes
+    union base + epoch value directories (``ivf_probe_dirs``), so
+    ``ivf_index_topk`` sees appended vectors with no code change. Mirrors
+    the centroid-stability tradeoff of every production IVF: appends do not
+    move centroids; retrain+rebuild when drift accumulates."""
+    from ocrautomator_ray.sinks.parquet_commit import resumable_write
+
+    st = os.stat(new_path)
+    tag = f"{os.path.basename(new_path)}-{st.st_size}-{st.st_mtime_ns}"
+    epoch_dir = os.path.join(index_dir, "epochs", tag)
+    assign = _make_assign(_read_centroids(index_dir))
+    ds = pruned_read(new_path, ["vec_id", "embedding"])
+    summary = resumable_write(
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
+        epoch_dir, num_partitions=num_partitions, key="vec_id",
+        input_desc=new_path, partition_by="centroid")
+    summary["epoch_dir"] = epoch_dir
+    return summary
+
+
 def ivf_probe_dirs(index_dir: str, probe: np.ndarray) -> list[str]:
     """The centroid value directories a probe set actually touches — the
     union over queries of their n_probe nearest centroids, intersected with
-    the directories that exist (a centroid with no vectors writes none)."""
+    the directories that exist (a centroid with no vectors writes none).
+    Epoch sub-sinks from ``ivf_index_append`` contribute their value dirs
+    too, so queries see appended vectors."""
     import os
 
     want = sorted({int(c) for c in probe.reshape(-1)})
-    dirs = [os.path.join(index_dir, "data", f"centroid={c}") for c in want]
+    roots = [os.path.join(index_dir, "data")]
+    epochs = os.path.join(index_dir, "epochs")
+    if os.path.isdir(epochs):
+        roots += [os.path.join(epochs, e, "data")
+                  for e in sorted(os.listdir(epochs))]
+    dirs = [os.path.join(r, f"centroid={c}") for r in roots for c in want]
     return [d for d in dirs if os.path.isdir(d)]
 
 

@@ -319,3 +319,72 @@ def test_duplicate_doc_ids_produce_no_self_pairs(tmp_path):
     assert set(zip(sh["doc_a"], sh["doc_b"])) == {(7, 8)}
     mh = D.minhash_lsh_dups(str(tmp_path)).to_pandas()
     assert set(zip(mh["doc_a"], mh["doc_b"])) == {(7, 8)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_index_append_folds_new_fragment(tmp_path):
+    """ivf_index_append must (a) assign ONLY the new fragment against the
+    PERSISTED centroids (no retraining — centroids.parquet untouched),
+    (b) leave base ∪ epochs holding every vector exactly once with the
+    stored assignment equal to the argmax against those centroids, (c) make
+    ivf_index_topk EXACT over the probed cells of the grown index (the IVF
+    approximation is entirely which cells are probed), and (d) be
+    idempotent — re-appending the same fragment resumes to a no-op."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from ocrautomator_ray.functions import ann as A
+
+    t = pq_.read_table(f"{SF}/embeddings.parquet")
+    ids_all = t["vec_id"].to_numpy(zero_copy_only=False)
+    even = (ids_all % 2) == 0
+    sfdir = tmp_path / "sf"
+    os.makedirs(sfdir)
+    pq_.write_table(t.filter(pa.array(even)), f"{sfdir}/embeddings.parquet")
+    appendix = tmp_path / "appendix.parquet"
+    pq_.write_table(t.filter(pa.array(~even)), str(appendix))
+
+    idx = A.ivf_index_dir(str(sfdir))
+    shutil.rmtree(idx, ignore_errors=True)
+    A.ivf_index_build(str(sfdir))
+    cent_mtime = os.stat(A._centroids_path(idx)).st_mtime_ns
+    C = A._read_centroids(idx)
+
+    s1 = A.ivf_index_append(str(appendix), idx)
+    assert s1["partitions_this_run"] > 0
+    assert os.stat(A._centroids_path(idx)).st_mtime_ns == cent_mtime
+
+    # completeness + assignment correctness over base ∪ epoch fragments
+    frags = sorted(
+        os.path.join(root, f)
+        for root, _, files in os.walk(idx) for f in files
+        if f.endswith(".parquet") and "centroid=" in root)
+    got = rd.read_parquet(frags).to_pandas()
+    assert sorted(got["vec_id"]) == sorted(ids_all)
+    E = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    expect_cent = np.argmax(En @ C.T, axis=1)
+    by_id = dict(zip(ids_all, expect_cent))
+    assert all(int(c) == int(by_id[v])
+               for v, c in zip(got["vec_id"], got["centroid"]))
+
+    # query path: exact top-k within the probed cells of the GROWN index
+    qids, Qn = A._load_queries(str(sfdir), A.ANN_NUM_QUERIES)
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :A.IVF_PROBE]
+    res = A.ivf_index_topk(str(sfdir)).to_pandas()
+    for qi, qid in enumerate(qids):
+        mask = np.isin(expect_cent, probe[qi]) & (ids_all != qid)
+        sims = Qn[qi] @ En[mask].T
+        cand = ids_all[mask]
+        order = np.lexsort((cand, -sims))[:A.ANN_K]
+        mine = res[res["qid"] == qid].sort_values("rank")
+        assert mine["vec_id"].tolist() == cand[order].tolist()
+
+    # idempotence: same fragment again is a resume no-op
+    s2 = A.ivf_index_append(str(appendix), idx)
+    assert s2["partitions_this_run"] == 0
+    shutil.rmtree(idx, ignore_errors=True)
