@@ -193,6 +193,10 @@ def run_benchmarks() -> dict:
     timed("label_dispersion", ann.label_dispersion, consume="count")
     timed("source_report", text.source_report, consume="count")
 
+    from ocrautomator_ray.functions import kmeans as km
+
+    timed("kmeans_fit", km.kmeans_fit, consume="count")
+
     from ocrautomator_ray.pipelines.curate import run_curate_flagship
     from ocrautomator_ray.pipelines.extract import run_flagship
 
