@@ -30,12 +30,22 @@ def main() -> int:
     con = duckdb.connect()
     # Capped + a spill dir that MUST pre-exist (DuckDB 1.0 does not create
     # temp_directory, and a failed eviction also surfaces as "bad
-    # allocation"). 32 GB default: the subprocess is the only DuckDB on the
-    # box and Ray's 10×-dir sweeps leave the object store nearly idle, while
-    # a 16 GB cap turns the quadratic minhash-mirror oracles spill-bound
-    # (~3× the round-3 wall). Override with ORACLE_MEM for tighter boxes.
+    # allocation"). Default cap = 70% of MemAvailable: a cap well below the
+    # quadratic minhash-mirror oracles' working set is WORSE than none —
+    # at the 10× dir a 48 GB cap spilled 68 GB to disk in 30 min without
+    # finishing, while the same query fits in RAM on this box. The
+    # subprocess is the only DuckDB running and the engine's Ray session is
+    # idle between oracles, so most of the box is genuinely available.
+    # Override with ORACLE_MEM for tighter boxes.
     os.makedirs("/tmp/duckdb_spill", exist_ok=True)
-    con.execute(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '32GB')}'")
+    cap = os.environ.get("ORACLE_MEM")
+    if not cap:
+        with open("/proc/meminfo") as f:
+            kb = {l.split(":")[0]: int(l.split()[1]) for l in f
+                  if l.startswith(("MemAvailable", "MemTotal"))}
+        avail_gb = kb.get("MemAvailable", kb["MemTotal"]) // (1 << 20)
+        cap = f"{max(8, int(avail_gb * 0.7))}GB"
+    con.execute(f"SET memory_limit='{cap}'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS "
