@@ -27,6 +27,7 @@ from ocrautomator_ray.functions import relational2 as _relational2
 from ocrautomator_ray.functions import relational3 as _relational3
 from ocrautomator_ray.functions import relational4 as _relational4
 from ocrautomator_ray.functions import sketch as _sketch
+from ocrautomator_ray.functions import snapshot as _snapshot
 from ocrautomator_ray.functions import text as _text
 from ocrautomator_ray.pipelines.assemble import SQL_ASSEMBLE, run_assemble_flagship
 from ocrautomator_ray.pipelines.curate import SQL_CURATE, run_curate_flagship
@@ -70,6 +71,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     # -- changed since last driver attestation (cherry-picked to the front;
     #    later module updates overwrite the value but keep the position) --
+    q.update(_snapshot.QUERIES)  # new this round (cross-snapshot near-dup,
+    #                              per-source drift)
+    q["hashed_doc_vectors"] = _mix.QUERIES["hashed_doc_vectors"]  # new
     q["semantic_dedup"] = _ann.QUERIES["semantic_dedup"]  # new this round
     q.update(_lm.QUERIES)  # new this round (bigram LM score, dup n-grams,
     #                        dup-n-gram removal, OOV stats, DSIR weights)
@@ -126,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_kmeans.SQL)
     sql.update(_lm.SQL)
     sql.update(_mix.SQL)
+    sql.update(_snapshot.SQL)
     sql["curate_pipeline"] = SQL_CURATE
     sql["assemble_pipeline"] = SQL_ASSEMBLE
     sql["full_corpus_pipeline"] = SQL_FULL_CORPUS

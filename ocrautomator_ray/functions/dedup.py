@@ -451,8 +451,16 @@ def _decode_shingle_blobs(col) -> tuple[np.ndarray, np.ndarray]:
     return flat, (offs[1:] - offs[:-1]) // 8
 
 
-def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD) -> rd.Dataset:
+def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
+                     pair_keep=None) -> rd.Dataset:
     """Candidate pairs via banded MinHash-LSH, verified with true Jaccard.
+
+    ``pair_keep`` (optional): vectorized predicate ``(doc_a, doc_b) ->
+    bool mask`` applied to candidate pairs BEFORE the two verify exchanges —
+    callers that can rule a pair out from the ids alone (e.g. the
+    cross-snapshot dedup in snapshot.py, which skips committed×committed
+    pairs) prune the shuffle volume at the source. Default None keeps every
+    candidate (the behavior every existing caller and oracle pins).
 
     Pipeline: the (doc_id, shingles-blob) table is derived from the read by
     vectorized kernels (~30 µs/doc) in each of its two consumer branches —
@@ -514,8 +522,12 @@ def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD) -> rd.Da
         for ia, ib in _bucket_pair_indices(bid, key):
             A, B = ids[ia], ids[ib]
             nz = A != B  # duplicate doc_id rows must not yield self-pairs
-            out_a.append(np.minimum(A[nz], B[nz]))
-            out_b.append(np.maximum(A[nz], B[nz]))
+            lo, hi = np.minimum(A[nz], B[nz]), np.maximum(A[nz], B[nz])
+            if pair_keep is not None:
+                m = pair_keep(lo, hi)
+                lo, hi = lo[m], hi[m]
+            out_a.append(lo)
+            out_b.append(hi)
         if not out_a:
             return pair_schema.empty_table()
         return pa.table({

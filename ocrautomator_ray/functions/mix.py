@@ -22,6 +22,11 @@ one small hash exchange; nothing sorts or shuffles the full corpus:
 - ``rp_project``      — sign-random-projection 64→8 dims in EXACT integer
   arithmetic (elements integerized at 1e-6 before the matmul) so the
   distributed result is bit-identical to any serial oracle.
+- ``hashed_doc_vectors`` — feature hashing (Weinberger et al., ICML 2009):
+  every document embedded into a fixed 16-dim signed token-count
+  vector with the corpus FNV-1a hash — the cheap text→vector bridge that
+  feeds kmeans_fit / ANN / semantic dedup when no learned embeddings
+  exist; all-integer, embarrassingly parallel (no exchange at all).
 
 All randomness is Knuth multiplicative hashing of ids — no RNG state, no
 seed files; the SQL oracles mirror the arithmetic exactly (HUGEINT mod 2^32).
@@ -510,6 +515,92 @@ SQL_RP_PROJECT = _sql_rp_project()
 
 
 # ---------------------------------------------------------------------------
+# hashed_doc_vectors — feature hashing (the hashing trick)
+# ---------------------------------------------------------------------------
+
+HASH_DIM = 16
+_HASH_SIGN_SHIFT = 32  # sign bit well above the bucket bits (h % HASH_DIM)
+
+
+def hashed_doc_vectors(sf_dir: str, dim: int = HASH_DIM) -> rd.Dataset:
+    """(doc_id, n_tokens, v_0..v_{dim-1}): each document's signed
+    hashed-token-count vector — v_j = Σ over token occurrences w with
+    fnv1a(w) % dim == j of sign(w), sign(w) = ±1 from hash bit 32
+    (Weinberger et al., ICML 2009 feature hashing; the sign bit unbiases
+    E[v·v'] like rp_project's Achlioptas signs).  Entirely per-batch FINAL —
+    each doc's text lives in one row, so the operator is a pure vectorized
+    map: tokenize, one vectorized FNV pass, one scatter-add per batch.
+    Output feeds kmeans_fit / brute-force cosine / LSH exactly like a
+    learned embedding column, at zero training cost."""
+    from ocrautomator_ray.functions.dedup import _fnv1a_strings, _tokenize_re2
+
+    cols = [f"v_{j}" for j in range(dim)]
+
+    def featurize(t: pa.Table) -> pa.Table:
+        flat, cnt = _tokenize_re2(t["text"])
+        n = t.num_rows
+        out = np.zeros((n, dim), np.int64)
+        if len(flat):
+            h = _fnv1a_strings(flat)
+            bucket = (h % np.uint64(dim)).astype(np.int64)
+            sign = np.where(
+                (h >> np.uint64(_HASH_SIGN_SHIFT)) & np.uint64(1) == 1,
+                -1, 1).astype(np.int64)
+            doc_idx = np.repeat(np.arange(n), cnt)
+            np.add.at(out, (doc_idx, bucket), sign)
+        res = {"doc_id": t["doc_id"],
+               "n_tokens": pa.array(cnt.astype(np.int64), pa.int64())}
+        for j, c in enumerate(cols):
+            res[c] = pa.array(out[:, j], pa.int64())
+        return pa.table(res)
+
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+    return ds.map_batches(featurize, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _sql_hashed_doc_vectors() -> str:
+    from ocrautomator_ray.functions.dedup import _sql_fnv1a
+
+    # hash each DISTINCT token once (hw is vocabulary-sized), then pivot the
+    # signed sums into the wide integer columns the engine emits
+    vcols = ",\n       ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN b = {j} THEN k * sgn ELSE 0 END), 0) "
+        f"AS BIGINT) AS v_{j}" for j in range(HASH_DIM))
+    sel = ", ".join(f"COALESCE(s.v_{j}, 0) AS v_{j}"
+                    for j in range(HASH_DIM))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+td AS (SELECT doc_id, w, COUNT(*) AS k FROM toks GROUP BY doc_id, w),
+hw AS (
+  SELECT w, {_sql_fnv1a('w')} AS h FROM (SELECT DISTINCT w FROM td)
+),
+hb AS (
+  SELECT w, CAST(h % {HASH_DIM} AS BIGINT) AS b,
+         CASE WHEN (h // {1 << _HASH_SIGN_SHIFT}) % 2 = 1
+              THEN -1 ELSE 1 END AS sgn
+  FROM hw
+),
+s AS (
+  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+       {vcols}
+  FROM td JOIN hb USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id, CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       {sel}
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+SQL_HASHED_DOC_VECTORS = _sql_hashed_doc_vectors()
+
+
+# ---------------------------------------------------------------------------
 # sample_k — deterministic exact-k uniform sample (hash ranking)
 # ---------------------------------------------------------------------------
 
@@ -560,6 +651,7 @@ QUERIES = {
     "mix_corpus": mix_corpus,
     "weighted_sample": weighted_sample,
     "rp_project": rp_project,
+    "hashed_doc_vectors": hashed_doc_vectors,
 }
 
 SQL = {
@@ -571,4 +663,5 @@ SQL = {
     "mix_corpus": SQL_MIX_CORPUS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "rp_project": SQL_RP_PROJECT,
+    "hashed_doc_vectors": SQL_HASHED_DOC_VECTORS,
 }

@@ -1,0 +1,286 @@
+"""Cross-snapshot corpus-evolution operators: the maintenance jobs a rolling
+100-TB corpus runs every time a new crawl shard lands.
+
+* ``incremental_neardup`` — the NEAR-dup half of cross-snapshot dedup
+  (curate.incremental_dedup is the exact-text half): which documents of the
+  new shard must be dropped because a verified MinHash near-duplicate
+  already exists in the committed corpus (or in an earlier-id new doc).
+  Reuses the whole banded-LSH + distributed-verify machinery of
+  dedup.minhash_lsh_dups, with one incremental twist: a ``pair_keep``
+  predicate prunes committed×committed candidate pairs BEFORE the two
+  verify exchanges — the committed corpus is never re-deduped against
+  itself, so verify shuffle volume scales with the new shard, not the
+  corpus.  (At 10^12 docs the committed side's band keys would come from a
+  persisted signature index — the ivf_index_build pattern applied to LSH —
+  instead of being recomputed; the query shape is identical.)
+* ``corpus_drift`` — per-source unigram-distribution drift between the two
+  snapshots: normalized L1 distance Σ_w |p_new(w) − p_old(w)| expressed in
+  exact integer arithmetic, drift_u = Σ_w |c_new·T_old − c_old·T_new| ×
+  1e6 // (T_new·T_old) ∈ [0, 2e6].  The monitoring table a crawl pipeline
+  alarms on ("src3's vocabulary moved 40% this snapshot — scraper broke?").
+
+The "new shard" is tagged deterministically by doc_id % INCR_NEW_MOD == 0 —
+the same convention as curate.incremental_dedup; a real pipeline passes two
+table paths and tags at the read.
+
+Distribution shapes:
+
+  incremental_neardup: minhash_lsh_dups' three exchanges (band bucket →
+  shingle attach → pair verify) with early committed×committed pruning,
+  then ONE doc-keyed exchange counts each dropped new doc's partners.
+  Output is (doc_id, n_partners), doc-id sorted within blocks.
+
+  corpus_drift: a per-source token-total side aggregate (O(sources) driver
+  rows, broadcast in the closure) + per-batch (source, token, side-count)
+  combiners → ONE (source, token)-keyed exchange where each block holds a
+  (source, token)'s full corpus counts and emits per-source |Δ| partial
+  sums → a final source-keyed reduce of O(sources × partitions) rows.  The
+  exchange moves (source, token, 2 ints) rows — the DSIR/token-exchange
+  shape that is probe-linear at 100×.  int64 bounds: each |Δ| term ≤
+  max(c_new·T_old, c_old·T_new) and the per-source total ≤ 2·T_new·T_old;
+  the final ×1e6 quotient is taken in Python ints on O(sources) rows, so
+  the only bound that matters is T_new·T_old < 2^63 — beyond ~3e9 tokens
+  per source per side, drop DRIFT_SCALE to 1e3 (SQL side is HUGEINT
+  throughout, same pipeline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ocrautomator_ray.functions.curate import INCR_NEW_MOD
+from ocrautomator_ray.functions.dedup import (
+    MINHASH_THRESHOLD,
+    _minhash_ctes,
+    _tokenize_re2,
+    minhash_lsh_dups,
+)
+from ocrautomator_ray.functions.exchange import (
+    auto_partitions,
+    per_key_blocks,
+    pruned_read,
+)
+
+# ---------------------------------------------------------------------------
+# incremental_neardup
+# ---------------------------------------------------------------------------
+
+_DROP_SCHEMA = pa.schema([("doc_id", pa.int64())])
+_NEARDUP_OUT_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("n_partners", pa.int64()),
+])
+
+
+def incremental_neardup(sf_dir: str,
+                        threshold: float = MINHASH_THRESHOLD) -> rd.Dataset:
+    """(doc_id, n_partners) for NEW-shard docs that must be DROPPED: a new
+    doc d is dropped iff some verified near-dup partner e (jaccard ≥
+    threshold) exists with e committed, or e new with e.doc_id < d.doc_id
+    (the keep-first arbitration within the shard).  n_partners counts d's
+    distinct dropping partners.  Committed docs are never dropped and
+    committed×committed pairs are never verified — the incremental win."""
+    def keep(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        return (lo % INCR_NEW_MOD == 0) | (hi % INCR_NEW_MOD == 0)
+
+    pairs = minhash_lsh_dups(sf_dir, threshold, pair_keep=keep)
+
+    def drop_rows(t: pa.Table) -> pa.Table:
+        """Per verified pair (a < b): b is dropped via partner a whenever b
+        is new (a is committed or an earlier new doc either way); a is
+        dropped via partner b only when a is new and b is committed."""
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        b_new = b % INCR_NEW_MOD == 0
+        a_new_b_old = (a % INCR_NEW_MOD == 0) & (b % INCR_NEW_MOD != 0)
+        return pa.table({"doc_id": pa.array(
+            np.concatenate([b[b_new], a[a_new_b_old]]), pa.int64())})
+
+    def count_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _NEARDUP_OUT_SCHEMA.empty_table()
+        ids = np.sort(block["doc_id"].to_numpy(zero_copy_only=False))
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        n = np.diff(np.r_[starts, len(ids)])
+        return pa.table({"doc_id": pa.array(ids[starts], pa.int64()),
+                         "n_partners": pa.array(n.astype(np.int64),
+                                                pa.int64())})
+
+    drops = pairs.map_batches(drop_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return per_key_blocks(drops, ["doc_id"], count_block, num_partitions=8)
+
+
+def _incremental_neardup_sql() -> str:
+    m = INCR_NEW_MOD
+    return f"""
+WITH {_minhash_ctes()},
+p AS (
+    SELECT doc_a, doc_b FROM ver
+    WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= {MINHASH_THRESHOLD}
+),
+drops AS (
+    SELECT doc_b AS doc_id FROM p WHERE doc_b % {m} = 0
+    UNION ALL
+    SELECT doc_a FROM p WHERE doc_a % {m} = 0 AND doc_b % {m} <> 0
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_partners
+FROM drops GROUP BY doc_id
+"""
+
+
+SQL_INCREMENTAL_NEARDUP = _incremental_neardup_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus_drift
+# ---------------------------------------------------------------------------
+
+DRIFT_SCALE = 1_000_000
+
+_TOK_SCHEMA = pa.schema([
+    ("source", pa.string()), ("w", pa.string()),
+    ("c_old", pa.int64()), ("c_new", pa.int64()),
+])
+_PARTIAL_SCHEMA = pa.schema([
+    ("source", pa.string()), ("s_abs", pa.int64()),
+])
+_DRIFT_OUT_SCHEMA = pa.schema([
+    ("source", pa.string()), ("t_old", pa.int64()), ("t_new", pa.int64()),
+    ("drift_u", pa.int64()),
+])
+
+
+def _side_counts(t: pa.Table) -> pa.Table:
+    """Per-batch (source, w, c_old, c_new) partial counts."""
+    flat, cnt = _tokenize_re2(t["text"])
+    if len(flat) == 0:
+        return _TOK_SCHEMA.empty_table()
+    src = t["source"].to_numpy(zero_copy_only=False)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    is_new = (ids % INCR_NEW_MOD == 0).astype(np.int64)
+    g = pa.TableGroupBy(pa.table({
+        "source": pa.array(np.repeat(src, cnt), pa.string()),
+        "w": flat,
+        "new": pa.array(np.repeat(is_new, cnt), pa.int64()),
+    }), ["source", "w"]).aggregate([("new", "sum"), ([], "count_all")])
+    c_new = g["new_sum"].to_numpy(zero_copy_only=False)
+    tot = g["count_all"].to_numpy(zero_copy_only=False)
+    return pa.table({"source": g["source"], "w": g["w"],
+                     "c_old": pa.array(tot - c_new, pa.int64()),
+                     "c_new": pa.array(c_new, pa.int64())})
+
+
+def corpus_drift(sf_dir: str) -> rd.Dataset:
+    """(source, t_old, t_new, drift_u): normalized unigram L1 distance ×1e6
+    between the committed and new snapshot slices, per source (2e6 =
+    disjoint vocabularies, 0 = identical distributions; -1 when a source
+    has no tokens on one side and the distance is undefined)."""
+    path = f"{sf_dir}/documents.parquet"
+    rows = pruned_read(path, ["doc_id", "source", "text"]).map_batches(
+        _side_counts, batch_format="pyarrow", zero_copy_batch=True)
+
+    # side aggregate: per-source token totals (O(sources) driver rows)
+    def total_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.schema([("source", pa.string()),
+                              ("t_old", pa.int64()),
+                              ("t_new", pa.int64())]).empty_table()
+        g = pa.TableGroupBy(block, ["source"]).aggregate(
+            [("c_old", "sum"), ("c_new", "sum")])
+        return pa.table({"source": g["source"],
+                         "t_old": g["c_old_sum"].cast(pa.int64()),
+                         "t_new": g["c_new_sum"].cast(pa.int64())})
+
+    totals = per_key_blocks(rows, ["source"], total_block,
+                            num_partitions=4).to_pandas()
+    t_old = dict(zip(totals["source"], totals["t_old"].astype(int)))
+    t_new = dict(zip(totals["source"], totals["t_new"].astype(int)))
+    srcs = np.sort(totals["source"].to_numpy())
+    t_old_v = np.array([t_old[s] for s in srcs], np.int64)
+    t_new_v = np.array([t_new[s] for s in srcs], np.int64)
+
+    def abs_block(block: pa.Table) -> pa.Table:
+        """All counts of a (source, token) are co-located: reduce the
+        partials, take |c_new·T_old − c_old·T_new| per run, emit per-source
+        partial sums."""
+        if block.num_rows == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        src = block["source"].to_numpy(zero_copy_only=False)
+        w = block["w"].to_numpy(zero_copy_only=False)
+        c_old = block["c_old"].to_numpy(zero_copy_only=False)
+        c_new = block["c_new"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, src))
+        src, w, c_old, c_new = src[order], w[order], c_old[order], c_new[order]
+        new_run = np.r_[True, (src[1:] != src[:-1]) | (w[1:] != w[:-1])]
+        starts = np.flatnonzero(new_run)
+        ro = np.add.reduceat(c_old, starts)
+        rn = np.add.reduceat(c_new, starts)
+        si = np.searchsorted(srcs, src[starts])
+        term = np.abs(rn * t_old_v[si] - ro * t_new_v[si])
+        g = pa.TableGroupBy(pa.table({
+            "source": pa.array(src[starts], pa.string()),
+            "s_abs": pa.array(term, pa.int64()),
+        }), ["source"]).aggregate([("s_abs", "sum")])
+        return pa.table({"source": g["source"],
+                         "s_abs": g["s_abs_sum"].cast(pa.int64())})
+
+    partials = per_key_blocks(rows, ["source", "w"], abs_block,
+                              num_partitions=auto_partitions(path))
+
+    def final_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _DRIFT_OUT_SCHEMA.empty_table()
+        g = pa.TableGroupBy(block, ["source"]).aggregate([("s_abs", "sum")])
+        out_src, out_to, out_tn, out_d = [], [], [], []
+        for s, sa in zip(g["source"].to_pylist(),
+                         g["s_abs_sum"].to_pylist()):
+            to, tn = t_old[s], t_new[s]  # Python ints: no 1e6× overflow
+            out_src.append(s)
+            out_to.append(to)
+            out_tn.append(tn)
+            out_d.append(-1 if to * tn == 0
+                         else int(sa) * DRIFT_SCALE // (to * tn))
+        return pa.table({"source": pa.array(out_src, pa.string()),
+                         "t_old": pa.array(out_to, pa.int64()),
+                         "t_new": pa.array(out_tn, pa.int64()),
+                         "drift_u": pa.array(out_d, pa.int64())})
+
+    return per_key_blocks(partials, ["source"], final_block,
+                          num_partitions=4)
+
+
+SQL_CORPUS_DRIFT = rf"""
+WITH toks AS (
+  SELECT source,
+         CASE WHEN doc_id % {INCR_NEW_MOD} = 0 THEN 1 ELSE 0 END AS is_new,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+c AS (
+  SELECT source, w, CAST(SUM(is_new) AS BIGINT) AS c_new,
+         CAST(SUM(1 - is_new) AS BIGINT) AS c_old
+  FROM toks GROUP BY source, w
+),
+t AS (
+  SELECT source, CAST(SUM(c_new) AS BIGINT) AS t_new,
+         CAST(SUM(c_old) AS BIGINT) AS t_old
+  FROM c GROUP BY source
+)
+SELECT c.source AS source, t.t_old, t.t_new,
+       CAST(CASE WHEN t.t_old * t.t_new = 0 THEN -1
+            ELSE CAST(SUM(ABS(c_new * t.t_old - c_old * t.t_new)) AS HUGEINT)
+                 * {DRIFT_SCALE}
+                 // (CAST(t.t_old AS HUGEINT) * t.t_new)
+            END AS BIGINT) AS drift_u
+FROM c JOIN t ON c.source = t.source
+GROUP BY c.source, t.t_old, t.t_new
+"""
+
+
+QUERIES = {"incremental_neardup": incremental_neardup,
+           "corpus_drift": corpus_drift}
+SQL = {"incremental_neardup": SQL_INCREMENTAL_NEARDUP,
+       "corpus_drift": SQL_CORPUS_DRIFT}
