@@ -498,16 +498,35 @@ def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
     sh_ds = ds.map_batches(shingle_rows, batch_format="pyarrow",
                            zero_copy_batch=True)
 
-    def sig_rows(t: pa.Table) -> pa.Table:
-        flat, cnt = _decode_shingle_blobs(t["shingles"])
-        keys = _batch_band_keys(_batch_signatures(flat, cnt))
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "doc_id": pa.array(np.repeat(ids, _BANDS), pa.int64()),
-            "band_id": pa.array(np.tile(np.arange(_BANDS, dtype=np.int32), len(ids)), pa.int32()),
-            "band_key": pa.array(keys.reshape(-1), pa.uint64()),
-        })
+    band_rows = sh_ds.map_batches(sig_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return verified_pair_stage(sh_ds, band_rows, n_parts, threshold,
+                               pair_keep=pair_keep)
 
+
+def sig_rows(t: pa.Table) -> pa.Table:
+    """(doc_id, band_id, band_key) rows from a (doc_id, shingles) table —
+    the melt the band-bucket exchange consumes."""
+    flat, cnt = _decode_shingle_blobs(t["shingles"])
+    keys = _batch_band_keys(_batch_signatures(flat, cnt))
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "doc_id": pa.array(np.repeat(ids, _BANDS), pa.int64()),
+        "band_id": pa.array(np.tile(np.arange(_BANDS, dtype=np.int32), len(ids)), pa.int32()),
+        "band_key": pa.array(keys.reshape(-1), pa.uint64()),
+    })
+
+
+def verified_pair_stage(sh_ds: rd.Dataset, band_rows: rd.Dataset,
+                        n_parts: int, threshold: float,
+                        pair_keep=None) -> rd.Dataset:
+    """The candidate→verify tail of banded MinHash-LSH, shared by
+    ``minhash_lsh_dups`` (both sides computed in-pipeline) and the persisted
+    signature index (snapshot.incremental_neardup_indexed, committed side
+    READ from disk): band-bucket exchange → within-bucket candidate pairs
+    (``pair_keep``-pruned) → shingle-attach exchange → pair-verify exchange.
+    ``sh_ds`` must hold each doc_id exactly once with its shingle blob;
+    ``band_rows`` holds its (doc_id, band_id, band_key) melt."""
     pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
     def pairs_block(block: pa.Table) -> pa.Table:
@@ -535,8 +554,6 @@ def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
             "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
         })
 
-    band_rows = sh_ds.map_batches(sig_rows, batch_format="pyarrow",
-                                  zero_copy_batch=True)
     pairs = (  # duplicates across bands — deduped in the attach stage below
         band_rows.repartition(n_parts, keys=["band_id", "band_key"])
         .map_batches(pairs_block, batch_format="pyarrow", batch_size=None,

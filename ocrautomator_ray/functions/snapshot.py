@@ -10,9 +10,13 @@
   predicate prunes committed×committed candidate pairs BEFORE the two
   verify exchanges — the committed corpus is never re-deduped against
   itself, so verify shuffle volume scales with the new shard, not the
-  corpus.  (At 10^12 docs the committed side's band keys would come from a
-  persisted signature index — the ivf_index_build pattern applied to LSH —
-  instead of being recomputed; the query shape is identical.)
+  corpus.
+* ``incremental_neardup_indexed`` — the same operator answered from a
+  PERSISTED committed-side signature index (``neardup_index_build``, the
+  ivf_index_build pattern applied to LSH): query-time shingling touches
+  only the new shard, the committed side is a column-pruned parquet read
+  of pre-computed (shingle blob, band keys).  Same SQL oracle — the index
+  changes where signatures come from, never what they are.
 * ``corpus_drift`` — per-source unigram-distribution drift between the two
   snapshots: normalized L1 distance Σ_w |p_new(w) − p_old(w)| expressed in
   exact integer arithmetic, drift_u = Σ_w |c_new·T_old − c_old·T_new| ×
@@ -46,16 +50,25 @@ Distribution shapes:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
 from ocrautomator_ray.functions.curate import INCR_NEW_MOD
 from ocrautomator_ray.functions.dedup import (
+    _BANDS,
     MINHASH_THRESHOLD,
+    _batch_band_keys,
+    _batch_shingles,
+    _batch_signatures,
     _minhash_ctes,
+    _shingle_blob_col,
     _tokenize_re2,
     minhash_lsh_dups,
+    sig_rows,
+    verified_pair_stage,
 )
 from ocrautomator_ray.functions.exchange import (
     auto_partitions,
@@ -73,19 +86,14 @@ _NEARDUP_OUT_SCHEMA = pa.schema([
 ])
 
 
-def incremental_neardup(sf_dir: str,
-                        threshold: float = MINHASH_THRESHOLD) -> rd.Dataset:
-    """(doc_id, n_partners) for NEW-shard docs that must be DROPPED: a new
-    doc d is dropped iff some verified near-dup partner e (jaccard ≥
-    threshold) exists with e committed, or e new with e.doc_id < d.doc_id
-    (the keep-first arbitration within the shard).  n_partners counts d's
-    distinct dropping partners.  Committed docs are never dropped and
-    committed×committed pairs are never verified — the incremental win."""
-    def keep(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
-        return (lo % INCR_NEW_MOD == 0) | (hi % INCR_NEW_MOD == 0)
+def _new_touching(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """pair_keep predicate: at least one end is a new-shard doc."""
+    return (lo % INCR_NEW_MOD == 0) | (hi % INCR_NEW_MOD == 0)
 
-    pairs = minhash_lsh_dups(sf_dir, threshold, pair_keep=keep)
 
+def _drop_counts(pairs: rd.Dataset) -> rd.Dataset:
+    """(doc_id, n_partners) from verified pairs via the drop rule — the
+    shared tail of both incremental_neardup variants."""
     def drop_rows(t: pa.Table) -> pa.Table:
         """Per verified pair (a < b): b is dropped via partner a whenever b
         is new (a is committed or an earlier new doc either way); a is
@@ -112,6 +120,18 @@ def incremental_neardup(sf_dir: str,
     return per_key_blocks(drops, ["doc_id"], count_block, num_partitions=8)
 
 
+def incremental_neardup(sf_dir: str,
+                        threshold: float = MINHASH_THRESHOLD) -> rd.Dataset:
+    """(doc_id, n_partners) for NEW-shard docs that must be DROPPED: a new
+    doc d is dropped iff some verified near-dup partner e (jaccard ≥
+    threshold) exists with e committed, or e new with e.doc_id < d.doc_id
+    (the keep-first arbitration within the shard).  n_partners counts d's
+    distinct dropping partners.  Committed docs are never dropped and
+    committed×committed pairs are never verified — the incremental win."""
+    return _drop_counts(
+        minhash_lsh_dups(sf_dir, threshold, pair_keep=_new_touching))
+
+
 def _incremental_neardup_sql() -> str:
     m = INCR_NEW_MOD
     return f"""
@@ -131,6 +151,132 @@ FROM drops GROUP BY doc_id
 
 
 SQL_INCREMENTAL_NEARDUP = _incremental_neardup_sql()
+
+
+# ---------------------------------------------------------------------------
+# Persisted LSH signature index — incremental_neardup with O(new shard)
+# query-time compute.  The plain operator re-shingles the COMMITTED corpus on
+# every shard arrival; at 10^12 docs that per-snapshot recompute dwarfs the
+# new shard.  The index persists the committed side's (shingle blob, 16 band
+# keys) ONCE through the generic resumable sink (the ivf_index_build pattern
+# applied to LSH): a killed build resumes with O(P) manifest reads, a
+# committed build is a no-op, and every later shard pays only its own
+# shingling — the committed side is a column-pruned parquet read.
+# ---------------------------------------------------------------------------
+
+_NEARDUP_INDEX_ROOT = os.path.join("/tmp", "ocrauto_lsh_index")
+_BK_COLS = [f"bk_{j}" for j in range(_BANDS)]
+
+
+def neardup_index_dir(sf_dir: str) -> str:
+    """Deterministic per-input index location, fingerprinted by the source
+    file's (size, mtime_ns) — a changed input never reuses a stale index."""
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = (f"{os.path.basename(os.path.dirname(src))}-{st.st_size}-"
+           f"{st.st_mtime_ns}")
+    return os.path.join(_NEARDUP_INDEX_ROOT, tag)
+
+
+def _evict_stale_neardup_indexes(index_dir: str) -> None:
+    """Drop older fingerprints of the same source basename (disk hygiene —
+    regenerated scale dirs would otherwise accrete full signature copies)."""
+    import shutil
+
+    root, tag = os.path.split(index_dir)
+    if root != _NEARDUP_INDEX_ROOT or not os.path.isdir(root):
+        return
+    base = tag.rsplit("-", 2)[0]
+    for d in os.listdir(root):
+        if d != tag and d.rsplit("-", 2)[0] == base:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
+def _committed_sig_table(t: pa.Table) -> pa.Table:
+    """Committed-side rows → (doc_id, shingles blob, bk_0..bk_15)."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    t = t.filter(pa.array(ids % INCR_NEW_MOD != 0))
+    flat, cnt = _batch_shingles(t["text"])
+    keys = _batch_band_keys(_batch_signatures(flat, cnt))
+    cols = {"doc_id": t["doc_id"], "shingles": _shingle_blob_col(flat, cnt)}
+    for j, c in enumerate(_BK_COLS):
+        cols[c] = pa.array(keys[:, j], pa.uint64())
+    return pa.table(cols)
+
+
+def neardup_index_build(sf_dir: str, index_dir: str | None = None,
+                        num_partitions: int = 8) -> dict:
+    """Build (or resume) the persisted signature index of the COMMITTED
+    corpus slice: one streaming shingle+signature pass written via the
+    resumable sink.  Returns the sink summary plus ``index_dir``."""
+    from ocrautomator_ray.sinks.parquet_commit import resumable_write
+
+    index_dir = index_dir or neardup_index_dir(sf_dir)
+    _evict_stale_neardup_indexes(index_dir)
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+    summary = resumable_write(
+        ds.map_batches(_committed_sig_table, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        index_dir, num_partitions=num_partitions, key="doc_id",
+        input_desc=f"{sf_dir}/documents.parquet [committed slice]")
+    summary["index_dir"] = index_dir
+    return summary
+
+
+def _melt_band_rows(t: pa.Table) -> pa.Table:
+    """(doc_id, bk_0..bk_15) → the (doc_id, band_id, band_key) melt the
+    band-bucket exchange consumes — pure reshape, no hashing."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    n = len(ids)
+    keys = np.empty((n, _BANDS), np.uint64)
+    for j, c in enumerate(_BK_COLS):
+        keys[:, j] = t[c].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "doc_id": pa.array(np.repeat(ids, _BANDS), pa.int64()),
+        "band_id": pa.array(np.tile(np.arange(_BANDS, dtype=np.int32), n),
+                            pa.int32()),
+        "band_key": pa.array(keys.reshape(-1), pa.uint64()),
+    })
+
+
+def incremental_neardup_indexed(sf_dir: str,
+                                threshold: float = MINHASH_THRESHOLD,
+                                index_dir: str | None = None) -> rd.Dataset:
+    """``incremental_neardup`` answered from the PERSISTED committed-side
+    signature index: identical output (same SQL oracle), but query-time
+    shingling touches only the new shard — the committed side is a pruned
+    parquet read of (doc_id, shingles, band keys).  Builds the index first
+    when absent (a committed build resumes to a no-op)."""
+    index_dir = index_dir or neardup_index_dir(sf_dir)
+    neardup_index_build(sf_dir, index_dir)
+
+    path = f"{sf_dir}/documents.parquet"
+    n_parts = auto_partitions(path, bytes_per_partition=8 << 20)
+
+    idx = pruned_read(os.path.join(index_dir, "data"),
+                      ["doc_id", "shingles", *_BK_COLS], heavy=True)
+    idx_sh = idx.map_batches(
+        lambda t: t.select(["doc_id", "shingles"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    idx_bands = idx.map_batches(_melt_band_rows, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def new_sig_table(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % INCR_NEW_MOD == 0))
+        flat, cnt = _batch_shingles(t["text"])
+        return pa.table({"doc_id": t["doc_id"],
+                         "shingles": _shingle_blob_col(flat, cnt)})
+
+    new_sh = pruned_read(path, ["doc_id", "text"]).map_batches(
+        new_sig_table, batch_format="pyarrow", zero_copy_batch=True)
+    new_bands = new_sh.map_batches(sig_rows, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    pairs = verified_pair_stage(
+        idx_sh.union(new_sh), idx_bands.union(new_bands), n_parts,
+        threshold, pair_keep=_new_touching)
+    return _drop_counts(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -281,6 +427,10 @@ GROUP BY c.source, t.t_old, t.t_new
 
 
 QUERIES = {"incremental_neardup": incremental_neardup,
+           "incremental_neardup_indexed": incremental_neardup_indexed,
            "corpus_drift": corpus_drift}
 SQL = {"incremental_neardup": SQL_INCREMENTAL_NEARDUP,
+       # identical semantics — the index only changes WHERE the committed
+       # side's signatures come from, so the same oracle pins both paths
+       "incremental_neardup_indexed": SQL_INCREMENTAL_NEARDUP,
        "corpus_drift": SQL_CORPUS_DRIFT}

@@ -101,6 +101,45 @@ def test_hashed_doc_vectors_brute_force():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_incremental_neardup_indexed_matches_plain(tmp_path):
+    """The persisted-signature-index variant must be row-identical to the
+    recompute-everything operator, the index must hold ONLY committed-side
+    docs (the new shard is never persisted), and a re-build over a committed
+    index must be a pure no-op (no data file rewritten)."""
+    import os
+
+    idx = str(tmp_path / "lsh_index")
+    plain = (S.incremental_neardup(SF).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    got = (S.incremental_neardup_indexed(SF, index_dir=idx).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, plain)
+
+    data_dir = os.path.join(idx, "data")
+    ids = pq.read_table(data_dir, columns=["doc_id"])["doc_id"].to_numpy()
+    assert len(ids) > 0 and (ids % INCR_NEW_MOD != 0).all()
+    bk = pq.read_table(data_dir, columns=["bk_0"])
+    assert bk.num_rows == len(ids)
+
+    def snap():
+        out = {}
+        for root, _, files in os.walk(data_dir):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snap()
+    summary = S.neardup_index_build(SF, index_dir=idx)
+    assert summary["partitions_this_run"] == 0
+    assert snap() == before
+    got2 = (S.incremental_neardup_indexed(SF, index_dir=idx).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2, plain)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pair_keep_none_default_unchanged():
     """pair_keep=None (every existing caller) must equal an always-true
     predicate — pins that the hook's default path is a no-op."""
