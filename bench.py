@@ -197,6 +197,16 @@ def run_benchmarks() -> dict:
 
     timed("kmeans_fit", km.kmeans_fit, consume="count")
 
+    from ocrautomator_ray.functions import snapshot as snap
+
+    timed("incremental_neardup", snap.incremental_neardup, consume="count")
+    # prebuild so the indexed row times the warm O(new shard) query path —
+    # the build itself is the one-off amortized cost the index exists to save
+    snap.neardup_index_build(SF_DIR)
+    timed("incremental_neardup_indexed", snap.incremental_neardup_indexed,
+          consume="count")
+    timed("corpus_drift", snap.corpus_drift, consume="count")
+
     from ocrautomator_ray.pipelines.curate import run_curate_flagship
     from ocrautomator_ray.pipelines.extract import run_flagship
 

@@ -216,11 +216,140 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# gopher_rules — the Gopher quality-rule ensemble (Rae et al. 2021, App. A)
+# as ONE vectorized screen: every rule is exact-integer arithmetic (ratio
+# thresholds become cross-multiplications), every text statistic is a single
+# RE2 count shared verbatim with the DuckDB oracle, so the per-doc flags and
+# the composite verdict hash-compare exactly. One map_batches, no exchange:
+# the screen is embarrassingly parallel and CPU-bound on the regex scans.
+# ---------------------------------------------------------------------------
+
+WS_RE = r"\s"
+HASHSYM_RE = r"#"
+ELLIPSIS_RE = r"\.\.\."
+BULLET_LINE_RE = r"(?m)^[-•*]"
+ELLIPSIS_END_RE = r"(?m)\.\.\.$"
+ALPHA_WORD_RE = r"[^\s]*[A-Za-z][^\s]*"
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3          # mean word length bounds (chars)
+GOPHER_MAX_MWL = 10
+# ratio thresholds as (numerator multiplier, denominator multiplier):
+#   symbols/words < 0.1        → 10*symbols < words
+#   bullet lines/lines < 0.9   → 10*bullets < 9*lines
+#   ellipsis-end lines < 0.3   → 10*ell_end < 3*lines
+#   alpha words/words ≥ 0.8    → 10*alpha ≥ 8*words
+
+
+def gopher_rules(sf_dir: str) -> rd.Dataset:
+    """Per-doc Gopher rule counts, per-rule 0/1 flags, and the composite
+    ``pass_gopher`` verdict. Emits EVERY doc (screening = filter on the
+    flag downstream) so the table doubles as a rule-tuning audit."""
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+
+    def screen(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+
+        def rx(pattern: str) -> np.ndarray:
+            return pc.cast(pc.count_substring_regex(txt, pattern),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+
+        n_words = rx(WORD_RE)
+        n_ws = rx(WS_RE)
+        n_chars = pc.cast(pc.utf8_length(txt),
+                          pa.int64()).to_numpy(zero_copy_only=False)
+        word_chars = n_chars - n_ws  # Σ len(word) — words are \S+ runs
+        n_sym = rx(HASHSYM_RE) + rx(ELLIPSIS_RE)
+        n_lines = rx("\n") + 1
+        n_bullet = rx(BULLET_LINE_RE)
+        n_ellend = rx(ELLIPSIS_END_RE)
+        n_alpha = rx(ALPHA_WORD_RE)
+        stop_hits = rx(STOP_RE)
+
+        ok_words = ((n_words >= GOPHER_MIN_WORDS)
+                    & (n_words <= GOPHER_MAX_WORDS))
+        ok_mwl = ((GOPHER_MIN_MWL * n_words <= word_chars)
+                  & (word_chars <= GOPHER_MAX_MWL * n_words))
+        ok_symbol = 10 * n_sym < n_words
+        ok_bullet = 10 * n_bullet < 9 * n_lines
+        ok_ellipsis = 10 * n_ellend < 3 * n_lines
+        ok_alpha = 10 * n_alpha >= 8 * n_words
+        ok_stop = stop_hits >= MIN_STOP_HITS
+        ok_all = (ok_words & ok_mwl & ok_symbol & ok_bullet & ok_ellipsis
+                  & ok_alpha & ok_stop)
+
+        def i64(a: np.ndarray) -> pa.Array:
+            return pa.array(a.astype(np.int64), pa.int64())
+
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": i64(n_words), "word_chars": i64(word_chars),
+            "n_sym": i64(n_sym), "n_lines": i64(n_lines),
+            "n_bullet": i64(n_bullet), "n_ellend": i64(n_ellend),
+            "n_alpha": i64(n_alpha), "stop_hits": i64(stop_hits),
+            "ok_words": i64(ok_words), "ok_mwl": i64(ok_mwl),
+            "ok_symbol": i64(ok_symbol), "ok_bullet": i64(ok_bullet),
+            "ok_ellipsis": i64(ok_ellipsis), "ok_alpha": i64(ok_alpha),
+            "ok_stop": i64(ok_stop), "pass_gopher": i64(ok_all),
+        })
+
+    return ds.map_batches(screen, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+SQL_GOPHER_RULES = f"""
+WITH c AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{WORD_RE}')) AS n_words,
+           length(text) - len(regexp_extract_all(text, '\\s'))
+               AS word_chars,
+           len(regexp_extract_all(text, '#'))
+             + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+           len(regexp_extract_all(text, chr(10))) + 1 AS n_lines,
+           len(regexp_extract_all(text, '(?m)^[-•*]')) AS n_bullet,
+           len(regexp_extract_all(text, '(?m)\\.\\.\\.$')) AS n_ellend,
+           len(regexp_extract_all(text, '{ALPHA_WORD_RE}')) AS n_alpha,
+           len(regexp_extract_all(text, '{STOP_RE}')) AS stop_hits
+    FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(word_chars AS BIGINT) AS word_chars,
+       CAST(n_sym AS BIGINT) AS n_sym,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_bullet AS BIGINT) AS n_bullet,
+       CAST(n_ellend AS BIGINT) AS n_ellend,
+       CAST(n_alpha AS BIGINT) AS n_alpha,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AS BIGINT) AS ok_words,
+       CAST({GOPHER_MIN_MWL} * n_words <= word_chars
+            AND word_chars <= {GOPHER_MAX_MWL} * n_words AS BIGINT) AS ok_mwl,
+       CAST(10 * n_sym < n_words AS BIGINT) AS ok_symbol,
+       CAST(10 * n_bullet < 9 * n_lines AS BIGINT) AS ok_bullet,
+       CAST(10 * n_ellend < 3 * n_lines AS BIGINT) AS ok_ellipsis,
+       CAST(10 * n_alpha >= 8 * n_words AS BIGINT) AS ok_alpha,
+       CAST(stop_hits >= {MIN_STOP_HITS} AS BIGINT) AS ok_stop,
+       CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AND {GOPHER_MIN_MWL} * n_words <= word_chars
+            AND word_chars <= {GOPHER_MAX_MWL} * n_words
+            AND 10 * n_sym < n_words
+            AND 10 * n_bullet < 9 * n_lines
+            AND 10 * n_ellend < 3 * n_lines
+            AND 10 * n_alpha >= 8 * n_words
+            AND stop_hits >= {MIN_STOP_HITS} AS BIGINT) AS pass_gopher
+FROM c
+"""
+
+
 QUERIES = {
     "stopword_filter": stopword_filter,
     "type_token_ratio": type_token_ratio,
     "percentile_filter_docs": percentile_filter_docs,
     "pii_scrub": pii_scrub,
+    "gopher_rules": gopher_rules,
 }
 
 SQL = {
@@ -228,4 +357,5 @@ SQL = {
     "type_token_ratio": SQL_TYPE_TOKEN_RATIO,
     "percentile_filter_docs": SQL_PERCENTILE_FILTER,
     "pii_scrub": SQL_PII_SCRUB,
+    "gopher_rules": SQL_GOPHER_RULES,
 }

@@ -140,3 +140,55 @@ def test_disc_threshold_matches_duckdb():
 def test_pii_scrub_identity_on_clean_corpus():
     out = pii_scrub("/root/testdata/sf0.001").to_pandas()
     assert (out["n_emails"] == 0).all() and (out["n_phones"] == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gopher_rules_crafted_docs(tmp_path):
+    """Each Gopher rule exercised by a doc built to trip exactly it."""
+    from ocrautomator_ray.functions.filters import gopher_rules
+
+    good = ("the quick brown fox jumps over the lazy dog and runs on "
+            "with it for a while in the sun as the day goes by ") * 3
+    docs = {
+        0: good,                                   # passes everything
+        1: "word " * 10,                           # too few words
+        2: "the of " + "# " * 40 + "word " * 60,   # symbol ratio >= 0.1
+        3: "the of " + "\n".join("- b" for _ in range(20))
+           + " " + "word " * 60,                   # >=90% bullet lines
+        4: ("the of " + "word " * 60 + "\n"
+            + "\n".join("tail..." for _ in range(9))),  # ellipsis ends
+        5: "the of " + "1234 " * 60,               # <80% alphabetic words
+        6: "zzz " * 60,                            # no stopwords
+        7: "",                                     # empty text
+        8: "the of " + "supercalifragilistic " * 60,  # mean word len > 10
+    }
+    t = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                  "text": pa.array(list(docs.values()), pa.string()),
+                  "lang": pa.array(["en"] * len(docs), pa.string()),
+                  "source": pa.array(["s"] * len(docs), pa.string()),
+                  "n_chars": pa.array([len(v) for v in docs.values()],
+                                      pa.int64())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    got = (gopher_rules(str(d)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert got.loc[0, "pass_gopher"] == 1
+    assert got.loc[1, "ok_words"] == 0 and got.loc[1, "pass_gopher"] == 0
+    assert got.loc[2, "ok_symbol"] == 0 and got.loc[2, "pass_gopher"] == 0
+    assert got.loc[3, "ok_bullet"] == 0 and got.loc[3, "pass_gopher"] == 0
+    assert got.loc[4, "ok_ellipsis"] == 0 and got.loc[4, "pass_gopher"] == 0
+    assert got.loc[5, "ok_alpha"] == 0 and got.loc[5, "pass_gopher"] == 0
+    assert got.loc[6, "ok_stop"] == 0 and got.loc[6, "pass_gopher"] == 0
+    assert got.loc[7, "n_words"] == 0 and got.loc[7, "pass_gopher"] == 0
+    assert got.loc[8, "ok_mwl"] == 0 and got.loc[8, "pass_gopher"] == 0
+    # oracle parity on the crafted set (the sf corpora never trip some rules)
+    from ocrautomator_ray.functions.filters import SQL_GOPHER_RULES
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = (con.execute(SQL_GOPHER_RULES).df()
+           .set_index("doc_id").sort_index())
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)],
+        exp[sorted(exp.columns)].astype(
+            {c: got[c].dtype for c in got.columns if c in exp.columns}))
