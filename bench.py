@@ -88,8 +88,8 @@ def run_benchmarks() -> dict:
 
     from ocrautomator_ray.pipelines.extract import PipelineConfig, run_extraction
     from ocrautomator_ray.functions import (
-        ann, corpus, curate, dedup, lm, mix, relational, relational2,
-        relational3, relational4, text,
+        ann, corpus, curate, dedup, filters, lm, mix, relational,
+        relational2, relational3, relational4, text,
     )
 
     bench_path = _bench_input(SF_DIR)
@@ -191,6 +191,8 @@ def run_benchmarks() -> dict:
     timed("source_overlap_matrix", lm.source_overlap_matrix, consume="count")
     timed("temperature_mix", mix.temperature_mix, consume="count")
     timed("label_dispersion", ann.label_dispersion, consume="count")
+    timed("knn_graph", ann.knn_graph, consume="count")
+    timed("gopher_rules", filters.gopher_rules, consume="count")
     timed("source_report", text.source_report, consume="count")
 
     from ocrautomator_ray.functions import kmeans as km

@@ -17,7 +17,11 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from ocrautomator_ray.functions.exchange import pruned_read, stripped_read
+from ocrautomator_ray.functions.exchange import (
+    per_key_blocks,
+    pruned_read,
+    stripped_read,
+)
 
 ANN_NUM_QUERIES = 10
 ANN_K = 5
@@ -989,8 +993,107 @@ FROM d LEFT JOIN dropped ON d.vec_id = dropped.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# knn_graph — exact within-label k-NN graph (the neighborhood structure that
+# graph-based curation — SemDeDup cluster inspection, label-noise detection,
+# density-based pruning — consumes downstream).  Distances are EXACT squared
+# L2 over micro-int embeddings (ties toward the smaller neighbor vec_id), so
+# ranking is deterministic and the SQL oracle hash-matches with no float
+# ranking hazards.  One label-keyed exchange co-locates each label; a block
+# computes its label runs' pairwise dist² with one int64 matmul per run.
+# Scale shape: all-pairs WITHIN a label is quadratic in label size by
+# definition — the partitioning assumption is label-bounded blocks (same
+# contract as semantic_dedup).  At corpus scale swap the label key for IVF
+# cell ids from ivf_index_build (probing n_probe cells per vector bounds the
+# candidate set) — the exchange and block kernel are unchanged.
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+
+
+def knn_graph(sf_dir: str, k: int = KNN_K) -> rd.Dataset:
+    """(vec_id, label, nbr_rank, nbr_id, dist2): each vector's k nearest
+    same-label neighbors by exact micro-int squared L2; singleton labels
+    emit nothing (no neighbor exists)."""
+    ds = pruned_read(f"{sf_dir}/embeddings.parquet",
+                     ["vec_id", "embedding", "label"])
+    out_schema = pa.schema([
+        ("vec_id", pa.int64()), ("label", pa.int64()),
+        ("nbr_rank", pa.int64()), ("nbr_id", pa.int64()),
+        ("dist2", pa.int64()),
+    ])
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        M = np.floor(_embed_matrix(t) * 1e6 + 0.5).astype(np.int64)
+        order = np.lexsort((ids, lab))
+        lab, ids, M = lab[order], ids[order], M[order]
+        starts = np.flatnonzero(np.r_[True, lab[1:] != lab[:-1]])
+        ends = np.r_[starts[1:], len(lab)]
+        o_vec, o_lab, o_rank, o_nbr, o_d2 = [], [], [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            X = M[s:e]
+            G = X @ X.T              # int64-exact: |v|≤~1e7 micro, dim 64
+            n2 = np.diag(G)
+            D = n2[:, None] + n2[None, :] - 2 * G
+            nbr = ids[s:e]
+            np.fill_diagonal(D, np.iinfo(np.int64).max)  # self excluded
+            kk = min(k, n - 1)
+            # per-row order by (dist2, nbr_id): last lexsort key is primary
+            ord2 = np.lexsort(
+                (np.broadcast_to(nbr, D.shape), D), axis=-1)[:, :kk]
+            rows = np.repeat(np.arange(n), kk)
+            o_vec.append(np.repeat(ids[s:e], kk))
+            o_lab.append(np.repeat(lab[s:e], kk))
+            o_rank.append(np.tile(np.arange(1, kk + 1, dtype=np.int64), n))
+            o_nbr.append(nbr[ord2.reshape(-1)])
+            o_d2.append(D[rows, ord2.reshape(-1)])
+        if not o_vec:
+            return out_schema.empty_table()
+        return pa.table({
+            "vec_id": pa.array(np.concatenate(o_vec), pa.int64()),
+            "label": pa.array(np.concatenate(o_lab), pa.int64()),
+            "nbr_rank": pa.array(np.concatenate(o_rank), pa.int64()),
+            "nbr_id": pa.array(np.concatenate(o_nbr), pa.int64()),
+            "dist2": pa.array(np.concatenate(o_d2), pa.int64()),
+        })
+
+    return per_key_blocks(ds, ["label"], block, num_partitions=8)
+
+
+SQL_KNN_GRAPH = f"""
+WITH m AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> FLOOR(x*1000000 + 0.5)) AS mv
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id, a.label, b.vec_id AS nbr_id,
+         CAST(list_inner_product(a.mv, a.mv)
+            + list_inner_product(b.mv, b.mv)
+            - 2*list_inner_product(a.mv, b.mv) AS BIGINT) AS dist2
+  FROM m a JOIN m b ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, label,
+       CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY dist2, nbr_id) AS BIGINT)
+           AS nbr_rank,
+       nbr_id, dist2
+FROM p
+QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY dist2, nbr_id) <= {KNN_K}
+"""
+
+
 QUERIES = {
     "ann_topk": ann_topk,
+    "knn_graph": knn_graph,
     "semantic_dedup": semantic_dedup,
     "embedding_quantize": embedding_quantize,
     "embedding_outliers": embedding_outliers,
@@ -1004,6 +1107,7 @@ QUERIES = {
 SQL = {
     "label_dispersion": SQL_LABEL_DISPERSION,
     "ann_topk": SQL_ANN_TOPK,
+    "knn_graph": SQL_KNN_GRAPH,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,

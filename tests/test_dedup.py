@@ -388,3 +388,35 @@ def test_ivf_index_append_folds_new_fragment(tmp_path):
     s2 = A.ivf_index_append(str(appendix), idx)
     assert s2["partitions_this_run"] == 0
     shutil.rmtree(idx, ignore_errors=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_graph_brute_force():
+    """knn_graph vs a serial per-label recompute: exact micro-int dist²,
+    (dist2, nbr_id) ranking, singleton labels absent, k capped at n-1."""
+    from ocrautomator_ray.functions.ann import KNN_K, knn_graph
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    lab = t["label"].to_numpy().astype(np.int64)
+    M = np.floor(np.array(t["embedding"].to_pylist(), np.float64) * 1e6
+                 + 0.5).astype(np.int64)
+    expect = []
+    for lv in np.unique(lab):
+        m = lab == lv
+        X, I = M[m], ids[m]
+        if len(I) < 2:
+            continue
+        for i in range(len(I)):
+            d2 = ((X - X[i]) ** 2).sum(axis=1)
+            cand = sorted((int(d2[j]), int(I[j]))
+                          for j in range(len(I)) if j != i)
+            for r, (d, nid) in enumerate(cand[:KNN_K], 1):
+                expect.append((int(I[i]), int(lv), r, nid, d))
+    exp = (pd.DataFrame(expect, columns=["vec_id", "label", "nbr_rank",
+                                         "nbr_id", "dist2"])
+           .sort_values(["vec_id", "nbr_rank"]).reset_index(drop=True))
+    got = (knn_graph(sf).to_pandas()
+           .sort_values(["vec_id", "nbr_rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
