@@ -179,6 +179,7 @@ def run_benchmarks() -> dict:
     timed("rp_project", mix.rp_project, consume="count")
     timed("simhash_dups", dedup.simhash_dups, consume="count")
     timed("bpe_pair_counts", corpus.bpe_pair_counts, consume="count")
+    timed("bpe_train_merges", corpus.bpe_train_merges)  # returns pa.Table
     timed("bm25_doc0_topk", corpus.bm25_doc0_topk, consume="count")
     timed("ivf_index_topk", ann.ivf_index_topk)
     timed("semantic_dedup", ann.semantic_dedup, consume="count")

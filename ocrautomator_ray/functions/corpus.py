@@ -668,13 +668,196 @@ SELECT doc_id, score_u, rank FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# bpe_train_merges — ITERATIVE merge training (Sennrich et al., ACL 2016):
+# R rounds of (global top adjacent pair → merge it corpus-wide), i.e. the
+# full training loop whose single selection pass is bpe_pair_counts.  The
+# kmeans_fit iteration shape: driver state is O(R) (the merge table), each
+# round is ONE streaming pass — per-batch pair combiners → one pair-keyed
+# exchange with block-local top-1 → a 1-row final reduce — and the merge
+# list is re-applied per batch from the raw read (R total passes; a 100-TB
+# run would checkpoint the merged token stream through the resumable sink
+# every few rounds instead of re-deriving, same note as cluster propagation).
+#
+# Token streams are carried as ONE delimited string per doc —
+# '\x1f' + tok + '\x1f' per token, concatenated — so applying a merge
+# (a, b) → "a b" is a plain non-overlapping leftmost string replace of
+# '\x1fa\x1f\x1fb\x1f' with '\x1fa b\x1f': identical semantics in pyarrow
+# replace_substring, Python str.replace, and DuckDB replace(), which is
+# what lets an R-round unrolled SQL CTE chain mirror the whole loop
+# hash-exactly.  Tokens come from _tokenize_re2 (lowercase, \s+ split) so
+# they can never contain ' ' or the '\x1f' delimiter (guarded loudly).
+# --------------------------------------------------------------------------
+
+BPE_ROUNDS = 4
+_SEP = "\x1f"
+
+
+def _delimited_tokens(t: pa.Table) -> pa.Table:
+    """(doc_id, s): each doc's token stream as one '\\x1f'-wrapped string."""
+    texts = t["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if pc.any(pc.match_substring(pc.fill_null(texts, ""), _SEP)).as_py():
+        raise ValueError("document text contains the \\x1f token delimiter; "
+                         "bpe_train_merges needs a corpus-free sentinel")
+    flat, cnt = _tokenize_re2(texts)
+    toks = flat.to_numpy(zero_copy_only=False).astype(object)
+    bounds = np.zeros(len(cnt) + 1, np.int64)
+    np.cumsum(cnt, out=bounds[1:])
+    joined = np.array(
+        [_SEP + (_SEP + _SEP).join(toks[bounds[i]:bounds[i + 1]]) + _SEP
+         if cnt[i] else "" for i in range(len(cnt))], object)
+    return pa.table({"doc_id": t["doc_id"],
+                     "s": pa.array(joined, pa.string())})
+
+
+def _apply_merges(s: pa.Array, merges: list[tuple[str, str]]) -> pa.Array:
+    for a, b in merges:
+        s = pc.replace_substring(
+            s, pattern=f"{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}",
+            replacement=f"{_SEP}{a} {b}{_SEP}")
+    return s
+
+
+_BPE_PAIR_SCHEMA = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string()),
+                              ("cnt", pa.int64())])
+_BPE_SORT1 = [("cnt", "descending"), ("tok_a", "ascending"),
+              ("tok_b", "ascending")]
+
+
+def bpe_train_merges(sf_dir: str, rounds: int = BPE_ROUNDS) -> pa.Table:
+    """(merge_round, tok_a, tok_b, cnt): the merge chosen each round with
+    its pre-merge global count — ties broken (cnt DESC, tok_a, tok_b).
+    Returns the small driver-side merge table (O(rounds) rows)."""
+    path = f"{sf_dir}/documents.parquet"
+    merges: list[tuple[str, str]] = []
+    out_rows: list[tuple[int, str, str, int]] = []
+
+    for r in range(1, rounds + 1):
+        applied = list(merges)
+
+        def pair_rows(t: pa.Table, _m=applied) -> pa.Table:
+            d = _delimited_tokens(t)
+            s = _apply_merges(d["s"].combine_chunks()
+                              if isinstance(d["s"], pa.ChunkedArray)
+                              else d["s"], _m)
+            trimmed = pc.utf8_trim(s, _SEP)
+            parts = pc.split_pattern(trimmed, pattern=_SEP + _SEP)
+            flat = pc.list_flatten(parts)
+            n_tok = pc.list_value_length(parts).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            # a doc with no tokens splits '' -> [''] — mask those out
+            empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+            n_tok[empty] = 0
+            if len(flat) == 0:
+                return _BPE_PAIR_SCHEMA.empty_table()
+            bounds = np.zeros(len(n_tok) + 1, np.int64)
+            np.cumsum(n_tok, out=bounds[1:])
+            is_a = np.ones(int(bounds[-1]), bool)
+            if len(is_a) == 0:
+                return _BPE_PAIR_SCHEMA.empty_table()
+            is_a[bounds[1:][n_tok > 0] - 1] = False
+            idx = np.nonzero(is_a)[0]
+            if len(idx) == 0:
+                return _BPE_PAIR_SCHEMA.empty_table()
+            g = pa.TableGroupBy(pa.table({
+                "tok_a": flat.take(pa.array(idx)),
+                "tok_b": flat.take(pa.array(idx + 1)),
+            }), ["tok_a", "tok_b"]).aggregate([([], "count_all")])
+            return pa.table({"tok_a": g["tok_a"], "tok_b": g["tok_b"],
+                             "cnt": g["count_all"].cast(pa.int64())})
+
+        def top1_block(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return _BPE_PAIR_SCHEMA.empty_table()
+            g = pa.TableGroupBy(block, ["tok_a", "tok_b"]).aggregate(
+                [("cnt", "sum")]).rename_columns(["tok_a", "tok_b", "cnt"])
+            return g.take(pc.sort_indices(g, sort_keys=_BPE_SORT1).slice(0, 1))
+
+        docs = pruned_read(path, ["doc_id", "text"])
+        cand = per_key_blocks(
+            docs.map_batches(pair_rows, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["tok_a", "tok_b"], top1_block,
+            num_partitions=auto_partitions(path))
+        best = (cand.repartition(1)
+                .map_batches(top1_block, batch_format="pyarrow",
+                             batch_size=None, zero_copy_batch=True)
+                .to_pandas())
+        if best.empty:
+            break  # corpus exhausted of adjacent pairs
+        a, b, c = (str(best["tok_a"][0]), str(best["tok_b"][0]),
+                   int(best["cnt"][0]))
+        merges.append((a, b))
+        out_rows.append((r, a, b, c))
+
+    return pa.table({
+        "merge_round": pa.array([x[0] for x in out_rows], pa.int64()),
+        "tok_a": pa.array([x[1] for x in out_rows], pa.string()),
+        "tok_b": pa.array([x[2] for x in out_rows], pa.string()),
+        "cnt": pa.array([x[3] for x in out_rows], pa.int64()),
+    })
+
+
+def _bpe_train_sql(rounds: int = BPE_ROUNDS) -> str:
+    """Unrolled R-round mirror: round r's docs CTE is replace() of round
+    r-1's with its best pair, each best CTE is ORDER BY cnt DESC, pair
+    LIMIT 1 — byte-identical replace + collation semantics to the engine."""
+    f = "chr(31)"
+    ctes = [f"""d0 AS (
+  SELECT doc_id,
+         CASE WHEN len(tl) = 0 THEN ''
+              ELSE {f} || array_to_string(tl, {f} || {f}) || {f} END AS s
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS tl
+    FROM documents
+  )
+)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""t{r} AS (
+  SELECT doc_id, string_split(trim(s, {f}), {f} || {f}) AS tl
+  FROM d{r - 1} WHERE s <> ''
+),
+p{r} AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, generate_subscripts(tl, 1) AS pos, unnest(tl) AS tok
+        FROM t{r}) a
+  JOIN (SELECT doc_id, generate_subscripts(tl, 1) AS pos, unnest(tl) AS tok
+        FROM t{r}) b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+best{r} AS (
+  SELECT tok_a, tok_b, cnt FROM p{r}
+  ORDER BY cnt DESC, tok_a, tok_b LIMIT 1
+),
+d{r} AS (
+  SELECT d.doc_id,
+         replace(d.s, {f} || m.tok_a || {f} || {f} || m.tok_b || {f},
+                 {f} || m.tok_a || ' ' || m.tok_b || {f}) AS s
+  FROM d{r - 1} d CROSS JOIN best{r} m
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, tok_a, tok_b, cnt "
+        f"FROM best{r}" for r in range(1, rounds + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+SQL_BPE_TRAIN = _bpe_train_sql()
+
+
 QUERIES = {"tfidf_top_terms": tfidf_top_terms, "doc_chunks": doc_chunks,
            "pack_sequences": pack_sequences,
            "corpus_freq_score": corpus_freq_score,
            "bpe_pair_counts": bpe_pair_counts,
+           "bpe_train_merges": bpe_train_merges,
            "bm25_doc0_topk": bm25_doc0_topk}
 SQL = {"tfidf_top_terms": SQL_TFIDF, "doc_chunks": SQL_DOC_CHUNKS,
        "pack_sequences": SQL_PACK_SEQUENCES,
        "corpus_freq_score": SQL_CORPUS_FREQ_SCORE,
        "bpe_pair_counts": SQL_BPE_PAIRS,
+       "bpe_train_merges": SQL_BPE_TRAIN,
        "bm25_doc0_topk": SQL_BM25}

@@ -88,3 +88,49 @@ def test_temperature_mix_quotas_closed_form():
     got = df.groupby("source").size().reindex(tok.index, fill_value=0)
     assert (got.to_numpy() == expected.to_numpy()).all()
     assert len(df) <= TEMP_BUDGET
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_train_merges_serial_reference():
+    """The distributed R-round loop vs a serial pure-Python BPE trainer on
+    the same corpus: identical merge table (pair choice, tie-breaks, counts),
+    and the chosen pair's count strictly covers every later round."""
+    import pyarrow.parquet as pq
+
+    from ocrautomator_ray.functions.corpus import (
+        BPE_ROUNDS, bpe_train_merges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    texts = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    import re
+    docs = [[w for w in re.split(r"\s+", t.lower()) if w] for t in texts]
+
+    def merge_doc(toks, a, b):
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + " " + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    expect = []
+    cur = docs
+    for r in range(1, BPE_ROUNDS + 1):
+        counts = {}
+        for d in cur:
+            for x, y in zip(d, d[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + 1
+        if not counts:
+            break
+        (a, b), c = min(counts.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        expect.append((r, a, b, c))
+        cur = [merge_doc(d, a, b) for d in cur]
+
+    got = bpe_train_merges(sf).to_pandas()
+    assert list(map(tuple, got.itertuples(index=False))) == expect
