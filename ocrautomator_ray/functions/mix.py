@@ -145,8 +145,11 @@ FROM documents
 def source_cap(sf_dir: str, cap: int = SOURCE_CAP) -> rd.Dataset:
     """(doc_id, source) keeping at most ``cap`` docs per source, the ones
     with the smallest shuffle hash (deterministic — NOT first-seen, which
-    varies with scan order). One hash exchange on source; each block ranks
-    all its source groups in one lexsort."""
+    varies with scan order). The same bottom-cap kernel runs twice: as a
+    per-batch PRE-PRUNE (lossless — a source's global bottom-cap is a
+    subset of its per-batch bottom-caps) so the exchange moves at most
+    cap×batches rows per source instead of the corpus, then per source
+    group after one hash exchange on source."""
     ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "source"])
     out_schema = pa.schema([("doc_id", pa.int64()), ("source", pa.string())])
 
@@ -164,7 +167,9 @@ def source_cap(sf_dir: str, cap: int = SOURCE_CAP) -> rd.Dataset:
         keep.sort()
         return block.take(pa.array(keep))
 
-    return per_key_blocks(ds, ["source"], cap_block)
+    pruned = ds.map_batches(cap_block, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return per_key_blocks(pruned, ["source"], cap_block)
 
 
 SQL_SOURCE_CAP = f"""
