@@ -194,6 +194,7 @@ def run_benchmarks() -> dict:
     timed("label_dispersion", ann.label_dispersion, consume="count")
     timed("knn_graph", ann.knn_graph, consume="count")
     timed("gopher_rules", filters.gopher_rules, consume="count")
+    timed("winsorize_values", filters.winsorize_values, consume="count")
     timed("source_report", text.source_report, consume="count")
 
     from ocrautomator_ray.functions import kmeans as km

@@ -344,8 +344,112 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# winsorize_values — group-relative outlier clamping: events.value clamped
+# to its event_type's exact discrete [p01, p99].  The metric-cleaning step
+# before any per-type mean/σ is trusted (a fat-finger value would otherwise
+# poison downstream z-scores).  Shape: per-batch (type, value) count
+# combiners → ONE type-keyed exchange where each type's complete value
+# histogram picks its two quantiles via the pinned quantile_disc rule
+# (relational2.disc_quantile — same rule every discrete-quantile consumer
+# shares) → O(types) thresholds broadcast in the clamp closure.  The
+# exchange moves (type, value, count) rows — bounded by the DISTINCT-value
+# domain, which for continuous doubles approaches the row count; at 100-TB
+# scale swap the exact histogram for sketch.approx_quantiles_value's
+# mergeable t-digest-style buckets (documented approximate path) or
+# pre-round values to fixed precision.
+# ---------------------------------------------------------------------------
+
+WINSOR_LO = (1, 100)    # p01 as an integer rational — no float rank
+WINSOR_HI = (99, 100)   # p99
+
+
+def winsorize_values(sf_dir: str) -> rd.Dataset:
+    """(event_id, event_type, value, value_w): value_w is value clamped to
+    the event_type's [quantile_disc(.01), quantile_disc(.99)].  Clamping is
+    pure selection (no arithmetic), so floats hash-compare exactly."""
+    from ocrautomator_ray.functions.exchange import per_key_blocks
+    from ocrautomator_ray.functions.relational2 import disc_quantile
+
+    path = f"{sf_dir}/events.parquet"
+    base = pruned_read(path, ["event_id", "event_type", "value"])
+
+    vc_schema = pa.schema([("event_type", pa.string()),
+                           ("value", pa.float64()), ("n", pa.int64())])
+
+    def vc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return vc_schema.empty_table()
+        g = pa.TableGroupBy(t.select(["event_type", "value"]),
+                            ["event_type", "value"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g["event_type"], "value": g["value"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    thr_schema = pa.schema([("event_type", pa.string()),
+                            ("lo", pa.float64()), ("hi", pa.float64())])
+
+    def thr_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return thr_schema.empty_table()
+        g = pa.TableGroupBy(block, ["event_type", "value"]).aggregate(
+            [("n", "sum")])
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        v = g["value"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, et))
+        et, v, n = et[order], v[order], n[order]
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        ends = np.r_[starts[1:], len(et)]
+        types, los, his = [], [], []
+        for s, e in zip(starts, ends):
+            cum = np.cumsum(n[s:e])
+            types.append(et[s])
+            los.append(float(disc_quantile(v[s:e], cum, *WINSOR_LO)))
+            his.append(float(disc_quantile(v[s:e], cum, *WINSOR_HI)))
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "lo": pa.array(los, pa.float64()),
+                         "hi": pa.array(his, pa.float64())})
+
+    thr = per_key_blocks(
+        base.map_batches(vc, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], thr_block, num_partitions=4,
+    ).to_pandas()  # O(types) rows — the only driver materialization
+    t_sorted = np.sort(thr["event_type"].to_numpy())
+    t_order = np.argsort(thr["event_type"].to_numpy())
+    lo_v = thr["lo"].to_numpy()[t_order]
+    hi_v = thr["hi"].to_numpy()[t_order]
+
+    def clamp(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        i = np.searchsorted(t_sorted, et)
+        w = np.minimum(np.maximum(v, lo_v[i]), hi_v[i])
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "value": t["value"],
+                         "value_w": pa.array(w, pa.float64())})
+
+    return base.map_batches(clamp, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+SQL_WINSORIZE = f"""
+WITH q AS (
+  SELECT event_type,
+         quantile_disc(value, {WINSOR_LO[0]}/{WINSOR_LO[1]}.0) AS lo,
+         quantile_disc(value, {WINSOR_HI[0]}/{WINSOR_HI[1]}.0) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type AS event_type, value,
+       LEAST(GREATEST(value, lo), hi) AS value_w
+FROM events e JOIN q ON e.event_type = q.event_type
+"""
+
+
 QUERIES = {
     "stopword_filter": stopword_filter,
+    "winsorize_values": winsorize_values,
     "type_token_ratio": type_token_ratio,
     "percentile_filter_docs": percentile_filter_docs,
     "pii_scrub": pii_scrub,
@@ -354,6 +458,7 @@ QUERIES = {
 
 SQL = {
     "stopword_filter": SQL_STOPWORD_FILTER,
+    "winsorize_values": SQL_WINSORIZE,
     "type_token_ratio": SQL_TYPE_TOKEN_RATIO,
     "percentile_filter_docs": SQL_PERCENTILE_FILTER,
     "pii_scrub": SQL_PII_SCRUB,

@@ -192,3 +192,29 @@ def test_gopher_rules_crafted_docs(tmp_path):
         got[sorted(got.columns)],
         exp[sorted(exp.columns)].astype(
             {c: got[c].dtype for c in got.columns if c in exp.columns}))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winsorize_values_brute_force():
+    """Clamp bounds vs a serial per-type recompute under the pinned
+    quantile_disc rule; clamped values are exact copies (no arithmetic)."""
+    from ocrautomator_ray.functions.filters import (
+        WINSOR_HI, WINSOR_LO, winsorize_values,
+    )
+    from ocrautomator_ray.functions.relational2 import disc_quantile
+
+    sf = "/root/testdata/sf0.001"
+    got = winsorize_values(sf).to_pandas().sort_values("event_id")
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_id", "event_type", "value"]
+                       ).to_pandas().sort_values("event_id")
+    assert len(got) == len(ev)
+    for et, g in ev.groupby("event_type"):
+        v = np.sort(g["value"].to_numpy())
+        lo = disc_quantile(v, np.arange(1, len(v) + 1), *WINSOR_LO)
+        hi = disc_quantile(v, np.arange(1, len(v) + 1), *WINSOR_HI)
+        sub = got[got["event_type"] == et]
+        expect = np.minimum(np.maximum(sub["value"].to_numpy(), lo), hi)
+        assert (sub["value_w"].to_numpy() == expect).all()
+        # clamped values are members of the original value set
+        assert np.isin(sub["value_w"].to_numpy(), g["value"].to_numpy()).all()
