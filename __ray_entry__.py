@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["knn_graph"] = _ann.QUERIES["knn_graph"]  # new this round
     q["bpe_train_merges"] = _corpus.QUERIES["bpe_train_merges"]  # new
     q["winsorize_values"] = _filters.QUERIES["winsorize_values"]  # new
+    q["neardup_jaccard_hist"] = _dedup.QUERIES["neardup_jaccard_hist"]  # new
     q["embedding_quantize"] = _ann.QUERIES["embedding_quantize"]
     q["full_corpus_pipeline"] = run_full_corpus_flagship
     q["minhash_dup_clusters"] = _dedup.QUERIES["minhash_dup_clusters"]

@@ -160,6 +160,7 @@ def run_benchmarks() -> dict:
     timed("token_stats", text.token_stats, consume="count")
     timed("doc_fingerprint", text.doc_fingerprint, consume="count")
     timed("minhash_lsh_dups", dedup.minhash_lsh_dups, consume="count")
+    timed("neardup_jaccard_hist", dedup.neardup_jaccard_hist, consume="count")
     timed("embedding_neardup", dedup.embedding_neardup, consume="count")
     timed("decontaminate", curate.decontaminate, consume="count")
     timed("ann_topk", ann.ann_topk)

@@ -80,6 +80,7 @@ def _per_key_runs(ds: rd.Dataset, keys: list[str], fn, empty_schema: pa.Schema,
 
 
 from ocrautomator_ray.functions.exchange import (
+    per_key_blocks,
     pruned_read,
     auto_partitions as _auto_partitions,
     tune_exchange as _tune_exchange,
@@ -452,7 +453,7 @@ def _decode_shingle_blobs(col) -> tuple[np.ndarray, np.ndarray]:
 
 
 def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
-                     pair_keep=None) -> rd.Dataset:
+                     pair_keep=None, emit_counts: bool = False) -> rd.Dataset:
     """Candidate pairs via banded MinHash-LSH, verified with true Jaccard.
 
     ``pair_keep`` (optional): vectorized predicate ``(doc_a, doc_b) ->
@@ -501,7 +502,7 @@ def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
     band_rows = sh_ds.map_batches(sig_rows, batch_format="pyarrow",
                                   zero_copy_batch=True)
     return verified_pair_stage(sh_ds, band_rows, n_parts, threshold,
-                               pair_keep=pair_keep)
+                               pair_keep=pair_keep, emit_counts=emit_counts)
 
 
 def sig_rows(t: pa.Table) -> pa.Table:
@@ -519,14 +520,17 @@ def sig_rows(t: pa.Table) -> pa.Table:
 
 def verified_pair_stage(sh_ds: rd.Dataset, band_rows: rd.Dataset,
                         n_parts: int, threshold: float,
-                        pair_keep=None) -> rd.Dataset:
+                        pair_keep=None, emit_counts: bool = False) -> rd.Dataset:
     """The candidate→verify tail of banded MinHash-LSH, shared by
     ``minhash_lsh_dups`` (both sides computed in-pipeline) and the persisted
     signature index (snapshot.incremental_neardup_indexed, committed side
     READ from disk): band-bucket exchange → within-bucket candidate pairs
     (``pair_keep``-pruned) → shingle-attach exchange → pair-verify exchange.
     ``sh_ds`` must hold each doc_id exactly once with its shingle blob;
-    ``band_rows`` holds its (doc_id, band_id, band_key) melt."""
+    ``band_rows`` holds its (doc_id, band_id, band_key) melt.
+    ``emit_counts=True`` outputs the exact integer (inter, uni) set sizes
+    instead of the float jaccard — the threshold-tuning consumers
+    (neardup_jaccard_hist) bucket on integers to dodge float boundaries."""
     pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
     def pairs_block(block: pa.Table) -> pa.Table:
@@ -622,8 +626,11 @@ def verified_pair_stage(sh_ds: rd.Dataset, band_rows: rd.Dataset,
     )
 
     # -- exchange 2: co-partition the two halves of each pair, verify --------
-    out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                            ("jaccard", pa.float64())])
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("inter", pa.int64()), ("uni", pa.int64())] if emit_counts else
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("jaccard", pa.float64())])
 
     def judge_block(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
@@ -640,11 +647,21 @@ def verified_pair_stage(sh_ds: rd.Dataset, band_rows: rd.Dataset,
         flat, cnt = _decode_shingle_blobs(block["shingles"])
         s = np.zeros(len(cnt) + 1, np.int64)
         np.cumsum(cnt, out=s[1:])
-        jac = np.array([
-            jaccard(flat[s[2 * i]: s[2 * i + 1]], flat[s[2 * i + 1]: s[2 * i + 2]])
+        inter = np.array([
+            np.intersect1d(flat[s[2 * i]: s[2 * i + 1]],
+                           flat[s[2 * i + 1]: s[2 * i + 2]],
+                           assume_unique=True).size
             for i in range(len(da) // 2)
-        ])
+        ], np.int64)
+        uni = cnt[0::2] + cnt[1::2] - inter
+        jac = np.divide(inter, uni, out=np.ones(len(inter), np.float64),
+                        where=uni > 0)  # uni == 0 → 1.0, same as jaccard()
         keep = jac >= threshold
+        if emit_counts:
+            return pa.table({"doc_a": pa.array(da[0::2][keep], pa.int64()),
+                             "doc_b": pa.array(db[0::2][keep], pa.int64()),
+                             "inter": pa.array(inter[keep], pa.int64()),
+                             "uni": pa.array(uni[keep], pa.int64())})
         return pa.table({"doc_a": pa.array(da[0::2][keep], pa.int64()),
                          "doc_b": pa.array(db[0::2][keep], pa.int64()),
                          "jaccard": pa.array(jac[keep], pa.float64())})
@@ -1447,8 +1464,62 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
 SQL_NEARDUP_REMOVED = _neardup_removed_sql()
 
 
+# ---------------------------------------------------------------------------
+# neardup_jaccard_hist — the threshold-tuning audit table: how many verified
+# LSH candidate pairs fall in each jaccard decile.  Run BEFORE committing to
+# a MINHASH_THRESHOLD: the histogram shows where the corpus's pair-similarity
+# mass sits so the cutoff lands in a valley, not mid-cluster.  Deciles are
+# EXACT integer arithmetic on the (inter, uni) set sizes (inter*10 // uni) —
+# never floor(float_jaccard*10), whose 0.7*10 == 6.999… boundary would
+# misbucket — via verified_pair_stage's emit_counts hook at threshold 0.
+# ---------------------------------------------------------------------------
+
+_HIST_SCHEMA = pa.schema([("decile", pa.int64()), ("n_pairs", pa.int64())])
+
+
+def neardup_jaccard_hist(sf_dir: str) -> rd.Dataset:
+    """(decile, n_pairs): verified candidate pairs per jaccard decile —
+    decile = min(inter*10 // uni, 9), with uni == 0 (two empty shingle
+    sets, jaccard 1.0 by convention) in decile 9."""
+    pairs = minhash_lsh_dups(sf_dir, threshold=0.0, emit_counts=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _HIST_SCHEMA.empty_table()
+        inter = t["inter"].to_numpy(zero_copy_only=False)
+        uni = t["uni"].to_numpy(zero_copy_only=False)
+        dec = np.where(uni == 0, 9,
+                       np.minimum(inter * 10 // np.maximum(uni, 1), 9))
+        counts = np.bincount(dec, minlength=10)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"decile": pa.array(nz, pa.int64()),
+                         "n_pairs": pa.array(counts[nz], pa.int64())})
+
+    def final_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _HIST_SCHEMA.empty_table()
+        g = pa.TableGroupBy(block, ["decile"]).aggregate([("n_pairs", "sum")])
+        return pa.table({"decile": g["decile"],
+                         "n_pairs": g["n_pairs_sum"].cast(pa.int64())})
+
+    return per_key_blocks(
+        pairs.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["decile"], final_block, num_partitions=2)
+
+
+SQL_NEARDUP_JACCARD_HIST = f"""
+WITH {_minhash_ctes()}
+SELECT CAST(CASE WHEN uni = 0 THEN 9
+            ELSE LEAST(inter * 10 // uni, 9) END AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM ver GROUP BY 1
+"""
+
+
 QUERIES = {
     "minhash_lsh_dups": minhash_lsh_dups,
+    "neardup_jaccard_hist": neardup_jaccard_hist,
     "minhash_dup_clusters": minhash_dup_clusters,
     "simhash_dups": simhash_dups,
     "neardup_removed_docs": neardup_removed_docs,
@@ -1458,6 +1529,7 @@ QUERIES = {
 
 SQL = {
     "minhash_lsh_dups": SQL_MINHASH_LSH_DUPS,
+    "neardup_jaccard_hist": SQL_NEARDUP_JACCARD_HIST,
     "minhash_dup_clusters": SQL_MINHASH_DUP_CLUSTERS,
     "simhash_dups": SQL_SIMHASH_DUPS,
     "neardup_removed_docs": SQL_NEARDUP_REMOVED,
