@@ -1039,21 +1039,46 @@ def knn_graph(sf_dir: str, k: int = KNN_K) -> rd.Dataset:
             if n < 2:
                 continue
             X = M[s:e]
-            G = X @ X.T              # int64-exact: |v|≤~1e7 micro, dim 64
-            n2 = np.diag(G)
-            D = n2[:, None] + n2[None, :] - 2 * G
             nbr = ids[s:e]
-            np.fill_diagonal(D, np.iinfo(np.int64).max)  # self excluded
             kk = min(k, n - 1)
-            # per-row order by (dist2, nbr_id): last lexsort key is primary
-            ord2 = np.lexsort(
-                (np.broadcast_to(nbr, D.shape), D), axis=-1)[:, :kk]
-            rows = np.repeat(np.arange(n), kk)
-            o_vec.append(np.repeat(ids[s:e], kk))
-            o_lab.append(np.repeat(lab[s:e], kk))
-            o_rank.append(np.tile(np.arange(1, kk + 1, dtype=np.int64), n))
-            o_nbr.append(nbr[ord2.reshape(-1)])
-            o_d2.append(D[rows, ord2.reshape(-1)])
+            # int64 matmul has no BLAS path — float64 matmul is EXACT here:
+            # with |micro| < 2^23 and dim 64 every partial dot sum is
+            # < 64·2^46 = 2^52 < 2^53, an exactly-representable integer, so
+            # truncating astype recovers the exact int64 product
+            assert np.abs(X).max(initial=0) < (1 << 23), \
+                "micro-int magnitude breaks float64-exact matmul bound"
+            Xf = X.astype(np.float64)
+            n2 = (X * X).sum(axis=1)
+            # row-chunk the distance matrix: memory stays O(chunk·n), so a
+            # hot label never materializes an n² block (the 100-TB contract)
+            ch = max(256, (1 << 24) // max(n, 1))
+            for c0 in range(0, n, ch):
+                c1 = min(c0 + ch, n)
+                G = (Xf[c0:c1] @ Xf.T).astype(np.int64)
+                D = n2[c0:c1, None] + n2[None, :] - 2 * G
+                D[np.arange(c0, c1) - c0, np.arange(c0, c1)] = \
+                    np.iinfo(np.int64).max  # self excluded
+                m = c1 - c0
+                # kk smallest by D per row (ties arbitrary), then widen any
+                # row whose boundary value is tied so nbr_id can tie-break
+                P = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+                dk = np.take_along_axis(D, P, axis=1).max(axis=1)
+                within = D <= dk[:, None]
+                r_all = np.repeat(np.arange(m), within.sum(axis=1))
+                c_all = np.nonzero(within)[1]
+                # order candidates by (row, dist2, nbr_id), keep first kk/row
+                order = np.lexsort((nbr[c_all], D[r_all, c_all], r_all))
+                r_s, c_s = r_all[order], c_all[order]
+                run_starts = np.flatnonzero(np.r_[True, r_s[1:] != r_s[:-1]])
+                run_len = np.diff(np.r_[run_starts, len(r_s)])
+                pos = np.arange(len(r_s)) - np.repeat(run_starts, run_len)
+                keep = pos < kk
+                r_k, c_k, pos_k = r_s[keep], c_s[keep], pos[keep]
+                o_vec.append(ids[s + c0 + r_k])
+                o_lab.append(lab[s + c0 + r_k])
+                o_rank.append(pos_k + 1)
+                o_nbr.append(nbr[c_k])
+                o_d2.append(D[r_k, c_k])
         if not o_vec:
             return out_schema.empty_table()
         return pa.table({

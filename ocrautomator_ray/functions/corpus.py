@@ -800,10 +800,44 @@ def bpe_train_merges(sf_dir: str, rounds: int = BPE_ROUNDS) -> pa.Table:
     })
 
 
-def _bpe_train_sql(rounds: int = BPE_ROUNDS) -> str:
-    """Unrolled R-round mirror: round r's docs CTE is replace() of round
-    r-1's with its best pair, each best CTE is ORDER BY cnt DESC, pair
-    LIMIT 1 — byte-identical replace + collation semantics to the engine."""
+def bpe_apply_stats(sf_dir: str, rounds: int = BPE_ROUNDS) -> rd.Dataset:
+    """(doc_id, n_tokens, n_tokens_merged): per-doc token counts before and
+    after applying the ``rounds`` trained merges — the tokenizer-compression
+    audit (corpus-wide Σ n_tokens_merged / Σ n_tokens is the compression the
+    merge table buys).  Trains via ``bpe_train_merges`` (R exchange rounds),
+    then ONE embarrassingly-parallel apply pass; the merge list is O(R)
+    driver state broadcast in the closure."""
+    mt = bpe_train_merges(sf_dir, rounds)
+    merges = list(zip(mt["tok_a"].to_pylist(), mt["tok_b"].to_pylist()))
+
+    def stats(t: pa.Table) -> pa.Table:
+        d = _delimited_tokens(t)
+        s = (d["s"].combine_chunks()
+             if isinstance(d["s"], pa.ChunkedArray) else d["s"])
+        def n_tokens(col: pa.Array) -> np.ndarray:
+            trimmed = pc.utf8_trim(col, _SEP)
+            n = pc.list_value_length(
+                pc.split_pattern(trimmed, pattern=_SEP + _SEP)
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            n[pc.equal(trimmed, "").to_numpy(zero_copy_only=False)] = 0
+            return n
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n_tokens(s), pa.int64()),
+            "n_tokens_merged": pa.array(
+                n_tokens(_apply_merges(s, merges)), pa.int64()),
+        })
+
+    return pruned_read(f"{sf_dir}/documents.parquet",
+                       ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _bpe_ctes(rounds: int = BPE_ROUNDS) -> str:
+    """The unrolled R-round CTE chain shared by SQL_BPE_TRAIN and
+    SQL_BPE_APPLY: round r's docs CTE is replace() of round r-1's with its
+    best pair, each best CTE is ORDER BY cnt DESC, pair LIMIT 1 —
+    byte-identical replace + collation semantics to the engine."""
     f = "chr(31)"
     ctes = [f"""d0 AS (
   SELECT doc_id,
@@ -840,13 +874,38 @@ d{r} AS (
                  {f} || m.tok_a || ' ' || m.tok_b || {f}) AS s
   FROM d{r - 1} d CROSS JOIN best{r} m
 )""")
+    return ",\n".join(ctes)
+
+
+def _bpe_train_sql(rounds: int = BPE_ROUNDS) -> str:
     selects = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_round, tok_a, tok_b, cnt "
         f"FROM best{r}" for r in range(1, rounds + 1))
-    return "WITH " + ",\n".join(ctes) + "\n" + selects
+    return "WITH " + _bpe_ctes(rounds) + "\n" + selects
 
 
 SQL_BPE_TRAIN = _bpe_train_sql()
+
+
+def _bpe_apply_sql(rounds: int = BPE_ROUNDS) -> str:
+    """Same unrolled chain as SQL_BPE_TRAIN, finishing with per-doc token
+    counts of d0 vs d<rounds> instead of the merge table."""
+    f = "chr(31)"
+    ctes = _bpe_ctes(rounds)
+
+    def count_expr(rel: str) -> str:
+        return (f"CASE WHEN {rel}.s = '' THEN 0 ELSE "
+                f"len(string_split(trim({rel}.s, {f}), {f} || {f})) END")
+
+    return f"""WITH {ctes}
+SELECT d0.doc_id,
+       CAST({count_expr('d0')} AS BIGINT) AS n_tokens,
+       CAST({count_expr(f'd{rounds}')} AS BIGINT) AS n_tokens_merged
+FROM d0 JOIN d{rounds} ON d0.doc_id = d{rounds}.doc_id
+"""
+
+
+SQL_BPE_APPLY = _bpe_apply_sql()
 
 
 QUERIES = {"tfidf_top_terms": tfidf_top_terms, "doc_chunks": doc_chunks,

@@ -420,3 +420,38 @@ def test_knn_graph_brute_force():
     got = (knn_graph(sf).to_pandas()
            .sort_values(["vec_id", "nbr_rank"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_graph_boundary_ties(tmp_path):
+    """Duplicate vectors force dist² ties across the top-k boundary: the
+    kernel must widen the candidate set and break ties by smaller nbr_id."""
+    import pyarrow as pa
+
+    from ocrautomator_ray.functions.ann import knn_graph
+
+    # one label, 8 identical vectors + 2 distant ones: every identical
+    # vector's 5-NN is a pure tie among 7 partners -> ids 0..4ish win
+    emb = [[1.0] * 4 + [0.0] * 60] * 8 + [[5.0] * 4 + [0.0] * 60] * 2
+    t = pa.table({
+        "vec_id": pa.array(list(range(10)), pa.int64()),
+        "embedding": pa.array(emb, pa.list_(pa.float32())),
+        "label": pa.array([1] * 10, pa.int32()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    import pyarrow.parquet as pq2
+    pq2.write_table(t, d / "embeddings.parquet")
+    got = (knn_graph(str(d), k=5).to_pandas()
+           .sort_values(["vec_id", "nbr_rank"]).reset_index(drop=True))
+    assert len(got) == 10 * 5
+    # vec 7 (identical group, ids 0..7): neighbors = smallest ids != 7
+    n7 = got[got["vec_id"] == 7]
+    assert n7["nbr_id"].tolist() == [0, 1, 2, 3, 4]
+    assert (n7["dist2"] == 0).all()
+    # vec 0: ties with 1..7 at dist 0 -> picks 1..5
+    n0 = got[got["vec_id"] == 0]
+    assert n0["nbr_id"].tolist() == [1, 2, 3, 4, 5]
+    # distant pair: nearest is its twin at dist 0, then the cluster
+    n8 = got[got["vec_id"] == 8]
+    assert n8["nbr_id"].tolist()[0] == 9 and n8["dist2"].tolist()[0] == 0
