@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bpe_train_merges"] = _corpus.QUERIES["bpe_train_merges"]  # new
     q["winsorize_values"] = _filters.QUERIES["winsorize_values"]  # new
     q["neardup_jaccard_hist"] = _dedup.QUERIES["neardup_jaccard_hist"]  # new
+    q["bpe_apply_stats"] = _corpus.QUERIES["bpe_apply_stats"]  # new
     q["embedding_quantize"] = _ann.QUERIES["embedding_quantize"]
     q["full_corpus_pipeline"] = run_full_corpus_flagship
     q["minhash_dup_clusters"] = _dedup.QUERIES["minhash_dup_clusters"]

@@ -913,10 +913,12 @@ QUERIES = {"tfidf_top_terms": tfidf_top_terms, "doc_chunks": doc_chunks,
            "corpus_freq_score": corpus_freq_score,
            "bpe_pair_counts": bpe_pair_counts,
            "bpe_train_merges": bpe_train_merges,
+           "bpe_apply_stats": bpe_apply_stats,
            "bm25_doc0_topk": bm25_doc0_topk}
 SQL = {"tfidf_top_terms": SQL_TFIDF, "doc_chunks": SQL_DOC_CHUNKS,
        "pack_sequences": SQL_PACK_SEQUENCES,
        "corpus_freq_score": SQL_CORPUS_FREQ_SCORE,
        "bpe_pair_counts": SQL_BPE_PAIRS,
        "bpe_train_merges": SQL_BPE_TRAIN,
+       "bpe_apply_stats": SQL_BPE_APPLY,
        "bm25_doc0_topk": SQL_BM25}

@@ -134,3 +134,41 @@ def test_bpe_train_merges_serial_reference():
 
     got = bpe_train_merges(sf).to_pandas()
     assert list(map(tuple, got.itertuples(index=False))) == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_apply_stats_invariants():
+    """Every merge can only shrink a doc's token count; the corpus-wide
+    shrink equals the sum of the chosen merges' occurrence counts is NOT
+    guaranteed (later merges change earlier pair occurrences), but the
+    per-doc counts must match a serial reapply of the trained merges."""
+    from ocrautomator_ray.functions.corpus import (
+        bpe_apply_stats, bpe_train_merges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (bpe_apply_stats(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert (got["n_tokens_merged"] <= got["n_tokens"]).all()
+    assert (got["n_tokens_merged"] >= 0).all()
+    merges = bpe_train_merges(sf).to_pandas()
+    # serial reapply on a sample of docs
+    import pyarrow.parquet as pq
+    import re
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas().head(50)
+    for _, row in t.iterrows():
+        toks = [w for w in re.split(r"\s+", row["text"].lower()) if w]
+        for _, m in merges.iterrows():
+            out, i = [], 0
+            while i < len(toks):
+                if (i + 1 < len(toks) and toks[i] == m["tok_a"]
+                        and toks[i + 1] == m["tok_b"]):
+                    out.append(toks[i] + " " + toks[i + 1])
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        g = got[got["doc_id"] == row["doc_id"]].iloc[0]
+        assert g["n_tokens_merged"] == len(toks)
