@@ -150,3 +150,30 @@ def test_pair_keep_none_default_unchanged():
               .to_pandas().sort_values(["doc_a", "doc_b"])
               .reset_index(drop=True))
     pd.testing.assert_frame_equal(base, hooked)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_neardup_index_partial_build_resumes(tmp_path):
+    """Crash-window drill for the signature index: a build that died after
+    committing some partitions (data written, manifests missing for the
+    rest) must resume by recomputing ONLY the missing partitions, and the
+    resumed index must answer the query identically."""
+    import os
+
+    idx = str(tmp_path / "lsh")
+    full = S.neardup_index_build(SF, index_dir=idx)
+    total = full["partitions_committed_total"]
+    assert total >= 4
+    baseline = (S.incremental_neardup_indexed(SF, index_dir=idx)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # simulate the crash window: two partitions' manifests vanish (data
+    # files may or may not exist — remove one of each kind)
+    os.remove(os.path.join(idx, "manifest", "part-00000.json"))
+    os.remove(os.path.join(idx, "manifest", "part-00001.json"))
+    os.remove(os.path.join(idx, "data", "part-00001.parquet"))
+    resumed = S.neardup_index_build(SF, index_dir=idx)
+    assert resumed["partitions_this_run"] == 2
+    assert resumed["partitions_committed_total"] == total
+    after = (S.incremental_neardup_indexed(SF, index_dir=idx)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(after, baseline)
