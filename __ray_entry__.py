@@ -22,6 +22,7 @@ from ocrautomator_ray.functions import kmeans as _kmeans
 from ocrautomator_ray.functions import lm as _lm
 from ocrautomator_ray.functions import media as _media
 from ocrautomator_ray.functions import mix as _mix
+from ocrautomator_ray.functions import moments as _moments
 from ocrautomator_ray.functions import relational as _relational
 from ocrautomator_ray.functions import relational2 as _relational2
 from ocrautomator_ray.functions import relational3 as _relational3
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- new post-window additions (first driver attestation lands next
     #    round; this round they are sweep- and pytest-verified) --
     q.update(_kmeans.QUERIES)
+    q.update(_moments.QUERIES)
     return q
 
 
@@ -134,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_curate.SQL)
     sql.update(_media.SQL)
     sql.update(_kmeans.SQL)
+    sql.update(_moments.SQL)
     sql.update(_lm.SQL)
     sql.update(_mix.SQL)
     sql.update(_snapshot.SQL)

@@ -510,8 +510,65 @@ GROUP BY c_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# event_transitions — Markov transition-count matrix over consecutive event
+# types per user (sequence-model prep / funnel diagnostics). One hash
+# exchange on user_id; each block lexsorts its users' histories, takes
+# adjacent same-user pairs, and reduces them to at most T² partial rows
+# (T = distinct event types) before the final tiny groupby — the second
+# exchange moves type-pair counts, never events.
+# --------------------------------------------------------------------------
+
+def event_transitions(sf_dir: str) -> rd.Dataset:
+    """(from_type, to_type, n): how often ``to_type`` immediately follows
+    ``from_type`` within one user's (ts, event_id)-ordered history."""
+    ev_path = f"{sf_dir}/events.parquet"
+    ds = pruned_read(ev_path, ["user_id", "ts", "event_id", "event_type"])
+    out_schema = pa.schema([("from_type", pa.string()),
+                            ("to_type", pa.string()), ("n", pa.int64())])
+
+    def pairs_block(block: pd.DataFrame) -> pa.Table:
+        if block.empty:
+            return out_schema.empty_table()
+        g = block.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        et = g["event_type"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        keep = uid[1:] == uid[:-1]
+        if not keep.any():
+            return out_schema.empty_table()
+        # factorize once, count pairs as a T×T bincount — no pair strings
+        codes, types = pd.factorize(et, sort=True)
+        t = len(types)
+        pair = codes[:-1][keep] * t + codes[1:][keep]
+        counts = np.bincount(pair, minlength=t * t)
+        nz = np.nonzero(counts)[0]
+        return pa.table({
+            "from_type": pa.array(types[nz // t], pa.string()),
+            "to_type": pa.array(types[nz % t], pa.string()),
+            "n": pa.array(counts[nz], pa.int64()),
+        })
+
+    partials = per_key_blocks(ds, ["user_id"], pairs_block,
+                              batch_format="pandas",
+                              num_partitions=auto_partitions(ev_path))
+    return (partials.groupby(["from_type", "to_type"], num_partitions=4)
+                    .aggregate(Sum("n", alias_name="n")))
+
+
+SQL_EVENT_TRANSITIONS = """
+SELECT from_type, to_type, COUNT(*) AS n FROM (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+    FROM events
+) WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
 QUERIES = {
     "followers_within_window": followers_within_window,
+    "event_transitions": event_transitions,
     "cumulative_user_value": cumulative_user_value,
     "props_value_stats": props_value_stats,
     "user_event_sequences": user_event_sequences,
@@ -524,6 +581,7 @@ QUERIES = {
 
 SQL = {
     "followers_within_window": SQL_FOLLOWERS,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
     "cumulative_user_value": SQL_CUMULATIVE,
     "props_value_stats": SQL_PROPS_STATS,
     "user_event_sequences": SQL_EVENT_SEQUENCES,

@@ -79,7 +79,8 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "dup_ngram_removed_docs", "oov_stats", "token_budget_mix",
                "training_mix_pipeline", "perplexity_buckets",
                "source_overlap_matrix", "temperature_mix",
-               "label_dispersion", "source_report"]
+               "label_dispersion", "source_report", "event_transitions",
+               "embedding_covariance"]
 
 
 @pytest.mark.usefixtures("ray_session")
