@@ -18,6 +18,7 @@ from ocrautomator_ray.functions import corpus as _corpus
 from ocrautomator_ray.functions import curate as _curate
 from ocrautomator_ray.functions import dedup as _dedup
 from ocrautomator_ray.functions import filters as _filters
+from ocrautomator_ray.functions import graph as _graph
 from ocrautomator_ray.functions import kmeans as _kmeans
 from ocrautomator_ray.functions import lm as _lm
 from ocrautomator_ray.functions import media as _media
@@ -118,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #    round; this round they are sweep- and pytest-verified) --
     q.update(_kmeans.QUERIES)
     q.update(_moments.QUERIES)
+    q.update(_graph.QUERIES)
     return q
 
 
@@ -137,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_media.SQL)
     sql.update(_kmeans.SQL)
     sql.update(_moments.SQL)
+    sql.update(_graph.SQL)
     sql.update(_lm.SQL)
     sql.update(_mix.SQL)
     sql.update(_snapshot.SQL)
