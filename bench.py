@@ -194,6 +194,14 @@ def run_benchmarks() -> dict:
     timed("temperature_mix", mix.temperature_mix, consume="count")
     timed("label_dispersion", ann.label_dispersion, consume="count")
     timed("knn_graph", ann.knn_graph, consume="count")
+    timed("event_transitions", relational3.event_transitions, consume="count")
+
+    from ocrautomator_ray.functions import graph as gr
+    from ocrautomator_ray.functions import moments
+
+    timed("knn_pagerank", gr.knn_pagerank, consume="count")
+    timed("embedding_covariance", moments.embedding_covariance,
+          consume="count")
     timed("gopher_rules", filters.gopher_rules, consume="count")
     timed("winsorize_values", filters.winsorize_values, consume="count")
     timed("source_report", text.source_report, consume="count")
