@@ -200,6 +200,7 @@ def run_benchmarks() -> dict:
     from ocrautomator_ray.functions import moments
 
     timed("knn_pagerank", gr.knn_pagerank, consume="count")
+    timed("knn_components", gr.knn_components, consume="count")
     timed("embedding_covariance", moments.embedding_covariance,
           consume="count")
     timed("gopher_rules", filters.gopher_rules, consume="count")

@@ -1095,6 +1095,23 @@ def minhash_dup_clusters(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
     over the node-sized adjacency, the expensive thing to lose. Checkpoints
     are fingerprinted to the input table; a changed input wipes them."""
     pairs = minhash_lsh_dups(sf_dir, threshold).select_columns(["doc_a", "doc_b"])
+    fp = (_round_fingerprint(sf_dir, threshold)
+          if checkpoint_dir is not None else None)
+    return propagate_min_labels(pairs, max_rounds=max_rounds,
+                                checkpoint_dir=checkpoint_dir,
+                                fingerprint=fp)
+
+
+def propagate_min_labels(pairs: rd.Dataset, max_rounds: int = 12,
+                         checkpoint_dir: str | None = None,
+                         fingerprint: dict | None = None) -> rd.Dataset:
+    """Connected components of the undirected graph given as (doc_a, doc_b)
+    pair rows: (doc_id, cluster_id = component-min doc_id) for every node.
+    Hash-to-min label propagation (Rastogi et al., ICDE 2013) — one hash
+    exchange per round, adjacency shrinks to ~nodes rows, O(log n) rounds.
+    Shared by every pair source (MinHash near-dups, mutual-kNN embedding
+    components); ``checkpoint_dir``/``fingerprint`` commit each round as in
+    minhash_dup_clusters' docstring."""
 
     def seed_adj(t: pa.Table) -> pa.Table:
         a = t["doc_a"].to_numpy(zero_copy_only=False)
@@ -1171,8 +1188,7 @@ def minhash_dup_clusters(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
     start_round = 0
     converged = False
     if checkpoint_dir is not None:
-        _prepare_checkpoint_dir(checkpoint_dir,
-                                _round_fingerprint(sf_dir, threshold))
+        _prepare_checkpoint_dir(checkpoint_dir, fingerprint or {})
         rounds = _committed_rounds(checkpoint_dir)
         if rounds:
             rnd, d, meta = rounds[-1]

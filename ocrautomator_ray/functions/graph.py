@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ocrautomator_ray.functions.ann import SQL_KNN_GRAPH, knn_graph
@@ -164,6 +165,119 @@ def knn_pagerank(sf_dir: str, iters: int = PR_ITERS) -> rd.Dataset:
     )
 
 
+# ---------------------------------------------------------------------------
+# mutual_knn_pairs / knn_components — the precision end of embedding-space
+# near-dup detection: an edge counts only when BOTH endpoints rank each other
+# in their top-k (mutual k-NN, the standard high-precision neighborhood
+# filter), and components over those edges are the embedding-space analog of
+# minhash_dup_clusters (same hash-to-min propagation, different pair source).
+# ---------------------------------------------------------------------------
+
+_PAIR_SCHEMA = pa.schema([
+    ("vec_a", pa.int64()), ("vec_b", pa.int64()), ("dist2", pa.int64()),
+])
+
+
+def mutual_knn_pairs(sf_dir: str) -> rd.Dataset:
+    """(vec_a < vec_b, dist2) for every RECIPROCAL k-NN edge. One pair-keyed
+    hash exchange over the directed edge list; a block keeps the canonical
+    pairs it sees in both directions (dist² is symmetric — exact integer —
+    so either copy carries the same value)."""
+    edges = knn_graph(sf_dir).map_batches(
+        lambda t: pa.table({
+            "vec_a": pc.min_element_wise(t["vec_id"], t["nbr_id"]),
+            "vec_b": pc.max_element_wise(t["vec_id"], t["nbr_id"]),
+            "fwd": pc.less(t["vec_id"], t["nbr_id"]).cast(pa.int64()),
+            "dist2": t["dist2"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def mutual_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        a = t["vec_a"].to_numpy(zero_copy_only=False)
+        b = t["vec_b"].to_numpy(zero_copy_only=False)
+        fwd = t["fwd"].to_numpy(zero_copy_only=False)
+        d2 = t["dist2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((fwd, b, a))
+        a, b, fwd, d2 = a[order], b[order], fwd[order], d2[order]
+        starts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1])
+                                      | (b[1:] != b[:-1])])
+        run_len = np.diff(np.r_[starts, len(a)])
+        # a pair is mutual iff its run holds both directions (fwd 0 and 1);
+        # runs have ≤2 rows (each direction emitted once by knn_graph)
+        both = (run_len == 2) & (fwd[starts] == 0)
+        keep = starts[both]
+        return pa.table({
+            "vec_a": pa.array(a[keep], pa.int64()),
+            "vec_b": pa.array(b[keep], pa.int64()),
+            "dist2": pa.array(d2[keep], pa.int64()),
+        })
+
+    return per_key_blocks(edges, ["vec_a", "vec_b"], mutual_block,
+                          num_partitions=8)
+
+
+SQL_MUTUAL_KNN_PAIRS = f"""
+WITH knn AS ({SQL_KNN_GRAPH})
+SELECT a.vec_id AS vec_a, a.nbr_id AS vec_b, a.dist2
+FROM knn a JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id
+WHERE a.vec_id < a.nbr_id
+"""
+
+
+def knn_components(sf_dir: str, max_rounds: int = 12,
+                   checkpoint_dir: str | None = None) -> rd.Dataset:
+    """(vec_id, cluster_id) connected components over the mutual k-NN
+    graph — embedding-space duplicate/mode clusters, labeled by component
+    minimum. Reuses minhash_dup_clusters' checkpointable hash-to-min
+    propagation with the mutual-edge pair source."""
+    from ocrautomator_ray.functions.dedup import propagate_min_labels
+
+    pairs = mutual_knn_pairs(sf_dir).map_batches(
+        lambda t: pa.table({"doc_a": t["vec_a"], "doc_b": t["vec_b"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    fp = None
+    if checkpoint_dir is not None:
+        import os
+
+        p = f"{sf_dir}/embeddings.parquet"
+        st = os.stat(p)
+        fp = {"input": p, "size": st.st_size, "mtime_ns": st.st_mtime_ns,
+              "k": "mutual_knn"}
+    labels = propagate_min_labels(pairs, max_rounds=max_rounds,
+                                  checkpoint_dir=checkpoint_dir,
+                                  fingerprint=fp)
+    return labels.map_batches(
+        lambda t: pa.table({"vec_id": t["doc_id"],
+                            "cluster_id": t["cluster_id"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+SQL_KNN_COMPONENTS = f"""
+WITH RECURSIVE knn AS ({SQL_KNN_GRAPH}),
+mut AS MATERIALIZED (
+    SELECT a.vec_id AS va, a.nbr_id AS vb
+    FROM knn a JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id
+    WHERE a.vec_id < a.nbr_id
+),
+edges AS (
+    SELECT va AS u, vb AS v FROM mut
+    UNION
+    SELECT vb, va FROM mut
+),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+)
+SELECT u AS vec_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+"""
+
+
 def _sql_pagerank(iters: int = PR_ITERS) -> str:
     """Unrolled damped power iterations over the knn_graph CTE — the same
     floor-division contribution formula, teleport constant and no-dangling
@@ -198,8 +312,12 @@ SQL_KNN_PAGERANK = _sql_pagerank()
 
 QUERIES = {
     "knn_pagerank": knn_pagerank,
+    "mutual_knn_pairs": mutual_knn_pairs,
+    "knn_components": knn_components,
 }
 
 SQL = {
     "knn_pagerank": SQL_KNN_PAGERANK,
+    "mutual_knn_pairs": SQL_MUTUAL_KNN_PAIRS,
+    "knn_components": SQL_KNN_COMPONENTS,
 }

@@ -52,6 +52,41 @@ def test_pagerank_matches_serial(edges):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_mutual_pairs_are_reciprocal_edges(edges):
+    src, dst = edges
+    directed = set(zip(src.tolist(), dst.tolist()))
+    exp = {(min(a, b), max(a, b)) for a, b in directed
+           if (b, a) in directed}
+    df = G.mutual_knn_pairs(SF).to_pandas()
+    got = set(zip(df["vec_a"].tolist(), df["vec_b"].tolist()))
+    assert got == exp
+    assert (df["vec_a"] < df["vec_b"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_components_match_union_find():
+    pairs = G.mutual_knn_pairs(SF).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["vec_a"], pairs["vec_b"]):
+        parent[find(int(a))] = find(int(b))
+    roots = {n: find(n) for n in parent}
+    mins: dict[int, int] = {}
+    for n, r in roots.items():
+        mins[r] = min(mins.get(r, n), n)
+    exp = {n: mins[r] for n, r in roots.items()}
+    df = G.knn_components(SF).to_pandas()
+    got = dict(zip(df["vec_id"].tolist(), df["cluster_id"].tolist()))
+    assert got == exp
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pagerank_deterministic():
     a = G.knn_pagerank(SF).to_pandas().sort_values("vec_id")
     b = G.knn_pagerank(SF).to_pandas().sort_values("vec_id")

@@ -80,7 +80,8 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "training_mix_pipeline", "perplexity_buckets",
                "source_overlap_matrix", "temperature_mix",
                "label_dispersion", "source_report", "event_transitions",
-               "embedding_covariance", "knn_pagerank"]
+               "embedding_covariance", "knn_pagerank", "mutual_knn_pairs",
+               "knn_components"]
 
 
 @pytest.mark.usefixtures("ray_session")
