@@ -201,6 +201,7 @@ def run_benchmarks() -> dict:
 
     timed("knn_pagerank", gr.knn_pagerank, consume="count")
     timed("knn_components", gr.knn_components, consume="count")
+    timed("data_value_rank", gr.data_value_rank, consume="count")
     timed("embedding_covariance", moments.embedding_covariance,
           consume="count")
     timed("gopher_rules", filters.gopher_rules, consume="count")

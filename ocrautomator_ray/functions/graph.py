@@ -310,14 +310,102 @@ SELECT node AS vec_id, r AS pr_micros FROM r{iters}
 SQL_KNN_PAGERANK = _sql_pagerank()
 
 
+# ---------------------------------------------------------------------------
+# data_value_rank — the curation decision table: text quality × graph
+# centrality. The driver corpus keys embeddings 1:1 to documents
+# (vec_id == doc_id), so this is the engine's cross-modal join — a lexical
+# signal computed from documents.text meets the structural signal computed
+# from the embedding column, composed as one doc-keyed hash exchange over
+# the union of the two (small, id-keyed) signal tables. All-integer:
+# alpha_permille = alpha_chars·1000 // chars, value = alpha_permille ·
+# pr_micros (≤ ~1e10, far inside int64).
+# ---------------------------------------------------------------------------
+
+_VALUE_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("alpha_permille", pa.int64()),
+    ("pr_micros", pa.int64()), ("data_value", pa.int64()),
+])
+
+
+def data_value_rank(sf_dir: str) -> rd.Dataset:
+    """(doc_id, alpha_permille, pr_micros, data_value) for every doc whose
+    embedding participates in the k-NN graph — quality × centrality as one
+    exact integer product (inner-join semantics: singleton-label vectors
+    have no centrality and are dropped)."""
+    from ocrautomator_ray.functions.exchange import pruned_read
+
+    def quality_rows(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(t["text"]), pa.int64()).to_numpy()
+        alpha = pc.cast(pc.count_substring_regex(t["text"], "[a-z]"),
+                        pa.int64()).to_numpy()
+        permille = (alpha * 1000) // np.maximum(n, 1)
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "q": pa.array(permille, pa.int64()),
+            "p": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+        })
+
+    quality = pruned_read(f"{sf_dir}/documents.parquet",
+                          ["doc_id", "text"]).map_batches(
+        quality_rows, batch_format="pyarrow", zero_copy_batch=True)
+    ranks = knn_pagerank(sf_dir).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["vec_id"].cast(pa.int64()),
+            "q": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+            "p": t["pr_micros"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def join_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _VALUE_SCHEMA.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        q = t["q"].to_numpy(zero_copy_only=False)
+        p = t["p"].to_numpy(zero_copy_only=False)
+        # each doc has ≤1 quality row (q ≥ 0) and ≤1 rank row (p ≥ 0);
+        # max-per-key recovers both halves, presence of both = inner join
+        order = np.argsort(ids, kind="stable")
+        ids, q, p = ids[order], q[order], p[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        qm = np.maximum.reduceat(q, starts)
+        pm = np.maximum.reduceat(p, starts)
+        both = (qm >= 0) & (pm >= 0)
+        return pa.table({
+            "doc_id": pa.array(ids[starts][both], pa.int64()),
+            "alpha_permille": pa.array(qm[both], pa.int64()),
+            "pr_micros": pa.array(pm[both], pa.int64()),
+            "data_value": pa.array(qm[both] * pm[both], pa.int64()),
+        })
+
+    return per_key_blocks(quality.union(ranks), ["doc_id"], join_block,
+                          num_partitions=8)
+
+
+SQL_DATA_VALUE_RANK = f"""
+WITH pr AS ({SQL_KNN_PAGERANK}),
+q AS (
+    SELECT doc_id,
+           (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1000)
+               // GREATEST(length(text), 1) AS alpha_permille
+    FROM documents
+)
+SELECT q.doc_id, q.alpha_permille, pr.pr_micros,
+       q.alpha_permille * pr.pr_micros AS data_value
+FROM q JOIN pr ON pr.vec_id = q.doc_id
+"""
+
+
 QUERIES = {
     "knn_pagerank": knn_pagerank,
+    "data_value_rank": data_value_rank,
     "mutual_knn_pairs": mutual_knn_pairs,
     "knn_components": knn_components,
 }
 
 SQL = {
     "knn_pagerank": SQL_KNN_PAGERANK,
+    "data_value_rank": SQL_DATA_VALUE_RANK,
     "mutual_knn_pairs": SQL_MUTUAL_KNN_PAIRS,
     "knn_components": SQL_KNN_COMPONENTS,
 }
