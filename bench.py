@@ -211,6 +211,7 @@ def run_benchmarks() -> dict:
     from ocrautomator_ray.functions import kmeans as km
 
     timed("kmeans_fit", km.kmeans_fit, consume="count")
+    timed("cluster_sample", km.cluster_sample, consume="count")
 
     from ocrautomator_ray.functions import snapshot as snap
 

@@ -77,14 +77,12 @@ def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
     return np.floor(E * 1e6 + 0.5).astype(np.int64)
 
 
-def kmeans_fit(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> rd.Dataset:
-    """(cluster, dim, centroid_micros, n) after ``iters`` Lloyd rounds.
-
-    ``dim`` is 1-based (generate_subscripts parity), ``centroid_micros`` the
-    final micro-int centroid value, ``n`` the cluster's size under the LAST
-    assignment (repeated per dim; 0 for an empty cluster, whose centroid
-    stays at its previous value). k × dim output rows.
-    """
+def _fit_centroids(sf_dir: str, k: int = KM_K,
+                   iters: int = KM_ITERS) -> tuple[np.ndarray, np.ndarray]:
+    """Run the distributed Lloyd loop; returns the final (k, dim) int64
+    micro-centroid matrix and the per-cluster sizes under the last
+    assignment. Shared by kmeans_fit (which tabulates it) and the
+    assignment consumers (cluster_sample)."""
     from ray.data.aggregate import Sum
 
     C = _init_centroids(sf_dir, k)
@@ -130,6 +128,21 @@ def kmeans_fit(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> rd.Dataset:
         C = C.copy()
         C[nz] = sums[nz] // ns[nz, None]  # floor division, mirrored in SQL
 
+    return C, ns
+
+
+def kmeans_fit(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> rd.Dataset:
+    """(cluster, dim, centroid_micros, n) after ``iters`` Lloyd rounds.
+
+    ``dim`` is 1-based (generate_subscripts parity), ``centroid_micros`` the
+    final micro-int centroid value, ``n`` the cluster's size under the LAST
+    assignment (repeated per dim; 0 for an empty cluster, whose centroid
+    stays at its previous value). k × dim output rows.
+    """
+    C, ns = _fit_centroids(sf_dir, k, iters)
+    k, dim = C.shape
+    clusters = np.repeat(np.arange(k, dtype=np.int64), dim)
+    dims = np.tile(np.arange(1, dim + 1, dtype=np.int64), k)
     return rd.from_arrow(pa.table({
         "cluster": pa.array(clusters, pa.int64()),
         "dim": pa.array(dims, pa.int64()),
@@ -138,8 +151,10 @@ def kmeans_fit(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> rd.Dataset:
     }))
 
 
-def _sql_kmeans(k: int = KM_K, iters: int = KM_ITERS) -> str:
-    """Unrolled Lloyd rounds as chained CTEs, mirroring kmeans_fit exactly."""
+def _kmeans_ctes(k: int = KM_K, iters: int = KM_ITERS) -> str:
+    """The shared unrolled-Lloyd CTE chain (emb/seeds/cent0, then
+    a{{i}}/u{{i}}/cent{{i}} per round) with no final SELECT — consumed by
+    both the kmeans_fit mirror and the assignment consumers."""
     h = sql_mix_hash("vec_id", SHUFFLE_SEED)
     parts = [f"""
 WITH emb AS (
@@ -177,23 +192,104 @@ cent{i} AS (
     SELECT p.c, p.dim, COALESCE(u.v, p.v) AS v
     FROM cent{i - 1} p LEFT JOIN u{i} u ON u.c = p.c AND u.dim = p.dim
 )""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _sql_kmeans(k: int = KM_K, iters: int = KM_ITERS) -> str:
+    """Unrolled Lloyd rounds as chained CTEs, mirroring kmeans_fit exactly."""
+    return _kmeans_ctes(k, iters) + f"""
 SELECT p.c AS cluster, CAST(p.dim AS BIGINT) AS dim,
        COALESCE(u.v, p.v) AS centroid_micros,
        COALESCE(u.n, 0) AS n
 FROM cent{iters - 1} p
 LEFT JOIN u{iters} u ON u.c = p.c AND u.dim = p.dim
-""")
-    return "".join(parts)
+"""
 
 
 SQL_KMEANS_FIT = _sql_kmeans()
 
 
+# ---------------------------------------------------------------------------
+# cluster_sample — kmeans-balanced deterministic sampling (diverse coreset):
+# train centroids with the SAME distributed Lloyd loop, then one streaming
+# pass assigns every vector to its final centroid and keeps at most ``cap``
+# per cluster, chosen by shuffle hash (the source_cap kernel keyed on the
+# learned cluster instead of a given column). Sampling a fixed budget per
+# LEARNED mode keeps rare modes represented where uniform sampling would
+# drown them — the standard embedding-diversity selection step.
+# ---------------------------------------------------------------------------
+
+CLUSTER_CAP = 25
+
+
+def cluster_sample(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS,
+                   cap: int = CLUSTER_CAP) -> rd.Dataset:
+    """(vec_id, cluster) keeping the ``cap`` smallest-hash vectors of each
+    final-centroid cluster. Per-batch bottom-cap pre-prune is lossless (a
+    cluster's global bottom-cap is a subset of its per-batch bottom-caps),
+    so the one cluster-keyed exchange moves at most cap × batches rows."""
+    from ocrautomator_ray.functions.exchange import per_key_blocks
+
+    C, _ = _fit_centroids(sf_dir, k, iters)
+    out_schema = pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64())])
+
+    def assign_and_cap(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        if "cluster" in t.column_names:      # post-exchange: cap only
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            a = t["cluster"].to_numpy(zero_copy_only=False)
+        else:                                # pre-exchange: assign + cap
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            M = _micros(t)
+            d = ((M * M).sum(axis=1, keepdims=True) - 2 * (M @ C.T)
+                 + (C * C).sum(axis=1))
+            a = np.argmin(d, axis=1).astype(np.int64)
+        h = mix_hash(ids, SHUFFLE_SEED)
+        order = np.lexsort((ids, h, a))
+        a_sorted = a[order]
+        starts = np.flatnonzero(np.r_[True, a_sorted[1:] != a_sorted[:-1]])
+        run_len = np.diff(np.r_[starts, len(a_sorted)])
+        pos = np.arange(len(a_sorted)) - np.repeat(starts, run_len)
+        keep = order[pos < cap]
+        keep.sort()
+        return pa.table({
+            "vec_id": pa.array(ids[keep], pa.int64()),
+            "cluster": pa.array(a[keep], pa.int64()),
+        })
+
+    ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
+    pruned = ds.map_batches(assign_and_cap, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return per_key_blocks(pruned, ["cluster"], assign_and_cap,
+                          num_partitions=8)
+
+
+def _sql_cluster_sample(k: int = KM_K, iters: int = KM_ITERS,
+                        cap: int = CLUSTER_CAP) -> str:
+    h = sql_mix_hash("vec_id", SHUFFLE_SEED)
+    return _kmeans_ctes(k, iters) + f""",
+af AS (
+    SELECT vec_id, c FROM (
+        SELECT e.vec_id, c.c, SUM((e.v - c.v) * (e.v - c.v)) AS d
+        FROM emb e JOIN cent{iters} c USING (dim)
+        GROUP BY e.vec_id, c.c)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) = 1
+)
+SELECT vec_id, c AS cluster FROM af
+QUALIFY ROW_NUMBER() OVER (PARTITION BY c ORDER BY {h}, vec_id) <= {cap}
+"""
+
+
+SQL_CLUSTER_SAMPLE = _sql_cluster_sample()
+
+
 QUERIES = {
     "kmeans_fit": kmeans_fit,
+    "cluster_sample": cluster_sample,
 }
 
 SQL = {
     "kmeans_fit": SQL_KMEANS_FIT,
+    "cluster_sample": SQL_CLUSTER_SAMPLE,
 }

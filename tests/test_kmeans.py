@@ -60,6 +60,27 @@ def test_kmeans_matches_serial_lloyd(emb):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_cluster_sample_matches_serial(emb):
+    ids, E = emb
+    C, _ = _serial_lloyd(ids, E, KM.KM_K, KM.KM_ITERS)
+    M = np.floor(E.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    d = ((M * M).sum(axis=1, keepdims=True) - 2 * (M @ C.T)
+         + (C * C).sum(axis=1))
+    a = np.argmin(d, axis=1)
+    h = mix_hash(ids.astype(np.int64), SHUFFLE_SEED)
+    exp = set()
+    for c in range(KM.KM_K):
+        m = a == c
+        order = np.lexsort((ids[m], h[m]))[:KM.CLUSTER_CAP]
+        exp |= {(int(i), c) for i in ids[m][order]}
+    df = KM.cluster_sample(SF).to_pandas()
+    got = set(zip(df["vec_id"].astype(int), df["cluster"].astype(int)))
+    assert got == exp
+    # the cap binds: no cluster exceeds it
+    assert df.groupby("cluster").size().max() <= KM.CLUSTER_CAP
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_kmeans_deterministic_across_runs():
     a = KM.kmeans_fit(SF).to_pandas().sort_values(["cluster", "dim"])
     b = KM.kmeans_fit(SF).to_pandas().sort_values(["cluster", "dim"])
