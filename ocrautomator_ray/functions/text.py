@@ -522,8 +522,58 @@ FROM per GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# length_histogram — per-source doc-length distribution in power-of-two
+# buckets (the length-mix audit behind chunk-size / packing decisions).
+# Bucket = bit_length(n_chars), computed EXACTLY on both engines: numpy via
+# frexp's exponent (exact for ints < 2^53), DuckDB via length(bin(n)) — no
+# float log2 whose last-ulp rounding could misbucket a boundary value.
+# Per-batch (source, bucket) bincount partials, one tiny exchange.
+# --------------------------------------------------------------------------
+
+def length_histogram(sf_dir: str) -> rd.Dataset:
+    """(source, bucket, n_docs): docs per power-of-two length bucket per
+    source; bucket b holds lengths in [2^(b-1), 2^b)."""
+    from ray.data.aggregate import Sum
+
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["source", "n_chars"])
+    part_schema = pa.schema([("source", pa.string()), ("bucket", pa.int64()),
+                             ("n_docs", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        n = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = np.frexp(np.maximum(n, 1).astype(np.float64))[1]
+        src = t["source"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src, sort=True)
+        width = int(bucket.max()) + 1
+        counts = np.bincount(codes * width + bucket,
+                             minlength=len(uniq) * width)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "source": pa.array(uniq[nz // width], pa.string()),
+            "bucket": pa.array((nz % width).astype(np.int64), pa.int64()),
+            "n_docs": pa.array(counts[nz], pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(["source", "bucket"], num_partitions=4)
+              .aggregate(Sum("n_docs", alias_name="n_docs")))
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT source,
+       CAST(length(bin(GREATEST(n_chars, 1))) AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source, bucket
+"""
+
+
 QUERIES = {
     "token_stats": token_stats,
+    "length_histogram": length_histogram,
     "fingerprint_dups": fingerprint_dups,
     "quality_score": quality_score,
     "lang_id": lang_id,
@@ -534,6 +584,7 @@ QUERIES = {
 
 SQL = {
     "token_stats": SQL_TOKEN_STATS,
+    "length_histogram": SQL_LENGTH_HISTOGRAM,
     "fingerprint_dups": SQL_FINGERPRINT_DUPS,
     "quality_score": SQL_QUALITY_SCORE,
     "lang_id": SQL_LANG_ID,

@@ -81,7 +81,8 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "source_overlap_matrix", "temperature_mix",
                "label_dispersion", "source_report", "event_transitions",
                "embedding_covariance", "knn_pagerank", "mutual_knn_pairs",
-               "knn_components", "data_value_rank", "cluster_sample"]
+               "knn_components", "data_value_rank", "cluster_sample",
+               "length_histogram"]
 
 
 @pytest.mark.usefixtures("ray_session")
