@@ -87,6 +87,28 @@ def test_components_match_union_find():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_components_checkpoint_roundtrip(tmp_path):
+    """knn_components with a checkpoint dir matches the uncheckpointed run,
+    commits one meta marker per executed round, and a rerun over the same
+    input resumes from the committed rounds instead of restarting."""
+    import glob
+    import os
+
+    base = G.knn_components(SF).to_pandas().sort_values("vec_id")
+    ckpt = str(tmp_path / "prop")
+    a = G.knn_components(SF, checkpoint_dir=ckpt).to_pandas().sort_values("vec_id")
+    np.testing.assert_array_equal(a.to_numpy(), base.to_numpy())
+    metas = sorted(glob.glob(os.path.join(ckpt, "round-*.json")))
+    assert metas, "no committed propagation rounds"
+    mtimes = [os.path.getmtime(m) for m in metas]
+    b = G.knn_components(SF, checkpoint_dir=ckpt).to_pandas().sort_values("vec_id")
+    np.testing.assert_array_equal(b.to_numpy(), base.to_numpy())
+    # converged marker present ⇒ the rerun re-executed NO rounds
+    assert [os.path.getmtime(m) for m in metas] == mtimes
+    assert sorted(glob.glob(os.path.join(ckpt, "round-*.json"))) == metas
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pagerank_deterministic():
     a = G.knn_pagerank(SF).to_pandas().sort_values("vec_id")
     b = G.knn_pagerank(SF).to_pandas().sort_values("vec_id")
