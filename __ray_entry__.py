@@ -42,6 +42,10 @@ from ocrautomator_ray.pipelines.training_mix import (
     SQL_TRAINING_MIX,
     run_training_mix_flagship,
 )
+from ocrautomator_ray.pipelines.value_rank import (
+    SQL_VALUE_RANK,
+    run_value_rank_flagship,
+)
 
 
 def entry() -> Any:
@@ -120,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(_kmeans.QUERIES)
     q.update(_moments.QUERIES)
     q.update(_graph.QUERIES)
+    q["value_rank_pipeline"] = run_value_rank_flagship
     return q
 
 
@@ -147,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
     sql["assemble_pipeline"] = SQL_ASSEMBLE
     sql["full_corpus_pipeline"] = SQL_FULL_CORPUS
     sql["training_mix_pipeline"] = SQL_TRAINING_MIX
+    sql["value_rank_pipeline"] = SQL_VALUE_RANK
     # Rows-only (non-SQL-expressible): lsh_ann_topk, ivf_ann_topk,
     # ivf_index_topk, approx_distinct_users_per_type, extract_pipeline —
     # each has a pytest oracle instead (tests/): ivf_index_topk is pinned

@@ -235,6 +235,9 @@ def run_benchmarks() -> dict:
     from ocrautomator_ray.pipelines.training_mix import run_training_mix_flagship
     timed("training_mix_pipeline", lambda sf: run_training_mix_flagship(sf),
           consume="count")
+    from ocrautomator_ray.pipelines.value_rank import run_value_rank_flagship
+    timed("value_rank_pipeline", lambda sf: run_value_rank_flagship(sf),
+          consume="count")
 
     ray.shutdown()
 

@@ -109,6 +109,30 @@ def test_components_checkpoint_roundtrip(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_value_rank_pipeline_ordered_and_resumable(tmp_path):
+    """The committed export is a dense 0..n-1 pos sequence ordered by
+    (data_value DESC, doc_id), and an immediate rerun is a full-resume noop
+    that reproduces the identical table."""
+    from ocrautomator_ray.pipelines.extract import read_output
+    from ocrautomator_ray.pipelines.value_rank import run_value_rank
+
+    out = str(tmp_path / "vr")
+    res1 = run_value_rank(SF, out, num_partitions=4)
+    df = read_output(out).to_pandas().sort_values("pos").reset_index(drop=True)
+    assert df["pos"].tolist() == list(range(len(df)))
+    v = df["data_value"].to_numpy()
+    assert (v[:-1] >= v[1:]).all()
+    ties = v[:-1] == v[1:]
+    assert (df["doc_id"].to_numpy()[:-1][ties]
+            < df["doc_id"].to_numpy()[1:][ties]).all()
+    res2 = run_value_rank(SF, out, num_partitions=4)
+    assert res2["partitions_this_run"] == 0, res2
+    df2 = read_output(out).to_pandas().sort_values("pos").reset_index(drop=True)
+    assert df.equals(df2)
+    assert res1["partitions_committed_total"] == res2["partitions_committed_total"]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pagerank_deterministic():
     a = G.knn_pagerank(SF).to_pandas().sort_values("vec_id")
     b = G.knn_pagerank(SF).to_pandas().sort_values("vec_id")

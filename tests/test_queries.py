@@ -82,7 +82,7 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "label_dispersion", "source_report", "event_transitions",
                "embedding_covariance", "knn_pagerank", "mutual_knn_pairs",
                "knn_components", "data_value_rank", "cluster_sample",
-               "length_histogram"]
+               "length_histogram", "value_rank_pipeline"]
 
 
 @pytest.mark.usefixtures("ray_session")
