@@ -29,7 +29,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--pipeline",
                    choices=["extract", "curate", "assemble", "full-corpus",
-                            "training-mix"],
+                            "training-mix", "value-rank"],
                    default="extract",
                    help="extract: the OCR/span flagship; curate: normalize + "
                         "quality-filter + dedup + split over documents.parquet; "
@@ -116,6 +116,13 @@ def main(argv: list[str] | None = None) -> dict:
             return run_training_mix(args.input, args.out,
                                     num_partitions=args.partitions,
                                     resume=not args.no_resume)
+
+        if args.pipeline == "value-rank":
+            from ocrautomator_ray.pipelines.value_rank import run_value_rank
+
+            return run_value_rank(args.input, args.out,
+                                  num_partitions=args.partitions,
+                                  resume=not args.no_resume)
 
         from ocrautomator_ray.pipelines.extract import PipelineConfig, run_extraction
         from ocrautomator_ray.sources.io import read_docs
