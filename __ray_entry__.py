@@ -24,6 +24,7 @@ from ocrautomator_ray.functions import lm as _lm
 from ocrautomator_ray.functions import media as _media
 from ocrautomator_ray.functions import mix as _mix
 from ocrautomator_ray.functions import moments as _moments
+from ocrautomator_ray.functions import pca as _pca
 from ocrautomator_ray.functions import relational as _relational
 from ocrautomator_ray.functions import relational2 as _relational2
 from ocrautomator_ray.functions import relational3 as _relational3
@@ -123,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #    round; this round they are sweep- and pytest-verified) --
     q.update(_kmeans.QUERIES)
     q.update(_moments.QUERIES)
+    q.update(_pca.QUERIES)
     q.update(_graph.QUERIES)
     q["value_rank_pipeline"] = run_value_rank_flagship
     return q
@@ -144,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_media.SQL)
     sql.update(_kmeans.SQL)
     sql.update(_moments.SQL)
+    sql.update(_pca.SQL)
     sql.update(_graph.SQL)
     sql.update(_lm.SQL)
     sql.update(_mix.SQL)
