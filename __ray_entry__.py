@@ -14,6 +14,7 @@ from collections.abc import Callable
 from typing import Any
 
 from ocrautomator_ray.functions import ann as _ann
+from ocrautomator_ray.functions import classifier as _classifier
 from ocrautomator_ray.functions import corpus as _corpus
 from ocrautomator_ray.functions import curate as _curate
 from ocrautomator_ray.functions import dedup as _dedup
@@ -125,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(_kmeans.QUERIES)
     q.update(_moments.QUERIES)
     q.update(_pca.QUERIES)
+    q.update(_classifier.QUERIES)
     q.update(_graph.QUERIES)
     q["value_rank_pipeline"] = run_value_rank_flagship
     return q
@@ -147,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_kmeans.SQL)
     sql.update(_moments.SQL)
     sql.update(_pca.SQL)
+    sql.update(_classifier.SQL)
     sql.update(_graph.SQL)
     sql.update(_lm.SQL)
     sql.update(_mix.SQL)
