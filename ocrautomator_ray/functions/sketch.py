@@ -494,3 +494,164 @@ SQL: dict[str, str] = {
     "approx_top_tokens": SQL_APPROX_TOP_TOKENS,
     "table_profile": SQL_TABLE_PROFILE,
 }
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — the third mergeable
+# sketch family, with an error-audit query: estimated vs exact token counts.
+#
+# The sketch is built the honest streaming way — every block folds its raw
+# token occurrences into a CM_DEPTH × CM_WIDTH counter matrix partial
+# (D·W = 256 rows per block, never tokens), ONE (row, bucket)-keyed exchange
+# merges them — so the counter table is mergeable across shards exactly like
+# the HLL registers. The audit half runs the exact token-count exchange the
+# corpus operators already use and reports est vs exact per token; est ≥
+# exact always (counters only over-count on collisions), which the pytest
+# pins alongside the SQL equality. Width is set at 64 so the synthetic
+# corpus' ~40-token vocabulary actually collides — the estimate is exercised,
+# not vacuously exact.
+#
+# Hashing is deterministic and SQL-mirrorable end to end: FNV-1a of the
+# token bytes, then the Knuth multiplicative mix with a per-row seed, mod
+# width — uint64 wraparound equals the HUGEINT product mod 2^32 because
+# 2^32 | 2^64.
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 64
+CM_SEED_BASE = 97
+CM_SEED_STEP = 1000003
+
+
+def _cm_buckets(h: np.ndarray) -> np.ndarray:
+    """(CM_DEPTH, n) int64 bucket ids for uint64 token hashes."""
+    from ocrautomator_ray.functions.curate import _KNUTH
+
+    out = np.empty((CM_DEPTH, len(h)), np.int64)
+    with np.errstate(over="ignore"):
+        for r in range(CM_DEPTH):
+            seed = np.uint64(CM_SEED_BASE + CM_SEED_STEP * r)
+            m = ((h + seed) * np.uint64(_KNUTH)) % np.uint64(1 << 32)
+            out[r] = (m % np.uint64(CM_WIDTH)).astype(np.int64)
+    return out
+
+
+def _cm_counters(sf_dir: str) -> np.ndarray:
+    """(CM_DEPTH, CM_WIDTH) int64 merged counter matrix from one streaming
+    pass over the documents table."""
+    from ray.data.aggregate import Sum
+
+    from ocrautomator_ray.functions.dedup import _fnv1a_strings, _tokenize_re2
+    from ocrautomator_ray.functions.exchange import pruned_read, tune_exchange
+
+    partial_schema = pa.schema([
+        ("r", pa.int64()), ("b", pa.int64()), ("cnt", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return partial_schema.empty_table()
+        flat, _ = _tokenize_re2(t["text"])
+        if len(flat) == 0:
+            return partial_schema.empty_table()
+        h = _fnv1a_strings(flat)
+        buckets = _cm_buckets(h)
+        rows = np.repeat(np.arange(CM_DEPTH, dtype=np.int64), buckets.shape[1])
+        flat_idx = rows * CM_WIDTH + buckets.reshape(-1)
+        cnt = np.bincount(flat_idx, minlength=CM_DEPTH * CM_WIDTH)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "r": pa.array(nz // CM_WIDTH, pa.int64()),
+            "b": pa.array(nz % CM_WIDTH, pa.int64()),
+            "cnt": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+        })
+
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["text"])
+    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    tune_exchange(out)
+    agg = (out.groupby(["r", "b"], num_partitions=4)
+              .aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+    C = np.zeros((CM_DEPTH, CM_WIDTH), np.int64)
+    C[agg["r"].to_numpy(), agg["b"].to_numpy()] = agg["cnt"].to_numpy()
+    return C
+
+
+def cmsketch_token_counts(sf_dir: str) -> rd.Dataset:
+    """(token, est_count, exact_count): the count-min estimate next to the
+    exact corpus count for every distinct token — the sketch-error audit."""
+    from ray.data.aggregate import Sum
+
+    from ocrautomator_ray.functions.dedup import _fnv1a_strings, _tokenize_re2
+    from ocrautomator_ray.functions.exchange import pruned_read, tune_exchange
+
+    C = _cm_counters(sf_dir)
+    tok_schema = pa.schema([("token", pa.string()),
+                            ("exact_count", pa.int64())])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return tok_schema.empty_table()
+        flat, _ = _tokenize_re2(t["text"])
+        if len(flat) == 0:
+            return tok_schema.empty_table()
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(flat)
+        return pa.table({"token": vc.field("values"),
+                         "exact_count": vc.field("counts").cast(pa.int64())})
+
+    def estimate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("est_count", pa.array([], pa.int64()))
+        h = _fnv1a_strings(t["token"])
+        buckets = _cm_buckets(h)
+        est = C[np.arange(CM_DEPTH)[:, None], buckets].min(axis=0)
+        return pa.table({"token": t["token"],
+                         "est_count": pa.array(est, pa.int64()),
+                         "exact_count": t["exact_count"]})
+
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["text"])
+    out = ds.map_batches(tok_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    tune_exchange(out)
+    exact = (out.groupby("token", num_partitions=4)
+                .aggregate(Sum("exact_count", alias_name="exact_count")))
+    return exact.map_batches(estimate, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def _sql_cmsketch() -> str:
+    from ocrautomator_ray.functions.curate import _KNUTH
+    from ocrautomator_ray.functions.dedup import _sql_fnv1a
+
+    def bucket(r: int) -> str:
+        seed = CM_SEED_BASE + CM_SEED_STEP * r
+        return (f"CAST(CAST((h + {seed}) % 18446744073709551616 AS HUGEINT)"
+                f" * {_KNUTH} % 4294967296 % {CM_WIDTH} AS BIGINT)")
+
+    rows = " UNION ALL ".join(
+        f"SELECT w, {r} AS r, {bucket(r)} AS b FROM hw" for r in range(CM_DEPTH))
+    return rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+tc AS (SELECT w, COUNT(*) AS exact_count FROM toks GROUP BY w),
+hw AS (SELECT w, {_sql_fnv1a('w')} AS h FROM tc),
+hb AS ({rows}),
+ctr AS (
+  SELECT hb.r, hb.b, SUM(tc.exact_count) AS cnt
+  FROM hb JOIN tc USING (w) GROUP BY hb.r, hb.b
+)
+SELECT tc.w AS token, CAST(MIN(ctr.cnt) AS BIGINT) AS est_count,
+       CAST(tc.exact_count AS BIGINT) AS exact_count
+FROM tc JOIN hb USING (w) JOIN ctr ON ctr.r = hb.r AND ctr.b = hb.b
+GROUP BY tc.w, tc.exact_count
+"""
+
+
+SQL_CMSKETCH = _sql_cmsketch()
+
+QUERIES["cmsketch_token_counts"] = cmsketch_token_counts
+SQL["cmsketch_token_counts"] = SQL_CMSKETCH
