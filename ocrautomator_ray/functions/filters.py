@@ -464,3 +464,100 @@ SQL = {
     "pii_scrub": SQL_PII_SCRUB,
     "gopher_rules": SQL_GOPHER_RULES,
 }
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize — per-source percent-rank normalization of doc length.
+# Per-source score distributions differ (one scraper yields long pages,
+# another short snippets), so a single global threshold over-filters some
+# sources; the standard fix is to replace each doc's raw score with its
+# rank WITHIN its source, making scores comparable before a global cut.
+#
+# Distribution shape: the dense-rank two-phase pattern (seeded_shuffle /
+# perplexity_buckets), keyed per source — phase 1 is one (source, bucket)
+# COUNT exchange (bucket = n_chars // width, capped), the driver folds
+# O(sources x buckets) prefix offsets + per-source totals; phase 2 is ONE
+# (source, bucket)-keyed exchange whose blocks rank locally by
+# (n_chars, doc_id) and emit pr_micros = rank_0 * 1e6 // (n_src - 1) —
+# all-integer, bit-identical to the SQL ROW_NUMBER mirror, no global sort,
+# and the text column never moves.
+# ---------------------------------------------------------------------------
+
+QN_BUCKET_WIDTH = 64
+QN_BUCKETS = 64
+
+_QN_OUT_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("source", pa.string()),
+    ("n_chars", pa.int64()), ("pr_micros", pa.int64()),
+])
+
+
+def quantile_normalize(sf_dir: str) -> rd.Dataset:
+    """(doc_id, source, n_chars, pr_micros): each doc's integer-exact
+    percent-rank of n_chars within its source (rank over (n_chars, doc_id),
+    scaled by 1e6; single-doc sources score 0)."""
+    from ocrautomator_ray.functions.dedup import _ramp
+    from ocrautomator_ray.functions.exchange import per_key_blocks
+
+    def keyed(t: pa.Table) -> pa.Table:
+        n = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.minimum(n // QN_BUCKET_WIDTH, QN_BUCKETS - 1)
+        return pa.table({
+            "doc_id": t["doc_id"], "source": t["source"],
+            "n_chars": pa.array(n, pa.int64()),
+            "bucket_k": pa.array(b, pa.int64()),
+        })
+
+    ds = pruned_read(f"{sf_dir}/documents.parquet",
+                     ["doc_id", "source", "n_chars"])
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    counts = (keyed_ds.groupby(["source", "bucket_k"], num_partitions=8)
+              .count().to_pandas().sort_values(["source", "bucket_k"]))
+    offsets: dict[tuple[str, int], int] = {}
+    totals: dict[str, int] = {}
+    for src, bk, c in counts[["source", "bucket_k", "count()"]].itertuples(
+            index=False):
+        offsets[(src, int(bk))] = totals.get(src, 0)
+        totals[src] = totals.get(src, 0) + int(c)
+
+    def rank_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _QN_OUT_SCHEMA.empty_table()
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        src = block["source"].to_pandas().to_numpy()
+        n = block["n_chars"].to_numpy(zero_copy_only=False)
+        b = block["bucket_k"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, n, b, src))
+        srcs, bs = src[order], b[order]
+        new_run = np.r_[True, (srcs[1:] != srcs[:-1]) | (bs[1:] != bs[:-1])]
+        starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.r_[starts, len(bs)])
+        base = np.array([offsets[(srcs[s], int(bs[s]))] for s in starts],
+                        np.int64)                       # one lookup per RUN
+        denom = np.array([max(totals[srcs[s]] - 1, 1) for s in starts],
+                         np.int64)
+        rank0 = np.repeat(base, run_len) + _ramp(run_len)
+        pr = rank0 * 1_000_000 // np.repeat(denom, run_len)
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "source": pa.array(srcs),
+            "n_chars": pa.array(n[order], pa.int64()),
+            "pr_micros": pa.array(pr, pa.int64()),
+        })
+
+    return per_key_blocks(keyed_ds, ["source", "bucket_k"], rank_block,
+                          num_partitions=16)
+
+
+SQL_QUANTILE_NORMALIZE = """
+SELECT doc_id, source, n_chars,
+       (ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1)
+         * 1000000
+         // GREATEST(COUNT(*) OVER (PARTITION BY source) - 1, 1) AS pr_micros
+FROM documents
+"""
+
+
+QUERIES["quantile_normalize"] = quantile_normalize
+SQL["quantile_normalize"] = SQL_QUANTILE_NORMALIZE
