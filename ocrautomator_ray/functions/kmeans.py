@@ -293,3 +293,192 @@ SQL = {
     "kmeans_fit": SQL_KMEANS_FIT,
     "cluster_sample": SQL_CLUSTER_SAMPLE,
 }
+
+
+# ---------------------------------------------------------------------------
+# pq_codes — product quantization (Jégou et al., TPAMI 2011): split the
+# embedding into PQ_M contiguous subspaces, train PQ_K sub-centroids per
+# subspace with the SAME distributed Lloyd loop, and emit each vector's
+# per-subspace code + exact reconstruction error. The codebook compresses a
+# 64-dim float vector to PQ_M small codes — the memory tier between int8
+# quantization (embedding_quantize) and the raw table, and the codebook
+# ANN search (IVF-PQ) builds on exactly this assignment pass.
+#
+# Distribution shape: the kmeans discipline, fused across subspaces — per
+# round ONE streaming pass assigns every row's PQ_M subvectors and emits
+# (sub, cluster, dim) partial sums (M·K·dsub = 256 rows per block, never
+# vectors); one hash exchange reduces them; the driver folds O(M·K·dsub)
+# codebook state. Training is 2 rounds from the shared smallest-hash seed
+# vectors, sliced per subspace, so the SQL mirror reuses the seeds CTE.
+# Empty sub-clusters carry their previous sub-centroid, ties go to the
+# smaller code — bit-identical on any partitioning.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4
+PQ_K = 4
+PQ_ITERS = 2
+
+
+def _fit_pq(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
+            iters: int = PQ_ITERS) -> np.ndarray:
+    """(m, k, dsub) int64 micro sub-centroid codebook."""
+    from ray.data.aggregate import Sum
+
+    seeds = _init_centroids(sf_dir, k)          # (k, d) int64 micros
+    d = seeds.shape[1]
+    dsub = d // m
+    C = np.ascontiguousarray(
+        seeds.reshape(k, m, dsub).transpose(1, 0, 2))   # (m, k, dsub)
+    partial_schema = pa.schema([
+        ("sub", pa.int64()), ("cluster", pa.int64()), ("dim", pa.int64()),
+        ("sum_micros", pa.int64()), ("n", pa.int64()),
+    ])
+    subs = np.repeat(np.arange(m, dtype=np.int64), k * dsub)
+    clusters = np.tile(np.repeat(np.arange(k, dtype=np.int64), dsub), m)
+    dims = np.tile(np.arange(1, dsub + 1, dtype=np.int64), m * k)
+
+    for _ in range(iters):
+        def assign_partial(t: pa.Table, C=C) -> pa.Table:
+            if t.num_rows == 0:
+                return partial_schema.empty_table()
+            X = _micros(t).reshape(t.num_rows, m, dsub)
+            sums = np.zeros((m, k, dsub), dtype=np.int64)
+            counts = np.zeros((m, k), dtype=np.int64)
+            for s in range(m):
+                Xs, Cs = X[:, s, :], C[s]
+                d2 = ((Xs * Xs).sum(axis=1, keepdims=True) - 2 * (Xs @ Cs.T)
+                      + (Cs * Cs).sum(axis=1))
+                a = np.argmin(d2, axis=1)       # first hit = smaller code
+                np.add.at(sums[s], a, Xs)
+                counts[s] = np.bincount(a, minlength=k)
+            return pa.table({
+                "sub": pa.array(subs, pa.int64()),
+                "cluster": pa.array(clusters, pa.int64()),
+                "dim": pa.array(dims, pa.int64()),
+                "sum_micros": pa.array(sums.reshape(-1), pa.int64()),
+                "n": pa.array(np.repeat(counts.reshape(-1), dsub), pa.int64()),
+            })
+
+        ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["embedding"])
+        out = ds.map_batches(assign_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        tune_exchange(out)
+        agg = (out.groupby(["sub", "cluster", "dim"], num_partitions=8)
+                  .aggregate(Sum("sum_micros", alias_name="sum_micros"),
+                             Sum("n", alias_name="n"))
+                  .to_pandas().sort_values(["sub", "cluster", "dim"]))
+        sums = agg["sum_micros"].to_numpy(dtype=np.int64).reshape(m, k, dsub)
+        ns = agg["n"].to_numpy(dtype=np.int64).reshape(m, k, dsub)[:, :, 0]
+        C = C.copy()
+        nz = ns > 0
+        C[nz] = sums[nz] // ns[nz, None]        # floor division, as in SQL
+    return C
+
+
+def pq_codes(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
+             iters: int = PQ_ITERS) -> rd.Dataset:
+    """(vec_id, sub, code, err2): each vector's nearest sub-centroid per
+    subspace and the exact micro-int squared reconstruction error there —
+    m rows per vector."""
+    C = _fit_pq(sf_dir, m, k, iters)
+    dsub = C.shape[2]
+    out_schema = pa.schema([
+        ("vec_id", pa.int64()), ("sub", pa.int64()),
+        ("code", pa.int64()), ("err2", pa.int64()),
+    ])
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        n = t.num_rows
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        X = _micros(t).reshape(n, m, dsub)
+        codes = np.empty((n, m), np.int64)
+        errs = np.empty((n, m), np.int64)
+        for s in range(m):
+            Xs, Cs = X[:, s, :], C[s]
+            d2 = ((Xs * Xs).sum(axis=1, keepdims=True) - 2 * (Xs @ Cs.T)
+                  + (Cs * Cs).sum(axis=1))
+            codes[:, s] = np.argmin(d2, axis=1)
+            errs[:, s] = d2[np.arange(n), codes[:, s]]
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, m), pa.int64()),
+            "sub": pa.array(np.tile(np.arange(m, dtype=np.int64), n),
+                            pa.int64()),
+            "code": pa.array(codes.reshape(-1), pa.int64()),
+            "err2": pa.array(errs.reshape(-1), pa.int64()),
+        })
+
+    ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _sql_pq_codes(m: int = PQ_M, k: int = PQ_K,
+                  iters: int = PQ_ITERS, d: int = 64) -> str:
+    """Per-subspace unrolled Lloyd chains sharing the kmeans seeds CTE,
+    UNION ALL'd into the (vec_id, sub, code, err2) table."""
+    h = sql_mix_hash("vec_id", SHUFFLE_SEED)
+    dsub = d // m
+    parts = [f"""
+WITH emb AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)*1000000 + 0.5)
+                AS BIGINT) AS v
+    FROM embeddings
+),
+seeds AS (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY {h}, vec_id) - 1 AS c
+    FROM (SELECT vec_id FROM embeddings ORDER BY {h}, vec_id LIMIT {k})
+)"""]
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        rng = f"dim BETWEEN {lo} AND {hi}"
+        parts.append(f""",
+cent0_{s} AS (
+    SELECT sd.c, e.dim, e.v FROM seeds sd JOIN emb e USING (vec_id)
+    WHERE e.{rng}
+)""")
+        for i in range(1, iters + 1):
+            parts.append(f""",
+a{i}_{s} AS (
+    SELECT vec_id, c FROM (
+        SELECT e.vec_id, c.c, SUM((e.v - c.v) * (e.v - c.v)) AS d
+        FROM emb e JOIN cent{i - 1}_{s} c USING (dim)
+        WHERE e.{rng}
+        GROUP BY e.vec_id, c.c)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) = 1
+),
+u{i}_{s} AS (
+    SELECT a.c, e.dim,
+           CAST(FLOOR(CAST(SUM(e.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+    FROM a{i}_{s} a JOIN emb e USING (vec_id)
+    WHERE e.{rng}
+    GROUP BY a.c, e.dim
+),
+cent{i}_{s} AS (
+    SELECT p.c, p.dim, COALESCE(u.v, p.v) AS v
+    FROM cent{i - 1}_{s} p LEFT JOIN u{i}_{s} u
+      ON u.c = p.c AND u.dim = p.dim
+)""")
+        parts.append(f""",
+af_{s} AS (
+    SELECT vec_id, c, d FROM (
+        SELECT e.vec_id, c.c, SUM((e.v - c.v) * (e.v - c.v)) AS d
+        FROM emb e JOIN cent{iters}_{s} c USING (dim)
+        WHERE e.{rng}
+        GROUP BY e.vec_id, c.c)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) = 1
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {s} AS sub, c AS code, CAST(d AS BIGINT) AS err2 "
+        f"FROM af_{s}" for s in range(m))
+    parts.append("\n" + sel + "\n")
+    return "".join(parts)
+
+
+SQL_PQ_CODES = _sql_pq_codes()
+
+
+QUERIES["pq_codes"] = pq_codes
+SQL["pq_codes"] = SQL_PQ_CODES

@@ -114,3 +114,70 @@ def test_ties_go_to_smaller_cluster_and_empty_keeps_centroid():
     np.testing.assert_array_equal(C2[1], seed_micro)
     np.testing.assert_array_equal(
         C2[0], M[~np.isin(ids, ids[order])].sum(axis=0) // 4)
+
+
+# --------------------------- product quantization ---------------------------
+
+def _serial_pq(sf_dir, m, k, iters):
+    """Single-process mirror of _fit_pq + the code assignment."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    M = np.floor(np.stack(t["embedding"].to_pylist()).astype(np.float64)
+                 * 1e6 + 0.5).astype(np.int64)
+    h = mix_hash(ids, SHUFFLE_SEED)
+    order = np.lexsort((ids, h))[:k]
+    d = M.shape[1]
+    dsub = d // m
+    C = np.ascontiguousarray(
+        M[order].reshape(k, m, dsub).transpose(1, 0, 2))
+    X = M.reshape(len(ids), m, dsub)
+    for _ in range(iters):
+        newC = C.copy()
+        for s in range(m):
+            Xs, Cs = X[:, s, :], C[s]
+            d2 = ((Xs * Xs).sum(axis=1, keepdims=True) - 2 * (Xs @ Cs.T)
+                  + (Cs * Cs).sum(axis=1))
+            a = np.argmin(d2, axis=1)
+            for c in range(k):
+                sel = a == c
+                if sel.any():
+                    newC[s][c] = Xs[sel].sum(axis=0) // sel.sum()
+        C = newC
+    codes = np.empty((len(ids), m), np.int64)
+    errs = np.empty((len(ids), m), np.int64)
+    for s in range(m):
+        Xs, Cs = X[:, s, :], C[s]
+        d2 = ((Xs * Xs).sum(axis=1, keepdims=True) - 2 * (Xs @ Cs.T)
+              + (Cs * Cs).sum(axis=1))
+        codes[:, s] = np.argmin(d2, axis=1)
+        errs[:, s] = d2[np.arange(len(ids)), codes[:, s]]
+    return ids, codes, errs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_codes_match_serial():
+    ids, codes, errs = _serial_pq(SF, KM.PQ_M, KM.PQ_K, KM.PQ_ITERS)
+    df = KM.pq_codes(SF).to_pandas().sort_values(["vec_id", "sub"])
+    exp_codes = dict(zip(zip(np.repeat(ids, KM.PQ_M).tolist(),
+                             list(range(KM.PQ_M)) * len(ids)),
+                         codes.reshape(-1).tolist()))
+    got = {(v, s): c for v, s, c in
+           zip(df["vec_id"], df["sub"], df["code"])}
+    assert got == exp_codes
+    got_err = {(v, s): e for v, s, e in
+               zip(df["vec_id"], df["sub"], df["err2"])}
+    exp_err = dict(zip(zip(np.repeat(ids, KM.PQ_M).tolist(),
+                           list(range(KM.PQ_M)) * len(ids)),
+                       errs.reshape(-1).tolist()))
+    assert got_err == exp_err
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_training_reduces_reconstruction_error():
+    # the trained codebook must reconstruct no worse than the raw seed
+    # codebook it started from — Lloyd error is monotone non-increasing
+    _, _, err_trained = _serial_pq(SF, KM.PQ_M, KM.PQ_K, KM.PQ_ITERS)
+    _, _, err_seed = _serial_pq(SF, KM.PQ_M, KM.PQ_K, 0)
+    assert err_trained.sum() <= err_seed.sum()
+    assert err_trained.sum() < err_seed.sum()  # and strictly better here
