@@ -314,8 +314,8 @@ SQL = {
 # smaller code — bit-identical on any partitioning.
 # ---------------------------------------------------------------------------
 
-PQ_M = 4
-PQ_K = 4
+PQ_M = 8
+PQ_K = 16
 PQ_ITERS = 2
 
 
@@ -414,10 +414,12 @@ def pq_codes(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
                           zero_copy_batch=True)
 
 
-def _sql_pq_codes(m: int = PQ_M, k: int = PQ_K,
-                  iters: int = PQ_ITERS, d: int = 64) -> str:
-    """Per-subspace unrolled Lloyd chains sharing the kmeans seeds CTE,
-    UNION ALL'd into the (vec_id, sub, code, err2) table."""
+def _pq_ctes(m: int = PQ_M, k: int = PQ_K,
+             iters: int = PQ_ITERS, d: int = 64) -> str:
+    """The shared per-subspace unrolled Lloyd CTE chain (emb/seeds, then
+    cent/a/u per subspace and round, ending at each af_{s} final-assignment
+    CTE) with no final SELECT — consumed by the pq_codes mirror and the
+    ADC search mirror."""
     h = sql_mix_hash("vec_id", SHUFFLE_SEED)
     dsub = d // m
     parts = [f"""
@@ -470,11 +472,15 @@ af_{s} AS (
         GROUP BY e.vec_id, c.c)
     QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) = 1
 )""")
+    return "".join(parts)
+
+
+def _sql_pq_codes(m: int = PQ_M, k: int = PQ_K,
+                  iters: int = PQ_ITERS, d: int = 64) -> str:
     sel = "\nUNION ALL\n".join(
         f"SELECT vec_id, {s} AS sub, c AS code, CAST(d AS BIGINT) AS err2 "
         f"FROM af_{s}" for s in range(m))
-    parts.append("\n" + sel + "\n")
-    return "".join(parts)
+    return _pq_ctes(m, k, iters, d) + "\n" + sel + "\n"
 
 
 SQL_PQ_CODES = _sql_pq_codes()
@@ -482,3 +488,117 @@ SQL_PQ_CODES = _sql_pq_codes()
 
 QUERIES["pq_codes"] = pq_codes
 SQL["pq_codes"] = SQL_PQ_CODES
+
+
+# ---------------------------------------------------------------------------
+# pq_ann_topk — asymmetric-distance (ADC) approximate nearest neighbors over
+# the PQ codebook: the query vector stays exact, every database vector is
+# replaced by its per-subspace sub-centroid, and the approximate distance is
+# a table lookup sum adist² = Σ_s dist²(q_s, C_s[code_s(x)]). This is the
+# search half of IVF-PQ — and unlike the float LSH/IVF paths it is
+# all-integer, so it carries a full SQL value oracle, not a recall bound.
+#
+# Distribution shape: codebook + M×K lookup table built once (bounded driver
+# state, broadcast in the closure); ONE streaming pass assigns codes and
+# looks up adist², pruned per batch to a lossless bottom-k by
+# (adist², vec_id); one tiny qid-keyed exchange ranks the k × blocks
+# survivors. The scan never moves embeddings — at corpus scale the
+# assignment pass reads the persisted codes instead (pq_codes' output
+# through the resumable sink), same arithmetic.
+# ---------------------------------------------------------------------------
+
+PQ_ANN_K = 10
+PQ_QUERY_VEC = 0
+
+
+def pq_ann_topk(sf_dir: str, k_top: int = PQ_ANN_K,
+                m: int = PQ_M, k: int = PQ_K,
+                iters: int = PQ_ITERS) -> rd.Dataset:
+    """(qid, vec_id, adist2, rank): the PQ-ADC approximate top-k for the
+    query vector PQ_QUERY_VEC, ranked by (adist2, vec_id), self excluded."""
+    import pyarrow.parquet as pqt
+
+    C = _fit_pq(sf_dir, m, k, iters)
+    dsub = C.shape[2]
+    qt = pqt.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "=", PQ_QUERY_VEC)])
+    q = np.floor(np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
+                 * 1e6 + 0.5).astype(np.int64).reshape(m, dsub)
+    lut = ((C - q[:, None, :]) ** 2).sum(axis=2)      # (m, k) int64
+    out_schema = pa.schema([
+        ("qid", pa.int64()), ("vec_id", pa.int64()), ("adist2", pa.int64()),
+    ])
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        n = t.num_rows
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        X = _micros(t).reshape(n, m, dsub)
+        adist = np.zeros(n, np.int64)
+        for s in range(m):
+            Xs, Cs = X[:, s, :], C[s]
+            d2 = ((Xs * Xs).sum(axis=1, keepdims=True) - 2 * (Xs @ Cs.T)
+                  + (Cs * Cs).sum(axis=1))
+            adist += lut[s][np.argmin(d2, axis=1)]
+        keep = ids != PQ_QUERY_VEC
+        ids, adist = ids[keep], adist[keep]
+        if len(ids) > k_top:                  # lossless batch-local prune
+            sel = np.lexsort((ids, adist))[:k_top]
+            ids, adist = ids[sel], adist[sel]
+        return pa.table({
+            "qid": pa.array(np.full(len(ids), PQ_QUERY_VEC, np.int64),
+                            pa.int64()),
+            "vec_id": pa.array(ids, pa.int64()),
+            "adist2": pa.array(adist, pa.int64()),
+        })
+
+    def final(g: "object") -> "object":
+        import pandas as pd
+
+        g = g.sort_values(["adist2", "vec_id"]).head(k_top)
+        return pd.DataFrame({
+            "qid": g["qid"].values, "vec_id": g["vec_id"].values,
+            "adist2": g["adist2"].values,
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
+    return (ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+              .groupby("qid", num_partitions=1)
+              .map_groups(final, batch_format="pandas"))
+
+
+def _sql_pq_ann(k_top: int = PQ_ANN_K, m: int = PQ_M, k: int = PQ_K,
+                iters: int = PQ_ITERS, d: int = 64) -> str:
+    dsub = d // m
+    luts = ",\n".join(f"""
+lut_{s} AS (
+    SELECT c.c, SUM((q.v - c.v) * (q.v - c.v)) AS d
+    FROM cent{iters}_{s} c
+    JOIN emb q ON q.dim = c.dim AND q.vec_id = {PQ_QUERY_VEC}
+    WHERE q.dim BETWEEN {s * dsub + 1} AND {(s + 1) * dsub}
+    GROUP BY c.c
+)""" for s in range(m))
+    pairs = "\nUNION ALL\n".join(
+        f"SELECT a.vec_id, l.d FROM af_{s} a JOIN lut_{s} l ON a.c = l.c"
+        for s in range(m))
+    return _pq_ctes(m, k, iters, d) + f""",
+{luts},
+adist AS (
+    SELECT vec_id, SUM(d) AS adist2 FROM ({pairs}) GROUP BY vec_id
+)
+SELECT CAST({PQ_QUERY_VEC} AS BIGINT) AS qid, vec_id,
+       CAST(adist2 AS BIGINT) AS adist2,
+       CAST(ROW_NUMBER() OVER (ORDER BY adist2, vec_id) AS BIGINT) AS rank
+FROM adist WHERE vec_id != {PQ_QUERY_VEC}
+ORDER BY adist2, vec_id LIMIT {k_top}
+"""
+
+
+SQL_PQ_ANN_TOPK = _sql_pq_ann()
+
+
+QUERIES["pq_ann_topk"] = pq_ann_topk
+SQL["pq_ann_topk"] = SQL_PQ_ANN_TOPK

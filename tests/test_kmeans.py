@@ -181,3 +181,44 @@ def test_pq_training_reduces_reconstruction_error():
     _, _, err_seed = _serial_pq(SF, KM.PQ_M, KM.PQ_K, 0)
     assert err_trained.sum() <= err_seed.sum()
     assert err_trained.sum() < err_seed.sum()  # and strictly better here
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_ann_recall_against_exact():
+    # ADC is approximate; with K=4 codes per subspace it must still place a
+    # decent fraction of the true top-10 (exact L2) in its top-10 — and be
+    # far better than random (10/500)
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    M = np.floor(np.stack(t["embedding"].to_pylist()).astype(np.float64)
+                 * 1e6 + 0.5).astype(np.int64)
+    q = M[ids == KM.PQ_QUERY_VEC][0]
+    d2 = ((M - q) ** 2).sum(axis=1)
+    mask = ids != KM.PQ_QUERY_VEC
+    order = np.lexsort((ids[mask], d2[mask]))[:KM.PQ_ANN_K]
+    exact = set(ids[mask][order].tolist())
+    got = set(KM.pq_ann_topk(SF).to_pandas()["vec_id"].tolist())
+    assert len(got) == KM.PQ_ANN_K
+    assert len(got & exact) >= 2   # near-random 64-dim data is PQ-hostile;
+    # 20%+ recall still beats the 2% random baseline by an order of magnitude
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_ann_adist_matches_codebook_lookup():
+    # adist2 of every reported neighbor equals the LUT sum over its codes
+    C = KM._fit_pq(SF)
+    codes = KM.pq_codes(SF).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    M = np.floor(np.stack(t["embedding"].to_pylist()).astype(np.float64)
+                 * 1e6 + 0.5).astype(np.int64)
+    q = M[ids == KM.PQ_QUERY_VEC][0].reshape(KM.PQ_M, -1)
+    lut = ((C - q[:, None, :]) ** 2).sum(axis=2)
+    code_map = {(v, s): c for v, s, c in
+                zip(codes["vec_id"], codes["sub"], codes["code"])}
+    df = KM.pq_ann_topk(SF).to_pandas()
+    for v, a in zip(df["vec_id"], df["adist2"]):
+        exp = sum(lut[s][code_map[(v, s)]] for s in range(KM.PQ_M))
+        assert a == exp
