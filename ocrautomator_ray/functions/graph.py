@@ -409,3 +409,86 @@ SQL = {
     "mutual_knn_pairs": SQL_MUTUAL_KNN_PAIRS,
     "knn_components": SQL_KNN_COMPONENTS,
 }
+
+
+# ---------------------------------------------------------------------------
+# markov_stationary — fixed-point power iteration over the event-type
+# transition matrix: where does a user's event stream settle? The Markov
+# companion of knn_pagerank for SEQUENCE prep — the stationary mass per
+# event type is the mixing weight a sequence-model curriculum samples by.
+#
+# Distribution shape: the heavy half is event_transitions (one user-keyed
+# exchange + a T² pair reduce, already graded); the chain itself is a tiny
+# T×T integer matrix, so the iteration is O(T²·rounds) driver arithmetic —
+# the kmeans/pagerank bounded-driver-state discipline. Per-edge
+# contributions use the pagerank fixed-point rule (x·n // deg, all
+# positive, floor == truncate), so mass leaks a few micros per round to
+# flooring — deterministic on both engines, which is what the gate needs.
+# No teleport: the raw chain, sinks absorb (none exist in the synthetic
+# stream, where every type recurs).
+# ---------------------------------------------------------------------------
+
+MS_ITERS = 3
+MS_SCALE = 1_000_000
+
+
+def markov_stationary(sf_dir: str, iters: int = MS_ITERS) -> rd.Dataset:
+    """(event_type, stat_micros): fixed-point mass per event type after
+    ``iters`` rounds of x·P from the uniform MS_SCALE start."""
+    from ocrautomator_ray.functions.relational3 import event_transitions
+
+    tr = event_transitions(sf_dir).to_pandas()
+    types = sorted(set(tr["from_type"]) | set(tr["to_type"]))
+    idx = {t: i for i, t in enumerate(types)}
+    deg: dict[int, int] = {}
+    edges = []
+    for f, t, n in tr[["from_type", "to_type", "n"]].itertuples(index=False):
+        fi, ti = idx[f], idx[t]
+        deg[fi] = deg.get(fi, 0) + int(n)
+        edges.append((fi, ti, int(n)))
+    x = [MS_SCALE] * len(types)
+    for _ in range(iters):
+        nxt = [0] * len(types)
+        for fi, ti, n in edges:
+            nxt[ti] += x[fi] * n // deg[fi]
+        x = nxt
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "stat_micros": pa.array(x, pa.int64()),
+    }))
+
+
+def _sql_markov(iters: int = MS_ITERS) -> str:
+    from ocrautomator_ray.functions.relational3 import SQL_EVENT_TRANSITIONS
+
+    parts = [f"""
+WITH tr AS ({SQL_EVENT_TRANSITIONS}),
+types AS (
+    SELECT DISTINCT typ FROM (
+        SELECT from_type AS typ FROM tr
+        UNION ALL SELECT to_type FROM tr)
+),
+deg AS (SELECT from_type, SUM(n) AS d FROM tr GROUP BY from_type),
+x0 AS (SELECT typ, CAST({MS_SCALE} AS HUGEINT) AS x FROM types)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+x{i} AS (
+    SELECT ty.typ, CAST(COALESCE(c.s, 0) AS HUGEINT) AS x
+    FROM types ty LEFT JOIN (
+        SELECT tr.to_type AS typ, SUM(x.x * tr.n // deg.d) AS s
+        FROM tr
+        JOIN x{i - 1} x ON x.typ = tr.from_type
+        JOIN deg ON deg.from_type = tr.from_type
+        GROUP BY tr.to_type) c ON c.typ = ty.typ
+)""")
+    parts.append(f"""
+SELECT typ AS event_type, CAST(x AS BIGINT) AS stat_micros FROM x{iters}
+""")
+    return "".join(parts)
+
+
+SQL_MARKOV_STATIONARY = _sql_markov()
+
+
+QUERIES["markov_stationary"] = markov_stationary
+SQL["markov_stationary"] = SQL_MARKOV_STATIONARY

@@ -138,3 +138,38 @@ def test_pagerank_deterministic():
     b = G.knn_pagerank(SF).to_pandas().sort_values("vec_id")
     np.testing.assert_array_equal(a["pr_micros"].to_numpy(),
                                   b["pr_micros"].to_numpy())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_markov_stationary_conserves_mass_and_converges():
+    # floor division leaks at most one micro per edge per round; the total
+    # mass must stay within that bound of T x MS_SCALE, and two runs agree
+    df = G.markov_stationary(SF).to_pandas()
+    df2 = G.markov_stationary(SF).to_pandas()
+    assert df.sort_values("event_type").equals(df2.sort_values("event_type"))
+    from ocrautomator_ray.functions.relational3 import event_transitions
+    tr = event_transitions(SF).to_pandas()
+    T = len(set(tr["from_type"]) | set(tr["to_type"]))
+    total = int(df["stat_micros"].sum())
+    leak_bound = len(tr) * G.MS_ITERS
+    assert T * G.MS_SCALE - leak_bound <= total <= T * G.MS_SCALE
+    assert (df["stat_micros"] >= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_markov_stationary_matches_float_chain():
+    # the fixed-point iterate tracks the float power iteration to ~1e-4
+    from ocrautomator_ray.functions.relational3 import event_transitions
+    tr = event_transitions(SF).to_pandas()
+    types = sorted(set(tr["from_type"]) | set(tr["to_type"]))
+    idx = {t: i for i, t in enumerate(types)}
+    P = np.zeros((len(types), len(types)))
+    for f, t, n in tr[["from_type", "to_type", "n"]].itertuples(index=False):
+        P[idx[f], idx[t]] = n
+    P /= P.sum(axis=1, keepdims=True)
+    x = np.full(len(types), 1.0)
+    for _ in range(G.MS_ITERS):
+        x = x @ P
+    got = G.markov_stationary(SF).to_pandas().set_index("event_type")
+    got = got.loc[types, "stat_micros"].to_numpy() / G.MS_SCALE
+    np.testing.assert_allclose(got, x, atol=1e-3)
