@@ -993,3 +993,124 @@ SQL = {"bigram_lm_score": SQL_BIGRAM_LM,
        "oov_stats": SQL_OOV,
        "dsir_importance": SQL_DSIR,
        "source_overlap_matrix": SQL_SOURCE_OVERLAP}
+
+
+# --------------------------------------------------------------------------
+# token_cooc_lift — document-level co-occurrence counts + lift over the
+# corpus top-V vocabulary: the PMI / collocation-detection prep table
+# (word-embedding objectives and phrase miners both start from exactly
+# these counts). Lift is kept as the exact rational
+# n_ab·n_docs·1e6 // (n_a·n_b) — integer, no libm log, > 1e6 means
+# positively associated.
+#
+# Distribution shape: vocabulary = corpus_top_vocab's bounded exchange
+# (block-local top-V candidates, O(V × partitions) driver state, broadcast
+# once with ray.put); then ONE streaming pass folds each block into a 0/1
+# doc×V presence matrix and emits its V×V upper-triangle BᵀB partial plus a
+# doc-count sentinel — O(V²) rows per block, never token pairs; one tiny
+# (i, j)-keyed exchange reduces them and the driver folds the V²-bounded
+# result into the output table. The source_overlap_matrix shape, keyed on
+# vocabulary instead of sources.
+# --------------------------------------------------------------------------
+
+PMI_V = 32
+
+_COOC_SCHEMA = pa.schema([
+    ("i", pa.int64()), ("j", pa.int64()), ("n", pa.int64()),
+])
+
+
+def token_cooc_lift(sf_dir: str, v: int = PMI_V) -> rd.Dataset:
+    """(tok_a, tok_b, n_ab, n_a, n_b, lift_micros) for every top-V token
+    pair co-occurring in ≥1 document (tok_a < tok_b)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/documents.parquet"
+    vocab = corpus_top_vocab(path, v)
+    V = len(vocab)
+    vref = ray.put(vocab)
+
+    def cooc_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _COOC_SCHEMA.empty_table()
+        flat, cnt = _tokenize_re2(t["text"])
+        voc = ray.get(vref)
+        n = t.num_rows
+        B = np.zeros((n, V), np.int64)
+        if len(flat):
+            w = flat.to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(voc, w).clip(max=max(V - 1, 0))
+            hit = voc[idx] == w if V else np.zeros(len(w), bool)
+            doc_idx = np.repeat(np.arange(n), cnt)
+            B[doc_idx[hit], idx[hit]] = 1
+        P = B.T @ B                      # V×V presence co-occurrence
+        iu, ju = np.triu_indices(V)
+        vals = P[iu, ju]
+        nz = vals > 0
+        return pa.table({
+            "i": pa.array(np.r_[iu[nz], -1], pa.int64()),
+            "j": pa.array(np.r_[ju[nz], -1], pa.int64()),
+            "n": pa.array(np.r_[vals[nz], n], pa.int64()),  # sentinel: docs
+        })
+
+    agg = (pruned_read(path, ["text"])
+           .map_batches(cooc_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby(["i", "j"], num_partitions=4)
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())                 # ≤ V²/2 + 1 rows — bounded
+    n_docs = int(agg.loc[(agg["i"] == -1), "n"].iloc[0])
+    pairs = agg[agg["i"] >= 0]
+    diag = {int(i): int(nn) for i, j, nn in
+            pairs[["i", "j", "n"]].itertuples(index=False) if i == j}
+    out = {"tok_a": [], "tok_b": [], "n_ab": [], "n_a": [], "n_b": [],
+           "lift_micros": []}
+    for i, j, n_ab in pairs[["i", "j", "n"]].itertuples(index=False):
+        if i == j:
+            continue
+        n_a, n_b = diag[int(i)], diag[int(j)]
+        out["tok_a"].append(vocab[int(i)])
+        out["tok_b"].append(vocab[int(j)])
+        out["n_ab"].append(int(n_ab))
+        out["n_a"].append(n_a)
+        out["n_b"].append(n_b)
+        out["lift_micros"].append(int(n_ab) * n_docs * 1_000_000
+                                  // (n_a * n_b))
+    return rd.from_arrow(pa.table({
+        "tok_a": pa.array(out["tok_a"], pa.string()),
+        "tok_b": pa.array(out["tok_b"], pa.string()),
+        "n_ab": pa.array(out["n_ab"], pa.int64()),
+        "n_a": pa.array(out["n_a"], pa.int64()),
+        "n_b": pa.array(out["n_b"], pa.int64()),
+        "lift_micros": pa.array(out["lift_micros"], pa.int64()),
+    }))
+
+
+SQL_TOKEN_COOC = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+c AS (SELECT w, COUNT(*) AS c_w FROM toks GROUP BY w),
+vocab AS (SELECT w FROM c ORDER BY c_w DESC, w ASC LIMIT {PMI_V}),
+pres AS (SELECT DISTINCT doc_id, w FROM toks JOIN vocab USING (w)),
+df AS (SELECT w, COUNT(*) AS n FROM pres GROUP BY w),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+co AS (
+  SELECT a.w AS tok_a, b.w AS tok_b, COUNT(*) AS n_ab
+  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w
+)
+SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(da.n AS BIGINT) AS n_a, CAST(db.n AS BIGINT) AS n_b,
+       CAST(CAST(n_ab AS HUGEINT) * nd.n * 1000000
+            // (CAST(da.n AS HUGEINT) * db.n) AS BIGINT) AS lift_micros
+FROM co JOIN df da ON da.w = co.tok_a JOIN df db ON db.w = co.tok_b, nd
+"""
+
+
+QUERIES["token_cooc_lift"] = token_cooc_lift
+SQL["token_cooc_lift"] = SQL_TOKEN_COOC

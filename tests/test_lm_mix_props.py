@@ -172,3 +172,35 @@ def test_bpe_apply_stats_invariants():
             toks = out
         g = got[got["doc_id"] == row["doc_id"]].iloc[0]
         assert g["n_tokens_merged"] == len(toks)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_cooc_lift_matches_brute_force():
+    """token_cooc_lift equals a pure-Python presence-set recompute."""
+    from ocrautomator_ray.functions import lm as L
+
+    SF = "/root/testdata/sf0.001"
+    d = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    docs = [set(re.split(r"\s+", t.lower())) - {""} for t in d["text"]]
+    # token totals (occurrences, not presence) pick the vocabulary
+    occ: dict[str, int] = {}
+    for t in d["text"]:
+        for w in re.split(r"\s+", t.lower()):
+            if w:
+                occ[w] = occ.get(w, 0) + 1
+    vocab = sorted(sorted(occ), key=lambda w: (-occ[w], w))[:L.PMI_V]
+    vs = set(vocab)
+    df_cnt = {w: sum(1 for s in docs if w in s) for w in vocab}
+    n_docs = len(docs)
+    exp = {}
+    for s in docs:
+        present = sorted(s & vs)
+        for i, a in enumerate(present):
+            for b in present[i + 1:]:
+                exp[(a, b)] = exp.get((a, b), 0) + 1
+    got = L.token_cooc_lift(SF).to_pandas()
+    assert len(got) == len(exp)
+    for a, b, n_ab, n_a, n_b, lift in got.itertuples(index=False):
+        assert exp[(a, b)] == n_ab
+        assert (n_a, n_b) == (df_cnt[a], df_cnt[b])
+        assert lift == n_ab * n_docs * 1_000_000 // (n_a * n_b)
