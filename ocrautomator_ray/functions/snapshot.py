@@ -434,3 +434,111 @@ SQL = {"incremental_neardup": SQL_INCREMENTAL_NEARDUP,
        # side's signatures come from, so the same oracle pins both paths
        "incremental_neardup_indexed": SQL_INCREMENTAL_NEARDUP,
        "corpus_drift": SQL_CORPUS_DRIFT}
+
+
+# --------------------------------------------------------------------------
+# snapshot_changelog — doc-level diff between two snapshots: which documents
+# were added, removed, changed, or untouched by the new crawl. The audit
+# table an ops team reads before promoting a snapshot (and the input to
+# incremental re-processing: only 'added'/'changed' rows re-enter the
+# pipeline). Snapshots are tagged deterministically from doc_id (old =
+# id % 3 != 0, new = id % 3 != 1, new text mutated when id % 7 == 0 by
+# dropping the leading token) — a real pipeline passes two table paths and
+# tags at the read, exactly like incremental_neardup's INCR_NEW_MOD note.
+#
+# Distribution shape: two pruned reads tag the sides, ONE doc-keyed
+# exchange co-locates each doc's (≤2) rows, and the block kernel resolves
+# the status vectorized per run. Content equality here compares the
+# co-located strings exactly (the SQL-mirrorable choice); at corpus scale
+# the exchange would carry a 128-bit content hash instead of text — same
+# pipeline, smaller rows.
+# --------------------------------------------------------------------------
+
+_CHANGELOG_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("status", pa.string()),
+])
+_DROP_FIRST_TOKEN = r"^\S+\s*"
+
+
+def snapshot_changelog(sf_dir: str) -> rd.Dataset:
+    """(doc_id, status ∈ {added, removed, changed, unchanged}) between the
+    old (id % 3 != 0) and new (id % 3 != 1, leading token dropped when
+    id % 7 == 0) snapshot slices."""
+    import pyarrow.compute as pc
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = (ids % 3 != 0) if side == 0 else (ids % 3 != 1)
+            t = t.filter(pa.array(keep))
+            ids = ids[keep]
+            text = t["text"]
+            if side == 1 and t.num_rows:
+                mut = pc.replace_substring_regex(
+                    text, pattern=_DROP_FIRST_TOKEN, replacement="",
+                    max_replacements=1)
+                text = pc.if_else(pa.array(ids % 7 == 0), mut, text)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": text,
+                "side": pa.array(np.full(len(ids), side, np.int64),
+                                 pa.int64()),
+            })
+        return fn
+
+    old = pruned_read(path, ["doc_id", "text"]).map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True)
+    new = pruned_read(path, ["doc_id", "text"]).map_batches(
+        tag(1), batch_format="pyarrow", zero_copy_batch=True)
+
+    def resolve(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _CHANGELOG_SCHEMA.empty_table()
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        side = block["side"].to_numpy(zero_copy_only=False)
+        text = block["text"].to_pandas().to_numpy()
+        order = np.lexsort((side, ids))
+        ids, side, text = ids[order], side[order], text[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        run_len = np.diff(np.r_[starts, len(ids)])
+        out_ids = ids[starts]
+        status = np.empty(len(starts), object)
+        single = run_len == 1
+        status[single & (side[starts] == 0)] = "removed"
+        status[single & (side[starts] == 1)] = "added"
+        both = ~single
+        eq = text[starts[both]] == text[starts[both] + 1]
+        status[both] = np.where(eq, "unchanged", "changed")
+        return pa.table({
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "status": pa.array(status.tolist(), pa.string()),
+        })
+
+    return per_key_blocks(old.union(new), ["doc_id"], resolve,
+                          num_partitions=8)
+
+
+SQL_SNAPSHOT_CHANGELOG = r"""
+WITH old AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0
+),
+neu AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN regexp_replace(text, '^\S+\s*', '')
+                ELSE text END AS text
+    FROM documents WHERE doc_id % 3 != 1
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text = n.text THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
+"""
+
+
+QUERIES["snapshot_changelog"] = snapshot_changelog
+SQL["snapshot_changelog"] = SQL_SNAPSHOT_CHANGELOG

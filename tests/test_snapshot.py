@@ -177,3 +177,32 @@ def test_neardup_index_partial_build_resumes(tmp_path):
     after = (S.incremental_neardup_indexed(SF, index_dir=idx)
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(after, baseline)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_snapshot_changelog_statuses():
+    """Set-logic recompute: every status class matches the id arithmetic,
+    and 'changed' appears exactly where the mutation bites."""
+    import pandas as pd
+
+    SF = "/root/testdata/sf0.001"
+    from ocrautomator_ray.functions.snapshot import snapshot_changelog
+
+    df = snapshot_changelog(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_numpy()
+    assert set(df["doc_id"]) == set(ids.tolist())      # full id universe
+    by = dict(zip(df["doc_id"], df["status"]))
+    text = dict(zip(docs["doc_id"], docs["text"]))
+    for i in ids.tolist():
+        if i % 3 == 0:
+            exp = "added"
+        elif i % 3 == 1:
+            exp = "removed"
+        elif i % 7 == 0 and text[i] != "":
+            exp = "changed"          # leading token dropped in the new side
+        else:
+            exp = "unchanged"
+        assert by[i] == exp, (i, by[i], exp)
+    assert (df["status"] == "changed").any()
