@@ -35,6 +35,10 @@ from ocrautomator_ray.functions import snapshot as _snapshot
 from ocrautomator_ray.functions import text as _text
 from ocrautomator_ray.pipelines.assemble import SQL_ASSEMBLE, run_assemble_flagship
 from ocrautomator_ray.pipelines.curate import SQL_CURATE, run_curate_flagship
+from ocrautomator_ray.pipelines.embedding_curation import (
+    SQL_EMBEDDING_CURATION,
+    run_embedding_curation_flagship,
+)
 from ocrautomator_ray.pipelines.extract import run_flagship
 from ocrautomator_ray.pipelines.full_corpus import (
     SQL_FULL_CORPUS,
@@ -129,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(_classifier.QUERIES)
     q.update(_graph.QUERIES)
     q["value_rank_pipeline"] = run_value_rank_flagship
+    q["embedding_curation_pipeline"] = run_embedding_curation_flagship
     return q
 
 
@@ -159,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
     sql["full_corpus_pipeline"] = SQL_FULL_CORPUS
     sql["training_mix_pipeline"] = SQL_TRAINING_MIX
     sql["value_rank_pipeline"] = SQL_VALUE_RANK
+    sql["embedding_curation_pipeline"] = SQL_EMBEDDING_CURATION
     # Rows-only (non-SQL-expressible): lsh_ann_topk, ivf_ann_topk,
     # ivf_index_topk, approx_distinct_users_per_type, extract_pipeline —
     # each has a pytest oracle instead (tests/): ivf_index_topk is pinned

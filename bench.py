@@ -212,6 +212,19 @@ def run_benchmarks() -> dict:
 
     timed("kmeans_fit", km.kmeans_fit, consume="count")
     timed("cluster_sample", km.cluster_sample, consume="count")
+    timed("pq_codes", km.pq_codes, consume="count")
+    timed("pq_ann_topk", km.pq_ann_topk, consume="count")
+
+    from ocrautomator_ray.functions import classifier as clf
+    from ocrautomator_ray.functions import pca
+    from ocrautomator_ray.functions import sketch as sk
+
+    timed("pca_project", pca.pca_project, consume="count")
+    timed("perceptron_lang", clf.perceptron_lang, consume="count")
+    timed("cmsketch_token_counts", sk.cmsketch_token_counts, consume="count")
+    timed("quantile_normalize", filters.quantile_normalize, consume="count")
+    timed("markov_stationary", gr.markov_stationary, consume="count")
+    timed("token_cooc_lift", lm.token_cooc_lift, consume="count")
 
     from ocrautomator_ray.functions import snapshot as snap
 
@@ -222,6 +235,7 @@ def run_benchmarks() -> dict:
     timed("incremental_neardup_indexed", snap.incremental_neardup_indexed,
           consume="count")
     timed("corpus_drift", snap.corpus_drift, consume="count")
+    timed("snapshot_changelog", snap.snapshot_changelog, consume="count")
 
     from ocrautomator_ray.pipelines.curate import run_curate_flagship
     from ocrautomator_ray.pipelines.extract import run_flagship

@@ -222,15 +222,16 @@ SQL_KMEANS_FIT = _sql_kmeans()
 CLUSTER_CAP = 25
 
 
-def cluster_sample(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS,
-                   cap: int = CLUSTER_CAP) -> rd.Dataset:
+def cluster_cap_stage(ds: rd.Dataset, C: np.ndarray,
+                      cap: int = CLUSTER_CAP) -> rd.Dataset:
     """(vec_id, cluster) keeping the ``cap`` smallest-hash vectors of each
-    final-centroid cluster. Per-batch bottom-cap pre-prune is lossless (a
-    cluster's global bottom-cap is a subset of its per-batch bottom-caps),
-    so the one cluster-keyed exchange moves at most cap × batches rows."""
+    ``C``-assigned cluster over ANY (vec_id, embedding) dataset. Per-batch
+    bottom-cap pre-prune is lossless (a cluster's global bottom-cap is a
+    subset of its per-batch bottom-caps), so the one cluster-keyed exchange
+    moves at most cap × batches rows. Shared by cluster_sample and the
+    embedding-curation pipeline (which feeds it the curated survivors)."""
     from ocrautomator_ray.functions.exchange import per_key_blocks
 
-    C, _ = _fit_centroids(sf_dir, k, iters)
     out_schema = pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64())])
 
     def assign_and_cap(t: pa.Table) -> pa.Table:
@@ -258,11 +259,19 @@ def cluster_sample(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS,
             "cluster": pa.array(a[keep], pa.int64()),
         })
 
-    ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
     pruned = ds.map_batches(assign_and_cap, batch_format="pyarrow",
                             zero_copy_batch=True)
     return per_key_blocks(pruned, ["cluster"], assign_and_cap,
                           num_partitions=8)
+
+
+def cluster_sample(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS,
+                   cap: int = CLUSTER_CAP) -> rd.Dataset:
+    """cluster_cap_stage over the full embeddings table with centroids
+    trained by the distributed Lloyd loop."""
+    C, _ = _fit_centroids(sf_dir, k, iters)
+    ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
+    return cluster_cap_stage(ds, C, cap)
 
 
 def _sql_cluster_sample(k: int = KM_K, iters: int = KM_ITERS,
