@@ -453,7 +453,8 @@ def _decode_shingle_blobs(col) -> tuple[np.ndarray, np.ndarray]:
 
 
 def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
-                     pair_keep=None, emit_counts: bool = False) -> rd.Dataset:
+                     pair_keep=None, emit_counts: bool = False,
+                     emit_sizes: bool = False) -> rd.Dataset:
     """Candidate pairs via banded MinHash-LSH, verified with true Jaccard.
 
     ``pair_keep`` (optional): vectorized predicate ``(doc_a, doc_b) ->
@@ -502,7 +503,8 @@ def minhash_lsh_dups(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
     band_rows = sh_ds.map_batches(sig_rows, batch_format="pyarrow",
                                   zero_copy_batch=True)
     return verified_pair_stage(sh_ds, band_rows, n_parts, threshold,
-                               pair_keep=pair_keep, emit_counts=emit_counts)
+                               pair_keep=pair_keep, emit_counts=emit_counts,
+                               emit_sizes=emit_sizes)
 
 
 def sig_rows(t: pa.Table) -> pa.Table:
@@ -520,7 +522,8 @@ def sig_rows(t: pa.Table) -> pa.Table:
 
 def verified_pair_stage(sh_ds: rd.Dataset, band_rows: rd.Dataset,
                         n_parts: int, threshold: float,
-                        pair_keep=None, emit_counts: bool = False) -> rd.Dataset:
+                        pair_keep=None, emit_counts: bool = False,
+                        emit_sizes: bool = False) -> rd.Dataset:
     """The candidate→verify tail of banded MinHash-LSH, shared by
     ``minhash_lsh_dups`` (both sides computed in-pipeline) and the persisted
     signature index (snapshot.incremental_neardup_indexed, committed side
@@ -627,6 +630,8 @@ def verified_pair_stage(sh_ds: rd.Dataset, band_rows: rd.Dataset,
 
     # -- exchange 2: co-partition the two halves of each pair, verify --------
     out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("inter", pa.int64()),
+         ("smin", pa.int64()), ("smax", pa.int64())] if emit_sizes else
         [("doc_a", pa.int64()), ("doc_b", pa.int64()),
          ("inter", pa.int64()), ("uni", pa.int64())] if emit_counts else
         [("doc_a", pa.int64()), ("doc_b", pa.int64()),
@@ -657,6 +662,17 @@ def verified_pair_stage(sh_ds: rd.Dataset, band_rows: rd.Dataset,
         jac = np.divide(inter, uni, out=np.ones(len(inter), np.float64),
                         where=uni > 0)  # uni == 0 → 1.0, same as jaccard()
         keep = jac >= threshold
+        if emit_sizes:
+            # the two halves of a pair land in exchange order, so per-SIDE
+            # sizes aren't attributable — emit the symmetric (min, max)
+            # set sizes, which containment consumes
+            smin = np.minimum(cnt[0::2], cnt[1::2]).astype(np.int64)
+            smax = np.maximum(cnt[0::2], cnt[1::2]).astype(np.int64)
+            return pa.table({"doc_a": pa.array(da[0::2][keep], pa.int64()),
+                             "doc_b": pa.array(db[0::2][keep], pa.int64()),
+                             "inter": pa.array(inter[keep], pa.int64()),
+                             "smin": pa.array(smin[keep], pa.int64()),
+                             "smax": pa.array(smax[keep], pa.int64())})
         if emit_counts:
             return pa.table({"doc_a": pa.array(da[0::2][keep], pa.int64()),
                              "doc_b": pa.array(db[0::2][keep], pa.int64()),
@@ -1330,7 +1346,8 @@ shl AS (SELECT doc_id, list(h) AS hs FROM sh GROUP BY doc_id),
 ver AS (
     SELECT doc_a, doc_b,
            len(list_intersect(sa.hs, sb.hs)) AS inter,
-           len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)) AS uni
+           len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)) AS uni,
+           len(sa.hs) AS size_a, len(sb.hs) AS size_b
     FROM cand
     JOIN shl sa ON sa.doc_id = doc_a
     JOIN shl sb ON sb.doc_id = doc_b
@@ -1552,3 +1569,63 @@ SQL = {
     "chargram_jaccard_dups": SQL_CHARGRAM,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
 }
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs — asymmetric near-dup detection: pairs where the SMALLER
+# shingle set is mostly inside the larger one (containment = inter / min
+# size ≥ 0.8), the "partial copy / quoted excerpt / page-within-site" cases
+# a symmetric Jaccard threshold misses (a 10-shingle quote inside a
+# 500-shingle page has jaccard ≈ 0.02 but containment 1.0). Candidates come
+# from the SAME banded-MinHash exchange (threshold 0 at the verify step,
+# integer containment filter after) — honest caveat: jaccard banding
+# under-recalls extreme small-in-big pairs; a production containment search
+# bands the bottom-k sketch of the SMALLER side (Broder's containment
+# estimator), same exchange shape. The verify stage emits symmetric
+# (inter, smin, smax) set sizes — the two halves of a pair arrive in
+# exchange order, so per-side sizes aren't attributable, and containment
+# only needs the min.
+# ---------------------------------------------------------------------------
+
+CONTAIN_NUM, CONTAIN_DEN = 4, 5       # containment ≥ 0.8, exact integers
+
+
+def containment_pairs(sf_dir: str) -> rd.Dataset:
+    """(doc_a, doc_b, inter, smin, smax, cont_permille) for banded candidate
+    pairs with inter·DEN ≥ NUM·smin (empty-set pairs excluded)."""
+    pairs = minhash_lsh_dups(sf_dir, threshold=0.0, emit_sizes=True)
+    out_schema = pa.schema([
+        ("doc_a", pa.int64()), ("doc_b", pa.int64()), ("inter", pa.int64()),
+        ("smin", pa.int64()), ("smax", pa.int64()),
+        ("cont_permille", pa.int64()),
+    ])
+
+    def screen(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        inter = t["inter"].to_numpy(zero_copy_only=False)
+        smin = t["smin"].to_numpy(zero_copy_only=False)
+        keep = (smin > 0) & (inter * CONTAIN_DEN >= CONTAIN_NUM * smin)
+        t = t.filter(pa.array(keep))
+        inter, smin = inter[keep], smin[keep]
+        return t.append_column(
+            "cont_permille", pa.array(inter * 1000 // smin, pa.int64()))
+
+    return pairs.map_batches(screen, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH {_minhash_ctes()}
+SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+       CAST(LEAST(size_a, size_b) AS BIGINT) AS smin,
+       CAST(GREATEST(size_a, size_b) AS BIGINT) AS smax,
+       CAST(inter * 1000 // LEAST(size_a, size_b) AS BIGINT) AS cont_permille
+FROM ver
+WHERE LEAST(size_a, size_b) > 0
+  AND inter * {CONTAIN_DEN} >= {CONTAIN_NUM} * LEAST(size_a, size_b)
+"""
+
+
+QUERIES["containment_pairs"] = containment_pairs
+SQL["containment_pairs"] = SQL_CONTAINMENT_PAIRS

@@ -455,3 +455,29 @@ def test_knn_graph_boundary_ties(tmp_path):
     # distant pair: nearest is its twin at dist 0, then the cluster
     n8 = got[got["vec_id"] == 8]
     assert n8["nbr_id"].tolist()[0] == 9 and n8["dist2"].tolist()[0] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_containment_pairs_invariants():
+    from ocrautomator_ray.functions.dedup import (
+        CONTAIN_DEN,
+        CONTAIN_NUM,
+        containment_pairs,
+        minhash_lsh_dups,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = containment_pairs(sf).to_pandas()
+    assert len(df) > 0
+    assert (df["inter"] <= df["smin"]).all()
+    assert (df["smin"] <= df["smax"]).all()
+    assert (df["cont_permille"] == df["inter"] * 1000 // df["smin"]).all()
+    assert (df["inter"] * CONTAIN_DEN >= CONTAIN_NUM * df["smin"]).all()
+    # (inter, smin, smax) is consistent with the (inter, uni) emit mode:
+    # smin + smax == inter + uni for the same candidate pair
+    cnt = minhash_lsh_dups(sf, threshold=0.0, emit_counts=True).to_pandas()
+    cnt = cnt.set_index(["doc_a", "doc_b"])
+    for a, b, inter, smin, smax, _ in df.itertuples(index=False):
+        row = cnt.loc[(a, b)]
+        assert row["inter"] == inter
+        assert smin + smax == inter + row["uni"]
