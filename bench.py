@@ -161,6 +161,7 @@ def run_benchmarks() -> dict:
     timed("doc_fingerprint", text.doc_fingerprint, consume="count")
     timed("minhash_lsh_dups", dedup.minhash_lsh_dups, consume="count")
     timed("neardup_jaccard_hist", dedup.neardup_jaccard_hist, consume="count")
+    timed("containment_pairs", dedup.containment_pairs, consume="count")
     timed("embedding_neardup", dedup.embedding_neardup, consume="count")
     timed("decontaminate", curate.decontaminate, consume="count")
     timed("ann_topk", ann.ann_topk)
@@ -252,6 +253,11 @@ def run_benchmarks() -> dict:
     from ocrautomator_ray.pipelines.value_rank import run_value_rank_flagship
     timed("value_rank_pipeline", lambda sf: run_value_rank_flagship(sf),
           consume="count")
+    from ocrautomator_ray.pipelines.embedding_curation import (
+        run_embedding_curation_flagship,
+    )
+    timed("embedding_curation_pipeline",
+          lambda sf: run_embedding_curation_flagship(sf), consume="count")
 
     ray.shutdown()
 

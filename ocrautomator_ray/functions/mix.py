@@ -670,3 +670,149 @@ SQL = {
     "rp_project": SQL_RP_PROJECT,
     "hashed_doc_vectors": SQL_HASHED_DOC_VECTORS,
 }
+
+
+# ---------------------------------------------------------------------------
+# idf_hashed_vectors — the TF-IDF upgrade of hashed_doc_vectors: each token
+# occurrence contributes sign(w) · idf(w) instead of sign(w), where
+# idf(w) = n_docs · 1e6 // df(w) is the exact integer rational (no libm
+# log — monotone in the true idf, which is all a downstream cosine needs).
+# Rare informative tokens dominate the vector; stopword mass shrinks.
+#
+# Unlike hashed_doc_vectors (pure per-batch map), idf needs corpus document
+# frequencies — and broadcasting a web-scale vocabulary is off the table.
+# So the operator distributes BY TOKEN: per-batch (w, doc_id, bucket,
+# signed-count) combiners → ONE token-keyed exchange where each block holds
+# a token's every row and attaches idf in place (the tfidf_top_terms
+# in-block-DF shape) → ONE doc-keyed exchange scatter-adds contributions
+# into the wide integer vectors. Nothing vocabulary-sized ever sits on the
+# driver or in a closure.
+# ---------------------------------------------------------------------------
+
+def idf_hashed_vectors(sf_dir: str, dim: int = HASH_DIM) -> rd.Dataset:
+    """(doc_id, v_0..v_{dim-1}): signed idf-weighted hashed token vectors
+    (docs with no tokens emit no row, matching the oracle's inner group)."""
+    from ocrautomator_ray.functions.dedup import _fnv1a_strings, _tokenize_re2
+    from ocrautomator_ray.functions.exchange import (
+        auto_partitions,
+        per_key_blocks,
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = int(pruned_read(path, ["doc_id"]).count())
+    cols = [f"v_{j}" for j in range(dim)]
+    row_schema = pa.schema([
+        ("w", pa.string()), ("doc_id", pa.int64()),
+        ("bucket", pa.int64()), ("sk", pa.int64()),
+    ])
+    contrib_schema = pa.schema([
+        ("doc_id", pa.int64()), ("bucket", pa.int64()), ("c", pa.int64()),
+    ])
+
+    def token_rows(t: pa.Table) -> pa.Table:
+        flat, cnt = _tokenize_re2(t["text"])
+        if len(flat) == 0:
+            return row_schema.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(ids, cnt)
+        w = flat.to_numpy(zero_copy_only=False)
+        h = _fnv1a_strings(flat)
+        bucket = (h % np.uint64(dim)).astype(np.int64)
+        sign = np.where(
+            (h >> np.uint64(_HASH_SIGN_SHIFT)) & np.uint64(1) == 1,
+            -1, 1).astype(np.int64)
+        # fold each (doc, token)'s occurrences into one signed count
+        order = np.lexsort((doc, w))
+        w, doc, bucket, sign = w[order], doc[order], bucket[order], sign[order]
+        new = np.r_[True, (w[1:] != w[:-1]) | (doc[1:] != doc[:-1])]
+        starts = np.flatnonzero(new)
+        run = np.diff(np.r_[starts, len(w)])
+        return pa.table({
+            "w": pa.array(w[starts], pa.string()),
+            "doc_id": pa.array(doc[starts], pa.int64()),
+            "bucket": pa.array(bucket[starts], pa.int64()),
+            "sk": pa.array(sign[starts] * run, pa.int64()),
+        })
+
+    def attach_idf(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return contrib_schema.empty_table()
+        w = block["w"].to_numpy(zero_copy_only=False)
+        sk = block["sk"].to_numpy(zero_copy_only=False)
+        order = np.argsort(w, kind="mergesort")
+        w_s = w[order]
+        starts = np.flatnonzero(np.r_[True, w_s[1:] != w_s[:-1]])
+        run = np.diff(np.r_[starts, len(w_s)])
+        df = np.empty(len(w), np.int64)           # (doc,w) rows are distinct
+        df[order] = np.repeat(run, run)           # → df = rows per token
+        idf = n_docs * 1_000_000 // df
+        return pa.table({
+            "doc_id": block["doc_id"],
+            "bucket": block["bucket"],
+            "c": pa.array(sk * idf, pa.int64()),
+        })
+
+    def fold_vectors(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64())]
+                             + [(c, pa.int64()) for c in cols]).empty_table()
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        b = block["bucket"].to_numpy(zero_copy_only=False)
+        c = block["c"].to_numpy(zero_copy_only=False)
+        uids, inv = np.unique(ids, return_inverse=True)
+        out = np.zeros((len(uids), dim), np.int64)
+        np.add.at(out, (inv, b), c)
+        res = {"doc_id": pa.array(uids, pa.int64())}
+        for j, col in enumerate(cols):
+            res[col] = pa.array(out[:, j], pa.int64())
+        return pa.table(res)
+
+    nparts = auto_partitions(path)
+    rows = pruned_read(path, ["doc_id", "text"]).map_batches(
+        token_rows, batch_format="pyarrow", zero_copy_batch=True)
+    contribs = per_key_blocks(rows, ["w"], attach_idf,
+                              num_partitions=nparts)
+    return per_key_blocks(contribs, ["doc_id"], fold_vectors,
+                          num_partitions=nparts)
+
+
+def _sql_idf_hashed_vectors() -> str:
+    from ocrautomator_ray.functions.dedup import _sql_fnv1a
+
+    vcols = ",\n       ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN b = {j} THEN c ELSE 0 END), 0) "
+        f"AS BIGINT) AS v_{j}" for j in range(HASH_DIM))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+td AS (SELECT doc_id, w, COUNT(*) AS k FROM toks GROUP BY doc_id, w),
+dfreq AS (SELECT w, COUNT(*) AS df FROM td GROUP BY w),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+hw AS (
+  SELECT w, {_sql_fnv1a('w')} AS h FROM (SELECT DISTINCT w FROM td)
+),
+hb AS (
+  SELECT w, CAST(h % {HASH_DIM} AS BIGINT) AS b,
+         CASE WHEN (h // {1 << _HASH_SIGN_SHIFT}) % 2 = 1
+              THEN -1 ELSE 1 END AS sgn
+  FROM hw
+),
+contrib AS (
+  SELECT td.doc_id, hb.b,
+         td.k * hb.sgn * (nd.n * 1000000 // dfreq.df) AS c
+  FROM td JOIN hb USING (w) JOIN dfreq USING (w), nd
+)
+SELECT doc_id,
+       {vcols}
+FROM contrib GROUP BY doc_id
+"""
+
+
+SQL_IDF_HASHED_VECTORS = _sql_idf_hashed_vectors()
+
+QUERIES["idf_hashed_vectors"] = idf_hashed_vectors
+SQL["idf_hashed_vectors"] = SQL_IDF_HASHED_VECTORS

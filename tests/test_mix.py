@@ -137,3 +137,43 @@ def test_embedding_outliers_brute_force():
     df = embedding_outliers(SF).to_pandas()
     got = {(r.label, r.vec_id, r.dist2) for r in df.itertuples()}
     assert got == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_idf_hashed_vectors_match_brute_force():
+    """Per-token Python recompute of the idf-weighted hashed vectors."""
+    import re
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from ocrautomator_ray.functions.dedup import _fnv1a_strings
+    from ocrautomator_ray.functions.mix import (
+        _HASH_SIGN_SHIFT,
+        HASH_DIM,
+        idf_hashed_vectors,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    docs = {int(i): [w for w in re.split(r"\s+", t.lower()) if w]
+            for i, t in zip(d["doc_id"], d["text"])}
+    n_docs = len(docs)
+    df: dict[str, int] = {}
+    for toks in docs.values():
+        for w in set(toks):
+            df[w] = df.get(w, 0) + 1
+    exp: dict[int, list[int]] = {}
+    for i, toks in docs.items():
+        if not toks:
+            continue
+        v = [0] * HASH_DIM
+        for w in toks:
+            h = int(_fnv1a_strings(pa.array([w]))[0])
+            sgn = -1 if (h >> _HASH_SIGN_SHIFT) & 1 else 1
+            v[h % HASH_DIM] += sgn * (n_docs * 1_000_000 // df[w])
+        exp[i] = v
+    got = idf_hashed_vectors(sf).to_pandas().set_index("doc_id")
+    assert set(got.index) == set(exp)
+    for i, v in exp.items():
+        assert got.loc[i].tolist() == v
