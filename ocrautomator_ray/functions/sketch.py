@@ -578,14 +578,27 @@ def _cm_counters(sf_dir: str) -> np.ndarray:
 
 def cmsketch_token_counts(sf_dir: str) -> rd.Dataset:
     """(token, est_count, exact_count): the count-min estimate next to the
-    exact corpus count for every distinct token — the sketch-error audit."""
-    from ray.data.aggregate import Sum
+    exact corpus count for every distinct token — the sketch-error audit.
 
+    The audit half is ONE token-keyed exchange whose blocks fold their
+    co-located per-batch (token, count) combiners into exact totals AND
+    look up the broadcast counter matrix in the same pass (mangled scaled
+    corpora have millions of distinct tokens, so the exchange is sized by
+    auto_partitions and the estimate is fused into the fold rather than
+    run as a second vocabulary-wide stage)."""
     from ocrautomator_ray.functions.dedup import _fnv1a_strings, _tokenize_re2
-    from ocrautomator_ray.functions.exchange import pruned_read, tune_exchange
+    from ocrautomator_ray.functions.exchange import (
+        auto_partitions,
+        per_key_blocks,
+        pruned_read,
+    )
 
+    path = f"{sf_dir}/documents.parquet"
     C = _cm_counters(sf_dir)
     tok_schema = pa.schema([("token", pa.string()),
+                            ("exact_count", pa.int64())])
+    out_schema = pa.schema([("token", pa.string()),
+                            ("est_count", pa.int64()),
                             ("exact_count", pa.int64())])
 
     def tok_partial(t: pa.Table) -> pa.Table:
@@ -600,24 +613,27 @@ def cmsketch_token_counts(sf_dir: str) -> rd.Dataset:
         return pa.table({"token": vc.field("values"),
                          "exact_count": vc.field("counts").cast(pa.int64())})
 
-    def estimate(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t.append_column("est_count", pa.array([], pa.int64()))
-        h = _fnv1a_strings(t["token"])
+    def finalize(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        w = block["token"].to_numpy(zero_copy_only=False)
+        k = block["exact_count"].to_numpy(zero_copy_only=False)
+        order = np.argsort(w, kind="mergesort")
+        w, k = w[order], k[order]
+        starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+        exact = np.add.reduceat(k, starts).astype(np.int64)
+        uw = pa.array(w[starts], pa.string())
+        h = _fnv1a_strings(uw)
         buckets = _cm_buckets(h)
         est = C[np.arange(CM_DEPTH)[:, None], buckets].min(axis=0)
-        return pa.table({"token": t["token"],
+        return pa.table({"token": uw,
                          "est_count": pa.array(est, pa.int64()),
-                         "exact_count": t["exact_count"]})
+                         "exact_count": pa.array(exact, pa.int64())})
 
-    ds = pruned_read(f"{sf_dir}/documents.parquet", ["text"])
-    out = ds.map_batches(tok_partial, batch_format="pyarrow",
-                         zero_copy_batch=True)
-    tune_exchange(out)
-    exact = (out.groupby("token", num_partitions=4)
-                .aggregate(Sum("exact_count", alias_name="exact_count")))
-    return exact.map_batches(estimate, batch_format="pyarrow",
-                             zero_copy_batch=True)
+    rows = pruned_read(path, ["text"]).map_batches(
+        tok_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return per_key_blocks(rows, ["token"], finalize,
+                          num_partitions=auto_partitions(path))
 
 
 def _sql_cmsketch() -> str:
