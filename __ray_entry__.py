@@ -33,6 +33,7 @@ from ocrautomator_ray.functions import relational4 as _relational4
 from ocrautomator_ray.functions import sketch as _sketch
 from ocrautomator_ray.functions import snapshot as _snapshot
 from ocrautomator_ray.functions import text as _text
+from ocrautomator_ray.functions import topics as _topics
 from ocrautomator_ray.pipelines.assemble import SQL_ASSEMBLE, run_assemble_flagship
 from ocrautomator_ray.pipelines.curate import SQL_CURATE, run_curate_flagship
 from ocrautomator_ray.pipelines.embedding_curation import (
@@ -131,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(_moments.QUERIES)
     q.update(_pca.QUERIES)
     q.update(_classifier.QUERIES)
+    q.update(_topics.QUERIES)
     q.update(_graph.QUERIES)
     q["value_rank_pipeline"] = run_value_rank_flagship
     q["embedding_curation_pipeline"] = run_embedding_curation_flagship
@@ -155,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_moments.SQL)
     sql.update(_pca.SQL)
     sql.update(_classifier.SQL)
+    sql.update(_topics.SQL)
     sql.update(_graph.SQL)
     sql.update(_lm.SQL)
     sql.update(_mix.SQL)

@@ -226,6 +226,11 @@ def run_benchmarks() -> dict:
     timed("quantile_normalize", filters.quantile_normalize, consume="count")
     timed("markov_stationary", gr.markov_stationary, consume="count")
     timed("token_cooc_lift", lm.token_cooc_lift, consume="count")
+    timed("idf_hashed_vectors", mix.idf_hashed_vectors, consume="count")
+
+    from ocrautomator_ray.functions import topics as tp
+
+    timed("doc_topics", tp.doc_topics, consume="count")
 
     from ocrautomator_ray.functions import snapshot as snap
 

@@ -1,0 +1,310 @@
+"""Topic clustering straight from raw text: hashed log₂-idf features →
+distributed Lloyd k-means → per-doc topic id.
+
+The end-to-end "cluster my corpus by content" operator (CCNet/UniMax-style
+mixes often sample per TOPIC, not per source): no embedding table needed —
+features are the hashing-trick vectors weighted by an integer idf.
+
+Feature exactness at any scale: the idf weight is bit_length(n_docs // df)
+— the integer log₂-idf (length_histogram's bin-length trick), bounded by 64
+— so feature components stay ≤ 64 · doc-token-count (~10⁴) and the Lloyd
+dist² fits int64 at ANY corpus size, where a raw-rational idf
+(n_docs·1e6 // df, idf_hashed_vectors) would overflow the distance
+arithmetic once n_docs grows past ~10⁶.
+
+Distribution shape: the idf_hashed_vectors two-exchange chain builds the
+(doc, 16-int) feature table once and MATERIALIZES it (doc-count × 17 ints —
+the bounded intermediate perplexity_buckets also pins; at 10^12 docs it
+would checkpoint through the resumable sink instead), then the kmeans
+discipline runs over it: smallest-hash seeding, one streaming pass + one
+k×dim exchange per round, O(k·dim) driver folds, a final assignment pass.
+Everything integer → bit-identical on any partitioning; the SQL mirror
+unrolls the same rounds over the same feature CTEs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ocrautomator_ray.functions.exchange import (
+    auto_partitions,
+    per_key_blocks,
+    pruned_read,
+    tune_exchange,
+)
+from ocrautomator_ray.functions.mix import (
+    _HASH_SIGN_SHIFT,
+    HASH_DIM,
+    SHUFFLE_SEED,
+    mix_hash,
+    sql_mix_hash,
+)
+
+TOPIC_K = 8
+TOPIC_ITERS = 2
+
+_COLS = [f"v_{j}" for j in range(HASH_DIM)]
+_FEAT_SCHEMA = pa.schema([("doc_id", pa.int64())]
+                         + [(c, pa.int64()) for c in _COLS])
+
+
+def _bit_length(x: np.ndarray) -> np.ndarray:
+    """bit_length of positive int64s — frexp exponent, exact below 2^53
+    (mirrors DuckDB's length(bin(x)); the length_histogram precedent)."""
+    return np.frexp(x.astype(np.float64))[1].astype(np.int64)
+
+
+def _topic_features(sf_dir: str) -> rd.Dataset:
+    """(doc_id, v_0..v_15) signed log₂-idf hashed vectors for every doc
+    with ≥1 token — the idf_hashed_vectors chain with the bounded weight."""
+    from ocrautomator_ray.functions.dedup import _fnv1a_strings, _tokenize_re2
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = int(pruned_read(path, ["doc_id"]).count())
+    row_schema = pa.schema([
+        ("w", pa.string()), ("doc_id", pa.int64()),
+        ("bucket", pa.int64()), ("sk", pa.int64()),
+    ])
+
+    def token_rows(t: pa.Table) -> pa.Table:
+        flat, cnt = _tokenize_re2(t["text"])
+        if len(flat) == 0:
+            return row_schema.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(ids, cnt)
+        w = flat.to_numpy(zero_copy_only=False)
+        h = _fnv1a_strings(flat)
+        bucket = (h % np.uint64(HASH_DIM)).astype(np.int64)
+        sign = np.where(
+            (h >> np.uint64(_HASH_SIGN_SHIFT)) & np.uint64(1) == 1,
+            -1, 1).astype(np.int64)
+        order = np.lexsort((doc, w))
+        w, doc, bucket, sign = w[order], doc[order], bucket[order], sign[order]
+        new = np.r_[True, (w[1:] != w[:-1]) | (doc[1:] != doc[:-1])]
+        starts = np.flatnonzero(new)
+        run = np.diff(np.r_[starts, len(w)])
+        return pa.table({
+            "w": pa.array(w[starts], pa.string()),
+            "doc_id": pa.array(doc[starts], pa.int64()),
+            "bucket": pa.array(bucket[starts], pa.int64()),
+            "sk": pa.array(sign[starts] * run, pa.int64()),
+        })
+
+    contrib_schema = pa.schema([
+        ("doc_id", pa.int64()), ("bucket", pa.int64()), ("c", pa.int64()),
+    ])
+
+    def attach_idf(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return contrib_schema.empty_table()
+        w = block["w"].to_numpy(zero_copy_only=False)
+        sk = block["sk"].to_numpy(zero_copy_only=False)
+        order = np.argsort(w, kind="mergesort")
+        w_s = w[order]
+        starts = np.flatnonzero(np.r_[True, w_s[1:] != w_s[:-1]])
+        run = np.diff(np.r_[starts, len(w_s)])
+        df = np.empty(len(w), np.int64)
+        df[order] = np.repeat(run, run)
+        weight = _bit_length(n_docs // df)
+        return pa.table({
+            "doc_id": block["doc_id"],
+            "bucket": block["bucket"],
+            "c": pa.array(sk * weight, pa.int64()),
+        })
+
+    def fold_vectors(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _FEAT_SCHEMA.empty_table()
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        b = block["bucket"].to_numpy(zero_copy_only=False)
+        c = block["c"].to_numpy(zero_copy_only=False)
+        uids, inv = np.unique(ids, return_inverse=True)
+        out = np.zeros((len(uids), HASH_DIM), np.int64)
+        np.add.at(out, (inv, b), c)
+        res = {"doc_id": pa.array(uids, pa.int64())}
+        for j, col in enumerate(_COLS):
+            res[col] = pa.array(out[:, j], pa.int64())
+        return pa.table(res)
+
+    nparts = auto_partitions(path)
+    rows = pruned_read(path, ["doc_id", "text"]).map_batches(
+        token_rows, batch_format="pyarrow", zero_copy_batch=True)
+    contribs = per_key_blocks(rows, ["w"], attach_idf, num_partitions=nparts)
+    return per_key_blocks(contribs, ["doc_id"], fold_vectors,
+                          num_partitions=nparts)
+
+
+def _feat_matrix(t: pa.Table) -> np.ndarray:
+    return np.column_stack(
+        [t[c].to_numpy(zero_copy_only=False) for c in _COLS]).astype(np.int64)
+
+
+def doc_topics(sf_dir: str, k: int = TOPIC_K,
+               iters: int = TOPIC_ITERS) -> rd.Dataset:
+    """(doc_id, topic): each tokened doc's final Lloyd cluster over the
+    log₂-idf hashed features (argmin exact int dist², ties → smaller
+    topic; empty topics carry their centroid)."""
+    from ray.data.aggregate import Sum
+
+    feats = _topic_features(sf_dir).materialize()
+
+    # seeds: the k docs with the smallest shuffle hash (lossless bottom-k
+    # per-batch prune, driver sorts k × blocks rows)
+    def seed_prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("h", pa.array([], pa.int64()))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = mix_hash(ids, SHUFFLE_SEED)
+        if len(ids) > k:
+            keep = np.lexsort((ids, h))[:k]
+            keep.sort()
+            t, h = t.take(pa.array(keep)), h[keep]
+        return t.append_column("h", pa.array(h, pa.int64()))
+
+    seed_df = (feats.map_batches(seed_prune, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+               .sort(key=["h", "doc_id"]).limit(k).to_pandas())
+    C = np.column_stack([seed_df[c].to_numpy() for c in _COLS]).astype(
+        np.int64)
+
+    partial_schema = pa.schema([
+        ("cluster", pa.int64()), ("dim", pa.int64()),
+        ("s", pa.int64()), ("n", pa.int64()),
+    ])
+    clusters = np.repeat(np.arange(k, dtype=np.int64), HASH_DIM)
+    dims = np.tile(np.arange(1, HASH_DIM + 1, dtype=np.int64), k)
+
+    for _ in range(iters):
+        def assign_partial(t: pa.Table, C=C) -> pa.Table:
+            if t.num_rows == 0:
+                return partial_schema.empty_table()
+            X = _feat_matrix(t)
+            d = ((X * X).sum(axis=1, keepdims=True) - 2 * (X @ C.T)
+                 + (C * C).sum(axis=1))
+            a = np.argmin(d, axis=1)
+            sums = np.zeros((k, HASH_DIM), np.int64)
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(clusters, pa.int64()),
+                "dim": pa.array(dims, pa.int64()),
+                "s": pa.array(sums.reshape(-1), pa.int64()),
+                "n": pa.array(np.repeat(counts, HASH_DIM), pa.int64()),
+            })
+
+        out = feats.map_batches(assign_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        tune_exchange(out)
+        agg = (out.groupby(["cluster", "dim"], num_partitions=4)
+                  .aggregate(Sum("s", alias_name="s"),
+                             Sum("n", alias_name="n"))
+                  .to_pandas().sort_values(["cluster", "dim"]))
+        sums = agg["s"].to_numpy(dtype=np.int64).reshape(k, HASH_DIM)
+        ns = agg["n"].to_numpy(dtype=np.int64).reshape(k, HASH_DIM)[:, 0]
+        C = C.copy()
+        nz = ns > 0
+        C[nz] = sums[nz] // ns[nz, None]
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("topic", pa.int64())])
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        X = _feat_matrix(t)
+        d = ((X * X).sum(axis=1, keepdims=True) - 2 * (X @ C.T)
+             + (C * C).sum(axis=1))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "topic": pa.array(np.argmin(d, axis=1).astype(np.int64),
+                              pa.int64()),
+        })
+
+    return feats.map_batches(final_assign, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def _sql_doc_topics(k: int = TOPIC_K, iters: int = TOPIC_ITERS) -> str:
+    from ocrautomator_ray.functions.dedup import _sql_fnv1a
+
+    h = sql_mix_hash("doc_id", SHUFFLE_SEED)
+    parts = [rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+td AS (SELECT doc_id, w, COUNT(*) AS k FROM toks GROUP BY doc_id, w),
+dfreq AS (SELECT w, COUNT(*) AS df FROM td GROUP BY w),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+hw AS (
+  SELECT w, {_sql_fnv1a('w')} AS h FROM (SELECT DISTINCT w FROM td)
+),
+hb AS (
+  SELECT w, CAST(h % {HASH_DIM} AS BIGINT) AS b,
+         CASE WHEN (h // {1 << _HASH_SIGN_SHIFT}) % 2 = 1
+              THEN -1 ELSE 1 END AS sgn
+  FROM hw
+),
+contrib AS (
+  SELECT td.doc_id, hb.b AS dim,
+         td.k * hb.sgn * length(bin(nd.n // dfreq.df)) AS c
+  FROM td JOIN hb USING (w) JOIN dfreq USING (w), nd
+),
+docs AS (SELECT DISTINCT doc_id FROM td),
+dims AS (SELECT CAST(range AS BIGINT) + 1 AS dim FROM range({HASH_DIM})),
+featl AS (
+  SELECT d.doc_id, dims.dim, CAST(COALESCE(s.v, 0) AS BIGINT) AS v
+  FROM docs d CROSS JOIN dims
+  LEFT JOIN (SELECT doc_id, dim + 1 AS dim, SUM(c) AS v
+             FROM contrib GROUP BY doc_id, dim) s
+    ON s.doc_id = d.doc_id AND s.dim = dims.dim
+),
+seeds AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY {h}, doc_id) - 1 AS c
+    FROM (SELECT doc_id FROM docs ORDER BY {h}, doc_id LIMIT {k})
+),
+cent0 AS (
+    SELECT s.c, f.dim, f.v FROM seeds s JOIN featl f USING (doc_id)
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+a{i} AS (
+    SELECT doc_id, c FROM (
+        SELECT f.doc_id, c.c, SUM((f.v - c.v) * (f.v - c.v)) AS d
+        FROM featl f JOIN cent{i - 1} c USING (dim)
+        GROUP BY f.doc_id, c.c)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d, c) = 1
+),
+u{i} AS (
+    SELECT a.c, f.dim,
+           CAST(FLOOR(CAST(SUM(f.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+    FROM a{i} a JOIN featl f USING (doc_id)
+    GROUP BY a.c, f.dim
+),
+cent{i} AS (
+    SELECT p.c, p.dim, COALESCE(u.v, p.v) AS v
+    FROM cent{i - 1} p LEFT JOIN u{i} u ON u.c = p.c AND u.dim = p.dim
+)""")
+    parts.append(f"""
+SELECT doc_id, c AS topic FROM (
+    SELECT f.doc_id, c.c, SUM((f.v - c.v) * (f.v - c.v)) AS d
+    FROM featl f JOIN cent{iters} c USING (dim)
+    GROUP BY f.doc_id, c.c)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d, c) = 1
+""")
+    return "".join(parts)
+
+
+SQL_DOC_TOPICS = _sql_doc_topics()
+
+
+QUERIES = {
+    "doc_topics": doc_topics,
+}
+
+SQL = {
+    "doc_topics": SQL_DOC_TOPICS,
+}
