@@ -288,17 +288,22 @@ cent{i} AS (
     SELECT p.c, p.dim, COALESCE(u.v, p.v) AS v
     FROM cent{i - 1} p LEFT JOIN u{i} u ON u.c = p.c AND u.dim = p.dim
 )""")
-    parts.append(f"""
-SELECT doc_id, c AS topic FROM (
-    SELECT f.doc_id, c.c, SUM((f.v - c.v) * (f.v - c.v)) AS d
-    FROM featl f JOIN cent{iters} c USING (dim)
-    GROUP BY f.doc_id, c.c)
-QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d, c) = 1
-""")
+    parts.append(f""",
+tp AS (
+    SELECT doc_id, c AS topic FROM (
+        SELECT f.doc_id, c.c, SUM((f.v - c.v) * (f.v - c.v)) AS d
+        FROM featl f JOIN cent{iters} c USING (dim)
+        GROUP BY f.doc_id, c.c)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d, c) = 1
+)""")
     return "".join(parts)
 
 
-SQL_DOC_TOPICS = _sql_doc_topics()
+def _sql_doc_topics_stmt() -> str:
+    return _sql_doc_topics() + "\nSELECT doc_id, topic FROM tp\n"
+
+
+SQL_DOC_TOPICS = _sql_doc_topics_stmt()
 
 
 QUERIES = {
@@ -308,3 +313,147 @@ QUERIES = {
 SQL = {
     "doc_topics": SQL_DOC_TOPICS,
 }
+
+
+# ---------------------------------------------------------------------------
+# topic_keywords — explain the learned topics: the top tokens of each topic
+# by total occurrence count (the table a human reads to name the clusters,
+# and the input to topic-balanced mix reports).
+#
+# Distribution shape: doc_topics' assignment (doc_id, topic — two ints per
+# doc) unions with per-batch (doc_id, token, count) combiners into ONE
+# doc-keyed exchange that tags each token row with its doc's topic, then a
+# (topic, token)-keyed aggregate sums totals; the final per-topic top-N is
+# a lossless per-batch prune (post-aggregate rows are final, so each
+# batch's top-N per topic is a superset member of the global top-N) + one
+# tiny topic-keyed ranking exchange.
+# ---------------------------------------------------------------------------
+
+TOPIC_TOP_N = 5
+
+
+def topic_keywords(sf_dir: str, k: int = TOPIC_K, iters: int = TOPIC_ITERS,
+                   top_n: int = TOPIC_TOP_N) -> rd.Dataset:
+    """(topic, token, n, rank): each topic's top_n tokens by corpus count
+    within the topic, rank by (n DESC, token ASC)."""
+    from ray.data.aggregate import Sum
+
+    from ocrautomator_ray.functions.dedup import _tokenize_re2
+
+    path = f"{sf_dir}/documents.parquet"
+    topics = doc_topics(sf_dir, k, iters).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "w": pa.array([""] * t.num_rows, pa.string()),
+                            "k": t["topic"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    row_schema = pa.schema([("doc_id", pa.int64()), ("w", pa.string()),
+                            ("k", pa.int64())])
+
+    def token_rows(t: pa.Table) -> pa.Table:
+        flat, cnt = _tokenize_re2(t["text"])
+        if len(flat) == 0:
+            return row_schema.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(ids, cnt)
+        w = flat.to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, w))
+        w, doc = w[order], doc[order]
+        new = np.r_[True, (w[1:] != w[:-1]) | (doc[1:] != doc[:-1])]
+        starts = np.flatnonzero(new)
+        run = np.diff(np.r_[starts, len(w)])
+        return pa.table({
+            "doc_id": pa.array(doc[starts], pa.int64()),
+            "w": pa.array(w[starts], pa.string()),
+            "k": pa.array(run.astype(np.int64), pa.int64()),
+        })
+
+    tw_schema = pa.schema([("topic", pa.int64()), ("w", pa.string()),
+                           ("n", pa.int64())])
+
+    def tag_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return tw_schema.empty_table()
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        w = block["w"].to_numpy(zero_copy_only=False)
+        kk = block["k"].to_numpy(zero_copy_only=False)
+        is_tag = w == ""
+        order = np.argsort(ids[is_tag], kind="mergesort")
+        tag_ids, tag_topic = ids[is_tag][order], kk[is_tag][order]
+        tok_ids, tok_w, tok_k = ids[~is_tag], w[~is_tag], kk[~is_tag]
+        pos = np.searchsorted(tag_ids, tok_ids)
+        if len(tok_ids) and (not (pos < len(tag_ids)).all()
+                             or not (tag_ids[np.minimum(
+                                 pos, len(tag_ids) - 1)] == tok_ids).all()):
+            raise RuntimeError("token row co-located without its topic row "
+                               "(hash-exchange co-partitioning violated)")
+        return pa.table({
+            "topic": pa.array(tag_topic[pos] if len(tok_ids)
+                              else np.empty(0, np.int64), pa.int64()),
+            "w": pa.array(tok_w, pa.string()),
+            "n": pa.array(tok_k, pa.int64()),
+        })
+
+    nparts = auto_partitions(path)
+    rows = pruned_read(path, ["doc_id", "text"]).map_batches(
+        token_rows, batch_format="pyarrow", zero_copy_batch=True)
+    tagged = per_key_blocks(topics.union(rows), ["doc_id"], tag_block,
+                            num_partitions=nparts)
+    totals = (tagged.groupby(["topic", "w"], num_partitions=nparts)
+                    .aggregate(Sum("n", alias_name="n")))
+    out_schema = pa.schema([("topic", pa.int64()), ("token", pa.string()),
+                            ("n", pa.int64()), ("rank", pa.int64())])
+
+    def top_block(block: pa.Table) -> pa.Table:
+        """Per-topic top_n by (n DESC, token ASC); emits (topic, w, n, rank).
+        Used twice: as a lossless per-batch prune over the final aggregate
+        rows, then as the block kernel of the topic-keyed ranking exchange."""
+        if block.num_rows == 0:
+            return pa.schema([("topic", pa.int64()), ("w", pa.string()),
+                              ("n", pa.int64()),
+                              ("rank", pa.int64())]).empty_table()
+        from ocrautomator_ray.functions.dedup import _ramp
+
+        topic = block["topic"].to_numpy(zero_copy_only=False)
+        w = block["w"].to_numpy(zero_copy_only=False)
+        n = block["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, -n, topic))
+        topic, w, n = topic[order], w[order], n[order]
+        starts = np.flatnonzero(np.r_[True, topic[1:] != topic[:-1]])
+        run = np.diff(np.r_[starts, len(topic)])
+        rank = _ramp(run) + 1
+        keep = rank <= top_n
+        return pa.table({
+            "topic": pa.array(topic[keep], pa.int64()),
+            "w": pa.array(w[keep], pa.string()),
+            "n": pa.array(n[keep], pa.int64()),
+            "rank": pa.array(rank[keep], pa.int64()),
+        })
+
+    pruned = totals.map_batches(top_block, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    ranked = per_key_blocks(pruned, ["topic"], top_block, num_partitions=4)
+    return ranked.map_batches(
+        lambda t: pa.table({"topic": t["topic"], "token": t["w"],
+                            "n": t["n"], "rank": t["rank"]})
+        if t.num_rows else out_schema.empty_table(),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_topic_keywords(top_n: int = TOPIC_TOP_N) -> str:
+    return _sql_doc_topics() + f""",
+tw AS (
+    SELECT tp.topic, td.w, CAST(SUM(td.k) AS BIGINT) AS n
+    FROM td JOIN tp USING (doc_id) GROUP BY tp.topic, td.w
+)
+SELECT topic, w AS token, n, rank FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY topic
+                                      ORDER BY n DESC, w) AS BIGINT) AS rank
+    FROM tw)
+WHERE rank <= {top_n}
+"""
+
+
+SQL_TOPIC_KEYWORDS = _sql_topic_keywords()
+
+QUERIES["topic_keywords"] = topic_keywords
+SQL["topic_keywords"] = SQL_TOPIC_KEYWORDS
