@@ -231,6 +231,7 @@ def run_benchmarks() -> dict:
     from ocrautomator_ray.functions import topics as tp
 
     timed("doc_topics", tp.doc_topics, consume="count")
+    timed("topic_keywords", tp.topic_keywords, consume="count")
 
     from ocrautomator_ray.functions import snapshot as snap
 

@@ -90,3 +90,30 @@ def test_doc_topics_deterministic_and_multi_modal():
     b = T.doc_topics(SF).to_pandas().sort_values("doc_id")
     assert (a["topic"].to_numpy() == b["topic"].to_numpy()).all()
     assert a["topic"].nunique() > 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_topic_keywords_match_serial():
+    # recompute (topic, token) totals from the serial topic assignment and
+    # the raw texts; top-5 per topic by (n DESC, token ASC)
+    exp_topics = _serial_topics(SF, T.TOPIC_K, T.TOPIC_ITERS)
+    d = pd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+    totals: dict[tuple[int, str], int] = {}
+    for i, t in zip(d["doc_id"], d["text"]):
+        if int(i) not in exp_topics:
+            continue
+        topic = exp_topics[int(i)]
+        for w in re.split(r"\s+", t.lower()):
+            if w:
+                totals[(topic, w)] = totals.get((topic, w), 0) + 1
+    exp = {}
+    for topic in set(exp_topics.values()):
+        rows = sorted(((w, n) for (tp, w), n in totals.items()
+                       if tp == topic), key=lambda x: (-x[1], x[0]))
+        for r, (w, n) in enumerate(rows[:T.TOPIC_TOP_N], 1):
+            exp[(topic, w)] = (n, r)
+    got = T.topic_keywords(SF).to_pandas()
+    assert len(got) == len(exp)
+    for topic, token, n, rank in got.itertuples(index=False):
+        assert exp[(topic, token)] == (n, rank)
