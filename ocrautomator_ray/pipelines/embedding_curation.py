@@ -95,6 +95,24 @@ def run_embedding_curation_flagship(sf_dir: str) -> rd.Dataset:
     return cluster_cap_stage(survivors, C, CLUSTER_CAP)
 
 
+CURATED_SCHEMA = pa.schema([("vec_id", pa.int64()),
+                            ("cluster", pa.int64())])
+
+
+def run_embedding_curation(sf_dir: str, out_dir: str,
+                           num_partitions: int = 16,
+                           resume: bool = True) -> dict:
+    """Product path: run the curation chain into the resumable sink,
+    partitioned on vec_id — a killed run resumes O(P)."""
+    from ocrautomator_ray.sinks.parquet_commit import resumable_write
+
+    ds = run_embedding_curation_flagship(sf_dir)
+    return resumable_write(ds, out_dir, num_partitions=num_partitions,
+                           key="vec_id",
+                           input_desc=f"{sf_dir}/embeddings.parquet",
+                           resume=resume)
+
+
 def _sql_embedding_curation(k: int = KM_K, iters: int = KM_ITERS,
                             cap: int = CLUSTER_CAP) -> str:
     h = sql_mix_hash("vec_id", SHUFFLE_SEED)

@@ -29,7 +29,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--pipeline",
                    choices=["extract", "curate", "assemble", "full-corpus",
-                            "training-mix", "value-rank"],
+                            "training-mix", "value-rank",
+                            "embedding-curation"],
                    default="extract",
                    help="extract: the OCR/span flagship; curate: normalize + "
                         "quality-filter + dedup + split over documents.parquet; "
@@ -116,6 +117,15 @@ def main(argv: list[str] | None = None) -> dict:
             return run_training_mix(args.input, args.out,
                                     num_partitions=args.partitions,
                                     resume=not args.no_resume)
+
+        if args.pipeline == "embedding-curation":
+            from ocrautomator_ray.pipelines.embedding_curation import (
+                run_embedding_curation,
+            )
+
+            return run_embedding_curation(args.input, args.out,
+                                          num_partitions=args.partitions,
+                                          resume=not args.no_resume)
 
         if args.pipeline == "value-rank":
             from ocrautomator_ray.pipelines.value_rank import run_value_rank

@@ -45,3 +45,17 @@ def test_curation_is_cluster_sample_restricted_to_survivors(curated):
     # sanity: same cluster ids for the vec_ids both selected
     merged = curated.merge(cs, on="vec_id", suffixes=("_cur", "_full"))
     assert (merged["cluster_cur"] == merged["cluster_full"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curation_sink_resumes_as_noop(tmp_path):
+    from ocrautomator_ray.pipelines.embedding_curation import (
+        run_embedding_curation,
+    )
+
+    out = str(tmp_path / "curated")
+    first = run_embedding_curation(SF, out, num_partitions=4)
+    again = run_embedding_curation(SF, out, num_partitions=4)
+    assert first["partitions_this_run"] > 0
+    assert again["partitions_this_run"] == 0      # full resume = noop
+    assert again["counters"]["rows"] == first["counters"]["rows"] == 200
