@@ -56,19 +56,34 @@ def _bit_length(x: np.ndarray) -> np.ndarray:
     return np.frexp(x.astype(np.float64))[1].astype(np.int64)
 
 
-def _topic_features(sf_dir: str) -> rd.Dataset:
+def _topic_features(sf_dir: str, committed_only: bool = False) -> rd.Dataset:
     """(doc_id, v_0..v_15) signed log₂-idf hashed vectors for every doc
-    with ≥1 token — the idf_hashed_vectors chain with the bounded weight."""
+    with ≥1 token — the idf_hashed_vectors chain with the bounded weight.
+    ``committed_only`` restricts the slice (and its df/n_docs statistics)
+    to doc_id % INCR_NEW_MOD != 0 — the training side of the incremental
+    topic model."""
+    from ocrautomator_ray.functions.curate import INCR_NEW_MOD
     from ocrautomator_ray.functions.dedup import _fnv1a_strings, _tokenize_re2
 
     path = f"{sf_dir}/documents.parquet"
-    n_docs = int(pruned_read(path, ["doc_id"]).count())
+    if committed_only:
+        n_docs = int(pruned_read(path, ["doc_id"]).map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"].filter(pa.array(
+                t["doc_id"].to_numpy(zero_copy_only=False)
+                % INCR_NEW_MOD != 0))}),
+            batch_format="pyarrow", zero_copy_batch=True).count())
+    else:
+        n_docs = int(pruned_read(path, ["doc_id"]).count())
     row_schema = pa.schema([
         ("w", pa.string()), ("doc_id", pa.int64()),
         ("bucket", pa.int64()), ("sk", pa.int64()),
     ])
 
     def token_rows(t: pa.Table) -> pa.Table:
+        if committed_only and t.num_rows:
+            keep = (t["doc_id"].to_numpy(zero_copy_only=False)
+                    % INCR_NEW_MOD != 0)
+            t = t.filter(pa.array(keep))
         flat, cnt = _tokenize_re2(t["text"])
         if len(flat) == 0:
             return row_schema.empty_table()
@@ -141,14 +156,11 @@ def _feat_matrix(t: pa.Table) -> np.ndarray:
         [t[c].to_numpy(zero_copy_only=False) for c in _COLS]).astype(np.int64)
 
 
-def doc_topics(sf_dir: str, k: int = TOPIC_K,
-               iters: int = TOPIC_ITERS) -> rd.Dataset:
-    """(doc_id, topic): each tokened doc's final Lloyd cluster over the
-    log₂-idf hashed features (argmin exact int dist², ties → smaller
-    topic; empty topics carry their centroid)."""
+def _fit_topics(feats: rd.Dataset, k: int = TOPIC_K,
+                iters: int = TOPIC_ITERS) -> np.ndarray:
+    """(k, HASH_DIM) int64 topic centroids from smallest-hash seeding +
+    ``iters`` distributed Lloyd rounds over a materialized feature table."""
     from ray.data.aggregate import Sum
-
-    feats = _topic_features(sf_dir).materialize()
 
     # seeds: the k docs with the smallest shuffle hash (lossless bottom-k
     # per-batch prune, driver sorts k × blocks rows)
@@ -206,8 +218,15 @@ def doc_topics(sf_dir: str, k: int = TOPIC_K,
         C = C.copy()
         nz = ns > 0
         C[nz] = sums[nz] // ns[nz, None]
+    return C
 
-    out_schema = pa.schema([("doc_id", pa.int64()), ("topic", pa.int64())])
+
+_TOPIC_OUT_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                               ("topic", pa.int64())])
+
+
+def _assign_topics(feats: rd.Dataset, C: np.ndarray) -> rd.Dataset:
+    out_schema = _TOPIC_OUT_SCHEMA
 
     def final_assign(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -223,6 +242,16 @@ def doc_topics(sf_dir: str, k: int = TOPIC_K,
 
     return feats.map_batches(final_assign, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def doc_topics(sf_dir: str, k: int = TOPIC_K,
+               iters: int = TOPIC_ITERS) -> rd.Dataset:
+    """(doc_id, topic): each tokened doc's final Lloyd cluster over the
+    log₂-idf hashed features (argmin exact int dist², ties → smaller
+    topic; empty topics carry their centroid)."""
+    feats = _topic_features(sf_dir).materialize()
+    C = _fit_topics(feats, k, iters)
+    return _assign_topics(feats, C)
 
 
 def _sql_doc_topics(k: int = TOPIC_K, iters: int = TOPIC_ITERS) -> str:
@@ -457,3 +486,331 @@ SQL_TOPIC_KEYWORDS = _sql_topic_keywords()
 
 QUERIES["topic_keywords"] = topic_keywords
 SQL["topic_keywords"] = SQL_TOPIC_KEYWORDS
+
+
+# ---------------------------------------------------------------------------
+# Incremental topic assignment — the watch-mode path: the topic model
+# (frozen df statistics + Lloyd centroids, trained on the COMMITTED slice
+# doc_id % INCR_NEW_MOD != 0) persists once; each arriving shard pays only
+# its own tokenization and ONE token-keyed exchange against the persisted
+# df table to build features with TRAIN-TIME idf weights (the standard
+# frozen-idf inference rule; unseen tokens take df = 1, the max-idf
+# convention), then a stateless assignment pass. The ivf_index_build /
+# neardup_index_build pattern applied to text clustering:
+#
+# - df table committed through the resumable sink (killed build resumes
+#   O(P); rebuilt build no-ops),
+# - centroids.parquet + meta.parquet beside it (atomic tmp+rename),
+# - query-time cost is O(new shard), never O(corpus).
+# ---------------------------------------------------------------------------
+
+
+def topic_index_dir(sf_dir: str) -> str:
+    """Deterministic per-input model location, fingerprinted by the source
+    file's (size, mtime) — same rule as ann.ivf_index_dir."""
+    import os
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = (f"{os.path.basename(os.path.dirname(src))}"
+           f"-{st.st_size}-{st.st_mtime_ns}")
+    return os.path.join("/tmp", "ocrauto_topic_index", tag)
+
+
+def topic_index_build(sf_dir: str, k: int = TOPIC_K,
+                      iters: int = TOPIC_ITERS) -> str:
+    """Train + persist the committed-slice topic model; no-op when the
+    model for this input already exists."""
+    import os
+
+    import pyarrow.parquet as pqt
+
+    from ocrautomator_ray.functions.curate import INCR_NEW_MOD
+    from ocrautomator_ray.functions.dedup import _tokenize_re2
+    from ocrautomator_ray.sinks.parquet_commit import resumable_write
+
+    index_dir = topic_index_dir(sf_dir)
+    meta_path = os.path.join(index_dir, "meta.parquet")
+    if os.path.exists(meta_path):
+        return index_dir
+
+    path = f"{sf_dir}/documents.parquet"
+    feats = _topic_features(sf_dir, committed_only=True).materialize()
+    C = _fit_topics(feats, k, iters)
+
+    # persist the committed-slice document frequencies via the resumable
+    # sink (token-keyed; a killed build resumes O(P))
+    row_schema = pa.schema([("doc_id", pa.int64()), ("w", pa.string())])
+
+    def tok_pairs(t: pa.Table) -> pa.Table:
+        keep = (t["doc_id"].to_numpy(zero_copy_only=False)
+                % INCR_NEW_MOD != 0)
+        t = t.filter(pa.array(keep))
+        flat, cnt = _tokenize_re2(t["text"])
+        if len(flat) == 0:
+            return row_schema.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(ids, cnt)
+        w = flat.to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, w))
+        w, doc = w[order], doc[order]
+        new = np.r_[True, (w[1:] != w[:-1]) | (doc[1:] != doc[:-1])]
+        return pa.table({"doc_id": pa.array(doc[new], pa.int64()),
+                         "w": pa.array(w[new], pa.string())})
+
+    df_schema = pa.schema([("w", pa.string()), ("df", pa.int64())])
+
+    def df_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return df_schema.empty_table()
+        w = block["w"].to_numpy(zero_copy_only=False)
+        order = np.argsort(w, kind="mergesort")
+        w_s = w[order]
+        starts = np.flatnonzero(np.r_[True, w_s[1:] != w_s[:-1]])
+        run = np.diff(np.r_[starts, len(w_s)])
+        return pa.table({"w": pa.array(w_s[starts], pa.string()),
+                         "df": pa.array(run.astype(np.int64), pa.int64())})
+
+    pairs = pruned_read(path, ["doc_id", "text"]).map_batches(
+        tok_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    df_rows = per_key_blocks(pairs, ["w"], df_block,
+                             num_partitions=auto_partitions(path))
+    resumable_write(df_rows, os.path.join(index_dir, "df"),
+                    num_partitions=8, key="w",
+                    input_desc=f"{path} [committed df]")
+
+    n_committed = int(pruned_read(path, ["doc_id"]).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"].filter(pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False)
+            % INCR_NEW_MOD != 0))}),
+        batch_format="pyarrow", zero_copy_batch=True).count())
+    cent = pa.table({
+        "topic": pa.array(np.arange(len(C), dtype=np.int64), pa.int64()),
+        "v": pa.array(C.tolist(), pa.list_(pa.int64())),
+    })
+    tmp = os.path.join(index_dir, f"cent.tmp.{os.getpid()}")
+    pqt.write_table(cent, tmp)
+    os.replace(tmp, os.path.join(index_dir, "centroids.parquet"))
+    meta = pa.table({"n_docs": pa.array([n_committed], pa.int64())})
+    tmp = os.path.join(index_dir, f"meta.tmp.{os.getpid()}")
+    pqt.write_table(meta, tmp)
+    os.replace(tmp, meta_path)
+    return index_dir
+
+
+def incremental_doc_topics(sf_dir: str) -> rd.Dataset:
+    """(doc_id, topic) for the NEW shard (doc_id % INCR_NEW_MOD == 0),
+    assigned under the persisted committed-slice model: frozen idf weights
+    (unseen tokens → df 1), frozen centroids — O(new shard) query cost."""
+    import os
+
+    import pyarrow.parquet as pqt
+
+    from ocrautomator_ray.functions.curate import INCR_NEW_MOD
+    from ocrautomator_ray.functions.dedup import _fnv1a_strings, _tokenize_re2
+
+    index_dir = topic_index_build(sf_dir)
+    meta = pqt.read_table(os.path.join(index_dir, "meta.parquet"))
+    n_docs = int(meta["n_docs"][0].as_py())
+    cent = pqt.read_table(
+        os.path.join(index_dir, "centroids.parquet")).sort_by("topic")
+    C = np.array(cent["v"].to_pylist(), np.int64)
+
+    path = f"{sf_dir}/documents.parquet"
+    row_schema = pa.schema([
+        ("w", pa.string()), ("doc_id", pa.int64()),
+        ("bucket", pa.int64()), ("sk", pa.int64()), ("df", pa.int64()),
+    ])
+
+    def new_token_rows(t: pa.Table) -> pa.Table:
+        keep = (t["doc_id"].to_numpy(zero_copy_only=False)
+                % INCR_NEW_MOD == 0)
+        t = t.filter(pa.array(keep))
+        flat, cnt = _tokenize_re2(t["text"])
+        if len(flat) == 0:
+            return row_schema.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(ids, cnt)
+        w = flat.to_numpy(zero_copy_only=False)
+        h = _fnv1a_strings(flat)
+        bucket = (h % np.uint64(HASH_DIM)).astype(np.int64)
+        sign = np.where(
+            (h >> np.uint64(_HASH_SIGN_SHIFT)) & np.uint64(1) == 1,
+            -1, 1).astype(np.int64)
+        order = np.lexsort((doc, w))
+        w, doc, bucket, sign = w[order], doc[order], bucket[order], sign[order]
+        new = np.r_[True, (w[1:] != w[:-1]) | (doc[1:] != doc[:-1])]
+        starts = np.flatnonzero(new)
+        run = np.diff(np.r_[starts, len(w)])
+        return pa.table({
+            "w": pa.array(w[starts], pa.string()),
+            "doc_id": pa.array(doc[starts], pa.int64()),
+            "bucket": pa.array(bucket[starts], pa.int64()),
+            "sk": pa.array(sign[starts] * run, pa.int64()),
+            "df": pa.array(np.zeros(len(starts), np.int64), pa.int64()),
+        })
+
+    # persisted df rows, tagged with doc_id = -1 so the exchange block can
+    # tell model rows from shard rows
+    df_read = rd.read_parquet(os.path.join(index_dir, "df", "data"),
+                              columns=["w", "df"]).map_batches(
+        lambda t: pa.table({
+            "w": t["w"],
+            "doc_id": pa.array(np.full(t.num_rows, -1, np.int64),
+                               pa.int64()),
+            "bucket": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+            "sk": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+            "df": t["df"].cast(pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+    contrib_schema = pa.schema([
+        ("doc_id", pa.int64()), ("bucket", pa.int64()), ("c", pa.int64()),
+    ])
+
+    def attach_frozen_idf(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return contrib_schema.empty_table()
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        w = block["w"].to_numpy(zero_copy_only=False)
+        is_model = ids < 0
+        mw = w[is_model]
+        mdf = block["df"].to_numpy(zero_copy_only=False)[is_model]
+        order = np.argsort(mw, kind="mergesort")
+        mw, mdf = mw[order], mdf[order]
+        tok = ~is_model
+        tw = w[tok]
+        pos = np.searchsorted(mw, tw)
+        hit = (pos < len(mw))
+        safe = np.minimum(pos, max(len(mw) - 1, 0))
+        hit &= (mw[safe] == tw) if len(mw) else False
+        df = np.where(hit, mdf[safe] if len(mw) else 1, 1).astype(np.int64)
+        weight = _bit_length(n_docs // df)
+        return pa.table({
+            "doc_id": pa.array(ids[tok], pa.int64()),
+            "bucket": block["bucket"].filter(pa.array(tok)),
+            "c": pa.array(
+                block["sk"].to_numpy(zero_copy_only=False)[tok] * weight,
+                pa.int64()),
+        })
+
+    def fold_vectors(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _FEAT_SCHEMA.empty_table()
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        b = block["bucket"].to_numpy(zero_copy_only=False)
+        c = block["c"].to_numpy(zero_copy_only=False)
+        uids, inv = np.unique(ids, return_inverse=True)
+        out = np.zeros((len(uids), HASH_DIM), np.int64)
+        np.add.at(out, (inv, b), c)
+        res = {"doc_id": pa.array(uids, pa.int64())}
+        for j, col in enumerate(_COLS):
+            res[col] = pa.array(out[:, j], pa.int64())
+        return pa.table(res)
+
+    nparts = auto_partitions(path)
+    rows = pruned_read(path, ["doc_id", "text"]).map_batches(
+        new_token_rows, batch_format="pyarrow", zero_copy_batch=True)
+    contribs = per_key_blocks(rows.union(df_read), ["w"], attach_frozen_idf,
+                              num_partitions=nparts)
+    feats = per_key_blocks(contribs, ["doc_id"], fold_vectors,
+                           num_partitions=nparts)
+    return _assign_topics(feats, C)
+
+
+def _sql_incremental_doc_topics(k: int = TOPIC_K,
+                                iters: int = TOPIC_ITERS) -> str:
+    from ocrautomator_ray.functions.curate import INCR_NEW_MOD
+    from ocrautomator_ray.functions.dedup import _sql_fnv1a
+
+    h = sql_mix_hash("doc_id", SHUFFLE_SEED)
+    parts = [rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+td_c AS (SELECT doc_id, w, COUNT(*) AS k FROM toks
+         WHERE doc_id % {INCR_NEW_MOD} != 0 GROUP BY doc_id, w),
+td_n AS (SELECT doc_id, w, COUNT(*) AS k FROM toks
+         WHERE doc_id % {INCR_NEW_MOD} = 0 GROUP BY doc_id, w),
+dfreq AS (SELECT w, COUNT(*) AS df FROM td_c GROUP BY w),
+nd AS (SELECT COUNT(*) AS n FROM documents
+       WHERE doc_id % {INCR_NEW_MOD} != 0),
+hw AS (
+  SELECT w, {_sql_fnv1a('w')} AS h
+  FROM (SELECT w FROM td_c UNION SELECT w FROM td_n)
+),
+hb AS (
+  SELECT w, CAST(h % {HASH_DIM} AS BIGINT) AS b,
+         CASE WHEN (h // {1 << _HASH_SIGN_SHIFT}) % 2 = 1
+              THEN -1 ELSE 1 END AS sgn
+  FROM hw
+),
+contrib_c AS (
+  SELECT td_c.doc_id, hb.b AS dim,
+         td_c.k * hb.sgn * length(bin(nd.n // dfreq.df)) AS c
+  FROM td_c JOIN hb USING (w) JOIN dfreq USING (w), nd
+),
+docs_c AS (SELECT DISTINCT doc_id FROM td_c),
+dims AS (SELECT CAST(range AS BIGINT) + 1 AS dim FROM range({HASH_DIM})),
+featl AS (
+  SELECT d.doc_id, dims.dim, CAST(COALESCE(s.v, 0) AS BIGINT) AS v
+  FROM docs_c d CROSS JOIN dims
+  LEFT JOIN (SELECT doc_id, dim + 1 AS dim, SUM(c) AS v
+             FROM contrib_c GROUP BY doc_id, dim) s
+    ON s.doc_id = d.doc_id AND s.dim = dims.dim
+),
+seeds AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY {h}, doc_id) - 1 AS c
+    FROM (SELECT doc_id FROM docs_c ORDER BY {h}, doc_id LIMIT {k})
+),
+cent0 AS (
+    SELECT s.c, f.dim, f.v FROM seeds s JOIN featl f USING (doc_id)
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+a{i} AS (
+    SELECT doc_id, c FROM (
+        SELECT f.doc_id, c.c, SUM((f.v - c.v) * (f.v - c.v)) AS d
+        FROM featl f JOIN cent{i - 1} c USING (dim)
+        GROUP BY f.doc_id, c.c)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d, c) = 1
+),
+u{i} AS (
+    SELECT a.c, f.dim,
+           CAST(FLOOR(CAST(SUM(f.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+    FROM a{i} a JOIN featl f USING (doc_id)
+    GROUP BY a.c, f.dim
+),
+cent{i} AS (
+    SELECT p.c, p.dim, COALESCE(u.v, p.v) AS v
+    FROM cent{i - 1} p LEFT JOIN u{i} u ON u.c = p.c AND u.dim = p.dim
+)""")
+    parts.append(f""",
+contrib_n AS (
+  SELECT td_n.doc_id, hb.b AS dim,
+         td_n.k * hb.sgn * length(bin(nd.n // COALESCE(dfreq.df, 1))) AS c
+  FROM td_n JOIN hb USING (w) LEFT JOIN dfreq USING (w), nd
+),
+docs_n AS (SELECT DISTINCT doc_id FROM td_n),
+featl_n AS (
+  SELECT d.doc_id, dims.dim, CAST(COALESCE(s.v, 0) AS BIGINT) AS v
+  FROM docs_n d CROSS JOIN dims
+  LEFT JOIN (SELECT doc_id, dim + 1 AS dim, SUM(c) AS v
+             FROM contrib_n GROUP BY doc_id, dim) s
+    ON s.doc_id = d.doc_id AND s.dim = dims.dim
+)
+SELECT doc_id, c AS topic FROM (
+    SELECT f.doc_id, c.c, SUM((f.v - c.v) * (f.v - c.v)) AS d
+    FROM featl_n f JOIN cent{iters} c USING (dim)
+    GROUP BY f.doc_id, c.c)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d, c) = 1
+""")
+    return "".join(parts)
+
+
+SQL_INCREMENTAL_DOC_TOPICS = _sql_incremental_doc_topics()
+
+QUERIES["incremental_doc_topics"] = incremental_doc_topics
+SQL["incremental_doc_topics"] = SQL_INCREMENTAL_DOC_TOPICS

@@ -117,3 +117,27 @@ def test_topic_keywords_match_serial():
     assert len(got) == len(exp)
     for topic, token, n, rank in got.itertuples(index=False):
         assert exp[(topic, token)] == (n, rank)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_topics_warm_model_is_read_only(monkeypatch):
+    from ocrautomator_ray.functions.curate import INCR_NEW_MOD
+
+    T.topic_index_build(SF)                      # warm (or reuse) the model
+
+    def boom(*a, **k):
+        raise AssertionError("warm incremental query re-trained the model")
+
+    monkeypatch.setattr(T, "_fit_topics", boom)
+    df = T.incremental_doc_topics(SF).to_pandas()
+    assert len(df) > 0
+    assert (df["doc_id"] % INCR_NEW_MOD == 0).all()   # new shard only
+    assert df["doc_id"].is_unique
+    assert df["topic"].between(0, T.TOPIC_K - 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_topics_deterministic():
+    a = T.incremental_doc_topics(SF).to_pandas().sort_values("doc_id")
+    b = T.incremental_doc_topics(SF).to_pandas().sort_values("doc_id")
+    assert (a["topic"].to_numpy() == b["topic"].to_numpy()).all()
