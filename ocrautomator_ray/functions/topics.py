@@ -517,6 +517,23 @@ def topic_index_dir(sf_dir: str) -> str:
     return os.path.join("/tmp", "ocrauto_topic_index", tag)
 
 
+def _evict_stale_topic_indexes(index_dir: str) -> None:
+    """Drop older fingerprints of the same source basename (the
+    ann._evict_stale_indexes rule): regenerated scale dirs would otherwise
+    accrete a duplicate df table under /tmp per rebuild."""
+    import os
+    import shutil
+
+    root, tag = os.path.split(index_dir)
+    if os.path.basename(root) != "ocrauto_topic_index" \
+            or not os.path.isdir(root):
+        return
+    base = tag.rsplit("-", 2)[0]
+    for d in os.listdir(root):
+        if d != tag and d.rsplit("-", 2)[0] == base:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
 def topic_index_build(sf_dir: str, k: int = TOPIC_K,
                       iters: int = TOPIC_ITERS) -> str:
     """Train + persist the committed-slice topic model; no-op when the
@@ -533,6 +550,7 @@ def topic_index_build(sf_dir: str, k: int = TOPIC_K,
     meta_path = os.path.join(index_dir, "meta.parquet")
     if os.path.exists(meta_path):
         return index_dir
+    _evict_stale_topic_indexes(index_dir)
 
     path = f"{sf_dir}/documents.parquet"
     feats = _topic_features(sf_dir, committed_only=True).materialize()
