@@ -365,8 +365,6 @@ def topic_keywords(sf_dir: str, k: int = TOPIC_K, iters: int = TOPIC_ITERS,
                    top_n: int = TOPIC_TOP_N) -> rd.Dataset:
     """(topic, token, n, rank): each topic's top_n tokens by corpus count
     within the topic, rank by (n DESC, token ASC)."""
-    from ray.data.aggregate import Sum
-
     from ocrautomator_ray.functions.dedup import _tokenize_re2
 
     path = f"{sf_dir}/documents.parquet"
@@ -422,13 +420,30 @@ def topic_keywords(sf_dir: str, k: int = TOPIC_K, iters: int = TOPIC_ITERS,
             "n": pa.array(tok_k, pa.int64()),
         })
 
+    def tw_block(block: pa.Table) -> pa.Table:
+        # all of a token's rows are co-located → (topic, w) totals are
+        # FINAL here (lexsort + reduceat fold; the Sum-aggregate path cost
+        # 5× more at 30×, the cmsketch lesson)
+        if block.num_rows == 0:
+            return tw_schema.empty_table()
+        topic = block["topic"].to_numpy(zero_copy_only=False)
+        w = block["w"].to_numpy(zero_copy_only=False)
+        n = block["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((topic, w))
+        topic, w, n = topic[order], w[order], n[order]
+        new = np.r_[True, (w[1:] != w[:-1]) | (topic[1:] != topic[:-1])]
+        starts = np.flatnonzero(new)
+        tot = np.add.reduceat(n, starts).astype(np.int64)
+        return pa.table({"topic": pa.array(topic[starts], pa.int64()),
+                         "w": pa.array(w[starts], pa.string()),
+                         "n": pa.array(tot, pa.int64())})
+
     nparts = auto_partitions(path)
     rows = pruned_read(path, ["doc_id", "text"]).map_batches(
         token_rows, batch_format="pyarrow", zero_copy_batch=True)
     tagged = per_key_blocks(topics.union(rows), ["doc_id"], tag_block,
                             num_partitions=nparts)
-    totals = (tagged.groupby(["topic", "w"], num_partitions=nparts)
-                    .aggregate(Sum("n", alias_name="n")))
+    totals = per_key_blocks(tagged, ["w"], tw_block, num_partitions=nparts)
     out_schema = pa.schema([("topic", pa.int64()), ("token", pa.string()),
                             ("n", pa.int64()), ("rank", pa.int64())])
 
