@@ -207,6 +207,7 @@ def run_benchmarks() -> dict:
           consume="count")
     timed("gopher_rules", filters.gopher_rules, consume="count")
     timed("winsorize_values", filters.winsorize_values, consume="count")
+    timed("value_mad_by_type", filters.value_mad_by_type, consume="count")
     timed("source_report", text.source_report, consume="count")
 
     from ocrautomator_ray.functions import kmeans as km

@@ -561,3 +561,117 @@ FROM documents
 
 QUERIES["quantile_normalize"] = quantile_normalize
 SQL["quantile_normalize"] = SQL_QUANTILE_NORMALIZE
+
+
+# ---------------------------------------------------------------------------
+# value_mad_by_type — robust per-group location/scale: median and MAD
+# (median absolute deviation) of event values per event_type. The robust
+# counterpart of event_value_zscore's mean/std — the screen of choice when
+# heavy-tailed junk would drag a mean-based threshold.
+#
+# Two value-counting quantile exchanges (the winsorize machinery, q = 1/2):
+# phase A reduces (type, value) counts to per-type exact medians (O(types)
+# broadcast), phase B re-streams the table deriving |value − median| — an
+# IEEE-exact op mirrored identically in SQL (the zscore precedent) — and
+# reduces (type, dev) counts to the per-type MAD. Both quantiles are pure
+# SELECTION (disc_quantile), so the doubles hash-compare exactly.
+# ---------------------------------------------------------------------------
+
+def value_mad_by_type(sf_dir: str) -> rd.Dataset:
+    """(event_type, n, med, mad): per-type exact discrete median of value
+    and of |value − med|."""
+    from ocrautomator_ray.functions.exchange import per_key_blocks
+    from ocrautomator_ray.functions.relational2 import disc_quantile
+
+    path = f"{sf_dir}/events.parquet"
+    base = pruned_read(path, ["event_type", "value"])
+
+    vc_schema = pa.schema([("event_type", pa.string()),
+                           ("value", pa.float64()), ("n", pa.int64())])
+
+    def vc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return vc_schema.empty_table()
+        g = pa.TableGroupBy(t.select(["event_type", "value"]),
+                            ["event_type", "value"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g["event_type"], "value": g["value"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    def med_block(block: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("event_type", pa.string()),
+                                ("n", pa.int64()), ("q", pa.float64())])
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        g = pa.TableGroupBy(block, ["event_type", "value"]).aggregate(
+            [("n", "sum")])
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        v = g["value"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, et))
+        et, v, n = et[order], v[order], n[order]
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        ends = np.r_[starts[1:], len(et)]
+        types, ns, qs = [], [], []
+        for s, e in zip(starts, ends):
+            cum = np.cumsum(n[s:e])
+            types.append(et[s])
+            ns.append(int(cum[-1]))
+            qs.append(float(disc_quantile(v[s:e], cum, 1, 2)))
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "q": pa.array(qs, pa.float64())})
+
+    def _per_type_median(ds) -> "object":
+        return per_key_blocks(
+            ds.map_batches(vc, batch_format="pyarrow", zero_copy_batch=True),
+            ["event_type"], med_block, num_partitions=4).to_pandas()
+
+    med = _per_type_median(base)              # O(types) rows
+    t_sorted = np.sort(med["event_type"].to_numpy())
+    t_order = np.argsort(med["event_type"].to_numpy())
+    med_v = med["q"].to_numpy()[t_order]
+    n_v = med["n"].to_numpy()[t_order]
+
+    def deviations(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        i = np.searchsorted(t_sorted, et)
+        return pa.table({"event_type": t["event_type"],
+                         "value": pa.array(np.abs(v - med_v[i]),
+                                           pa.float64())})
+
+    dev = base.map_batches(deviations, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    mad = _per_type_median(dev)
+    m_order = np.argsort(mad["event_type"].to_numpy())
+    mad_v = mad["q"].to_numpy()[m_order]
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(t_sorted, pa.string()),
+        "n": pa.array(n_v, pa.int64()),
+        "med": pa.array(med_v, pa.float64()),
+        "mad": pa.array(mad_v, pa.float64()),
+    }))
+
+
+SQL_VALUE_MAD = """
+WITH med AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_disc(value, 0.5) AS med
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, ABS(e.value - m.med) AS d
+    FROM events e JOIN med m USING (event_type)
+),
+madt AS (
+    SELECT event_type, quantile_disc(d, 0.5) AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT m.event_type, m.n, m.med, madt.mad
+FROM med m JOIN madt USING (event_type)
+"""
+
+
+QUERIES["value_mad_by_type"] = value_mad_by_type
+SQL["value_mad_by_type"] = SQL_VALUE_MAD

@@ -218,3 +218,32 @@ def test_winsorize_values_brute_force():
         assert (sub["value_w"].to_numpy() == expect).all()
         # clamped values are members of the original value set
         assert np.isin(sub["value_w"].to_numpy(), g["value"].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_value_mad_matches_serial():
+    """Single-process recompute of the per-type discrete median and MAD
+    using the pinned quantile_disc rule (rank ceil(n/2))."""
+    import numpy as np
+    import pandas as pd
+
+    from ocrautomator_ray.functions.filters import value_mad_by_type
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def disc_med(vals):
+        v = np.sort(vals)
+        return v[-(-len(v) // 2) - 1]
+
+    got = value_mad_by_type(sf).to_pandas().set_index("event_type")
+    for et, g in ev.groupby("event_type"):
+        med = disc_med(g["value"].to_numpy())
+        mad = disc_med(np.abs(g["value"].to_numpy() - med))
+        row = got.loc[et]
+        assert row["n"] == len(g)
+        assert row["med"] == med
+        assert row["mad"] == mad
+    # MAD is a scale: nonnegative and bounded by the max deviation
+    assert (got["mad"] >= 0).all()
