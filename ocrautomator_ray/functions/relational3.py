@@ -591,3 +591,54 @@ SQL = {
     "rolling_value_sum": SQL_ROLLING,
     "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
 }
+
+
+# ---------------------------------------------------------------------------
+# latest_event_state — CDC upsert compaction: the newest event per
+# (user_id, event_type) key, i.e. the materialized "current state" table a
+# changelog stream compacts to. The keep-LAST mirror of dedup_first_docs'
+# keep-first, with the standard two-level shape: each batch pre-prunes to
+# its own newest row per key (lossless — the global newest is one of the
+# per-batch newest), so the one key-keyed exchange moves at most
+# keys × batches rows, never the event stream.
+# ---------------------------------------------------------------------------
+
+_LATEST_SCHEMA_COLS = ["user_id", "event_type", "ts", "event_id", "value"]
+
+
+def latest_event_state(sf_dir: str) -> rd.Dataset:
+    """(user_id, event_type, ts, event_id, value) of each key's newest
+    event — newest by (ts, event_id) so ties are deterministic."""
+    path = f"{sf_dir}/events.parquet"
+    ds = pruned_read(path, _LATEST_SCHEMA_COLS)
+
+    def keep_latest(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        # ascending (uid, et, ts, eid): a key's LAST run element is newest
+        order = np.lexsort((eid, ts, et, uid))
+        uid_s, et_s = uid[order], et[order]
+        last = np.r_[(uid_s[1:] != uid_s[:-1]) | (et_s[1:] != et_s[:-1]),
+                     True]
+        keep = np.sort(order[last])
+        return t.take(pa.array(keep))
+
+    pruned = ds.map_batches(keep_latest, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return per_key_blocks(pruned, ["user_id", "event_type"], keep_latest,
+                          num_partitions=auto_partitions(path))
+
+
+SQL_LATEST_EVENT_STATE = """
+SELECT user_id, event_type, ts, event_id, value FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+QUERIES["latest_event_state"] = latest_event_state
+SQL["latest_event_state"] = SQL_LATEST_EVENT_STATE

@@ -182,3 +182,26 @@ def test_retention_cohorts_multi_cohort(tmp_path):
     m = 4  # day-number of that Monday
     assert got == {(m, m): 1, (m, m + 14): 1,
                    (m + 14, m + 14): 2, (m + 14, m + 21): 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_latest_event_state_matches_pandas():
+    import pandas as pd
+
+    from ocrautomator_ray.functions.relational3 import latest_event_state
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    exp = (ev.sort_values(["ts", "event_id"])
+             .groupby(["user_id", "event_type"]).tail(1))
+    got = latest_event_state(sf).to_pandas()
+    assert len(got) == len(exp)
+    key = ["user_id", "event_type"]
+    g = got.sort_values(key).reset_index(drop=True)
+    e = exp.sort_values(key).reset_index(drop=True)
+    assert (g["event_id"].to_numpy()
+            == e["event_id"].to_numpy()).all()
+    # compaction invariant: one row per live key, and every key is live
+    assert g.set_index(key).index.is_unique
+    assert set(map(tuple, g[key].to_numpy())) == \
+        set(map(tuple, ev[key].drop_duplicates().to_numpy()))
