@@ -1114,3 +1114,56 @@ FROM co JOIN df da ON da.w = co.tok_a JOIN df db ON db.w = co.tok_b, nd
 
 QUERIES["token_cooc_lift"] = token_cooc_lift
 SQL["token_cooc_lift"] = SQL_TOKEN_COOC
+
+
+# --------------------------------------------------------------------------
+# ccnet_filter — the composed CCNet keep-set (Wenzek et al., LREC 2020):
+# documents that are (a) identified as the target language and (b) in the
+# head/middle of the corpus perplexity distribution. The canonical
+# two-signal curation screen, composed from two verified operators —
+# perplexity_buckets (bigram-LM + distributed NTILE) and lang_id (warm
+# stopword-profile actor pool) — joined on ONE doc-keyed scalar exchange
+# (Dataset.join; both sides are (doc_id, small ints/strings), text never
+# moves).
+# --------------------------------------------------------------------------
+
+CCNET_KEEP_BUCKETS = 2        # head + middle of the PPL_TILES tertiles
+CCNET_LANG = "en"
+
+
+def ccnet_filter(sf_dir: str) -> rd.Dataset:
+    """(doc_id, lm_score_u, bucket): the docs a CCNet-style screen keeps —
+    pred_lang == 'en' and perplexity bucket ≤ 2."""
+    import pyarrow.compute as pc
+
+    from ocrautomator_ray.functions.exchange import auto_partitions
+    from ocrautomator_ray.functions.text import lang_id
+
+    buckets = perplexity_buckets(sf_dir).map_batches(
+        lambda t: t.filter(pc.less_equal(t["bucket"], CCNET_KEEP_BUCKETS)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    langs = lang_id(sf_dir).map_batches(
+        lambda df: df.loc[df["pred_lang"] == CCNET_LANG, ["doc_id"]],
+        batch_format="pandas")
+    return buckets.join(
+        langs, join_type="inner",
+        num_partitions=auto_partitions(f"{sf_dir}/documents.parquet"),
+        on=("doc_id",))
+
+
+def _sql_ccnet_filter() -> str:
+    from ocrautomator_ray.functions.text import SQL_LANG_ID
+
+    return f"""
+WITH ppl AS ({SQL_PPL_BUCKETS}),
+lang AS ({SQL_LANG_ID})
+SELECT p.doc_id, p.lm_score_u, p.bucket
+FROM ppl p JOIN lang l USING (doc_id)
+WHERE p.bucket <= {CCNET_KEEP_BUCKETS} AND l.pred_lang = '{CCNET_LANG}'
+"""
+
+
+SQL_CCNET_FILTER = _sql_ccnet_filter()
+
+QUERIES["ccnet_filter"] = ccnet_filter
+SQL["ccnet_filter"] = SQL_CCNET_FILTER

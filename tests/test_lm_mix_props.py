@@ -204,3 +204,19 @@ def test_token_cooc_lift_matches_brute_force():
         assert exp[(a, b)] == n_ab
         assert (n_a, n_b) == (df_cnt[a], df_cnt[b])
         assert lift == n_ab * n_docs * 1_000_000 // (n_a * n_b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ccnet_filter_is_the_set_intersection():
+    """ccnet_filter == (en docs) ∩ (bucket ≤ 2 docs), derived from the two
+    component operators independently."""
+    from ocrautomator_ray.functions import lm as L
+    from ocrautomator_ray.functions.text import lang_id
+
+    SF = "/root/testdata/sf0.001"
+    ppl = L.perplexity_buckets(SF).to_pandas()
+    en = set(lang_id(SF).to_pandas().query("pred_lang == 'en'")["doc_id"])
+    exp = set(ppl.loc[ppl["bucket"] <= L.CCNET_KEEP_BUCKETS, "doc_id"]) & en
+    got = L.ccnet_filter(SF).to_pandas()
+    assert set(got["doc_id"]) == exp
+    assert (got["bucket"] <= L.CCNET_KEEP_BUCKETS).all()
