@@ -542,3 +542,109 @@ FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
 
 QUERIES["snapshot_changelog"] = snapshot_changelog
 SQL["snapshot_changelog"] = SQL_SNAPSHOT_CHANGELOG
+
+
+# --------------------------------------------------------------------------
+# novelty_stats — cross-snapshot novelty score: of each NEW-shard doc's
+# token 8-gram occurrences, how many belong to a gram NEVER seen in the
+# committed corpus. The quality signal a crawl-ingest mix uses to pick
+# genuinely-new material over re-crawls (the cross-slice complement of
+# lm.dup_ngram_stats, whose gram machinery this reuses verbatim).
+#
+# Shape: per-batch (doc_id, gram, k) combiners over BOTH slices — the side
+# is derivable from doc_id % INCR_NEW_MOD, so no tag column moves — ONE
+# gram-keyed exchange where a block sees each gram's every row and flags
+# new-doc rows whose gram has no committed-side row, then one doc-keyed
+# aggregate of the (k, novel_k) partials.
+# --------------------------------------------------------------------------
+
+_NOVELTY_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("n_grams", pa.int64()),
+    ("n_novel", pa.int64()),
+])
+
+
+def novelty_stats(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_grams, n_novel) for new-shard docs with ≥1 gram."""
+    from ocrautomator_ray.functions.lm import _gram_rows
+
+    path = f"{sf_dir}/documents.parquet"
+    part_schema = pa.schema([
+        ("doc_id", pa.int64()), ("k", pa.int64()), ("novel_k", pa.int64()),
+    ])
+
+    def per_gram(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return part_schema.empty_table()
+        gram = block["gram"].to_numpy(zero_copy_only=False)
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        k = block["k"].to_numpy(zero_copy_only=False)
+        order = np.argsort(gram, kind="mergesort")
+        gram_s, ids_s, k_s = gram[order], ids[order], k[order]
+        starts = np.flatnonzero(np.r_[True, gram_s[1:] != gram_s[:-1]])
+        run_len = np.diff(np.r_[starts, len(k_s)])
+        committed = ids_s % INCR_NEW_MOD != 0
+        seen = np.repeat(
+            np.add.reduceat(committed.astype(np.int64), starts) > 0, run_len)
+        is_new = ~committed
+        return pa.table({
+            "doc_id": pa.array(ids_s[is_new], pa.int64()),
+            "k": pa.array(k_s[is_new], pa.int64()),
+            "novel_k": pa.array(
+                np.where(seen[is_new], 0, k_s[is_new]), pa.int64()),
+        })
+
+    def per_doc(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _NOVELTY_SCHEMA.empty_table()
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        k = block["k"].to_numpy(zero_copy_only=False)
+        nk = block["novel_k"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="mergesort")
+        ids, k, nk = ids[order], k[order], nk[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        return pa.table({
+            "doc_id": pa.array(ids[starts], pa.int64()),
+            "n_grams": pa.array(np.add.reduceat(k, starts), pa.int64()),
+            "n_novel": pa.array(np.add.reduceat(nk, starts), pa.int64()),
+        })
+
+    grams = pruned_read(path, ["doc_id", "text"]).map_batches(
+        _gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+    flagged = per_key_blocks(grams, ["gram"], per_gram,
+                             num_partitions=auto_partitions(path))
+    return per_key_blocks(flagged, ["doc_id"], per_doc, num_partitions=8)
+
+
+def _sql_novelty() -> str:
+    from ocrautomator_ray.functions.lm import NGRAM_N
+
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS tl
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(tl[p + 1 : p + {NGRAM_N}], ' ') AS gram
+  FROM d, LATERAL (SELECT unnest(range(0, greatest(len(tl) - {NGRAM_N - 1},
+                                                   0))) AS p) u
+),
+gd AS (SELECT doc_id, gram, COUNT(*) AS k FROM grams GROUP BY doc_id, gram),
+committed_grams AS (
+  SELECT DISTINCT gram FROM gd WHERE doc_id % {INCR_NEW_MOD} != 0
+)
+SELECT gd.doc_id, CAST(SUM(gd.k) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN c.gram IS NULL THEN gd.k ELSE 0 END) AS BIGINT)
+           AS n_novel
+FROM gd LEFT JOIN committed_grams c USING (gram)
+WHERE gd.doc_id % {INCR_NEW_MOD} = 0
+GROUP BY gd.doc_id
+"""
+
+
+SQL_NOVELTY_STATS = _sql_novelty()
+
+QUERIES["novelty_stats"] = novelty_stats
+SQL["novelty_stats"] = SQL_NOVELTY_STATS

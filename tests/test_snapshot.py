@@ -206,3 +206,38 @@ def test_snapshot_changelog_statuses():
             exp = "unchanged"
         assert by[i] == exp, (i, by[i], exp)
     assert (df["status"] == "changed").any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_novelty_stats_set_logic():
+    """Brute-force recompute: novel = new-doc gram occurrences whose gram
+    appears in no committed doc."""
+    import re
+
+    import pandas as pd
+
+    from ocrautomator_ray.functions.curate import INCR_NEW_MOD
+    from ocrautomator_ray.functions.lm import NGRAM_N
+    from ocrautomator_ray.functions.snapshot import novelty_stats
+
+    SF = "/root/testdata/sf0.001"
+    d = pd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+    grams = {}
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = [w for w in re.split(r"\s+", t.lower()) if w]
+        grams[int(i)] = [" ".join(toks[p:p + NGRAM_N])
+                         for p in range(max(len(toks) - NGRAM_N + 1, 0))]
+    committed = set()
+    for i, gs in grams.items():
+        if i % INCR_NEW_MOD != 0:
+            committed.update(gs)
+    got = novelty_stats(SF).to_pandas().set_index("doc_id")
+    exp_ids = {i for i, gs in grams.items()
+               if i % INCR_NEW_MOD == 0 and gs}
+    assert set(got.index) == exp_ids
+    for i in exp_ids:
+        gs = grams[i]
+        novel = sum(1 for g in gs if g not in committed)
+        assert got.loc[i, "n_grams"] == len(gs)
+        assert got.loc[i, "n_novel"] == novel
