@@ -1629,3 +1629,119 @@ WHERE LEAST(size_a, size_b) > 0
 
 QUERIES["containment_pairs"] = containment_pairs
 SQL["containment_pairs"] = SQL_CONTAINMENT_PAIRS
+
+
+# ---------------------------------------------------------------------------
+# dedup_rate_by_source — the dedup audit table: per source, how many docs
+# and how many verified MinHash near-dup casualties (non-canonical cluster
+# members). The number a crawl operator watches per snapshot ("src5 is 40%
+# self-copies — stop crawling its mirror"). Composes the verified
+# minhash_dup_clusters with one doc-keyed tagging exchange (source strings
+# and drop flags move; text never does) and a per-batch (source) combiner
+# into a tiny final aggregate.
+# ---------------------------------------------------------------------------
+
+def dedup_rate_by_source(sf_dir: str) -> rd.Dataset:
+    """(source, n_docs, n_dups, dup_permille) — dup = non-canonical member
+    of a verified near-dup cluster; permille exact integer."""
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = pruned_read(path, ["doc_id", "source"])
+
+    def drop_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sel = t.filter(pc.not_equal(t["doc_id"], t["cluster_id"]))
+        return pa.table({
+            "doc_id": sel["doc_id"],
+            "source": pa.array([""] * sel.num_rows, pa.string()),
+        })
+
+    drops = minhash_dup_clusters(sf_dir).map_batches(
+        drop_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    tag_schema = pa.schema([("source", pa.string()), ("n", pa.int64()),
+                            ("dups", pa.int64())])
+
+    def tag_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return tag_schema.empty_table()
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        src = block["source"].to_numpy(zero_copy_only=False)
+        is_doc = src != ""
+        order = np.argsort(ids[~is_doc], kind="mergesort")
+        dup_ids = ids[~is_doc][order]
+        doc_ids, doc_src = ids[is_doc], src[is_doc]
+        pos = np.searchsorted(dup_ids, doc_ids)
+        safe = np.minimum(pos, max(len(dup_ids) - 1, 0))
+        is_dup = ((pos < len(dup_ids)) & (dup_ids[safe] == doc_ids)
+                  if len(dup_ids) else np.zeros(len(doc_ids), bool))
+        order = np.argsort(doc_src, kind="mergesort")
+        src_s, dup_s = doc_src[order], is_dup[order].astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, src_s[1:] != src_s[:-1]])
+        return pa.table({
+            "source": pa.array(src_s[starts], pa.string()),
+            "n": pa.array(np.diff(np.r_[starts, len(src_s)]), pa.int64()),
+            "dups": pa.array(np.add.reduceat(dup_s, starts), pa.int64()),
+        })
+
+    partials = per_key_blocks(docs.union(drops), ["doc_id"], tag_block,
+                              num_partitions=_auto_partitions(path))
+    agg = (partials.groupby("source", num_partitions=2)
+                   .aggregate(Sum("n", alias_name="n_docs"),
+                              Sum("dups", alias_name="n_dups")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("source", pa.string()),
+                              ("n_docs", pa.int64()),
+                              ("n_dups", pa.int64()),
+                              ("dup_permille", pa.int64())]).empty_table()
+        n = t["n_docs"].to_numpy(zero_copy_only=False)
+        d = t["n_dups"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "dup_permille", pa.array(d * 1000 // n, pa.int64()))
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _dedup_rate_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+dup AS MATERIALIZED (
+    SELECT doc_a, doc_b FROM ver
+    WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= {MINHASH_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM dup
+    UNION
+    SELECT doc_b, doc_a FROM dup
+),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+clusters AS (
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN cl.doc_id IS NOT NULL
+                      AND cl.cluster_id <> cl.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       CAST(SUM(CASE WHEN cl.doc_id IS NOT NULL
+                      AND cl.cluster_id <> cl.doc_id
+                     THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT)
+           AS dup_permille
+FROM documents d LEFT JOIN clusters cl USING (doc_id)
+GROUP BY d.source
+"""
+
+
+SQL_DEDUP_RATE = _dedup_rate_sql()
+
+
+QUERIES["dedup_rate_by_source"] = dedup_rate_by_source
+SQL["dedup_rate_by_source"] = SQL_DEDUP_RATE

@@ -481,3 +481,29 @@ def test_containment_pairs_invariants():
         row = cnt.loc[(a, b)]
         assert row["inter"] == inter
         assert smin + smax == inter + row["uni"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_rate_by_source_set_logic():
+    import pandas as pd
+
+    from ocrautomator_ray.functions.dedup import (
+        dedup_rate_by_source,
+        minhash_dup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cl = minhash_dup_clusters(sf).to_pandas()
+    drops = set(cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"])
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "source"])
+    got = dedup_rate_by_source(sf).to_pandas().set_index("source")
+    assert set(got.index) == set(docs["source"])
+    assert int(got["n_docs"].sum()) == len(docs)
+    assert int(got["n_dups"].sum()) == len(drops)
+    for src, g in docs.groupby("source"):
+        n = len(g)
+        d = sum(1 for i in g["doc_id"] if int(i) in drops)
+        assert got.loc[src, "n_docs"] == n
+        assert got.loc[src, "n_dups"] == d
+        assert got.loc[src, "dup_permille"] == d * 1000 // n
