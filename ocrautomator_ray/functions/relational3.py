@@ -642,3 +642,102 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
 
 QUERIES["latest_event_state"] = latest_event_state
 SQL["latest_event_state"] = SQL_LATEST_EVENT_STATE
+
+
+# ---------------------------------------------------------------------------
+# user_behavior_vectors — feature engineering on the event stream: each
+# user's signed hashed counts of ADJACENT event-type bigrams (the hashing
+# trick applied to behavior sequences; event_transitions aggregates the
+# same pairs corpus-wide, this keeps them per user as a fixed-width integer
+# vector ready for kmeans_fit / cosine / LSH). ONE user-keyed exchange —
+# blocks hold whole users, so the vector is FINAL in-block; nothing but
+# (user_id, 8 ints) leaves the exchange.
+# ---------------------------------------------------------------------------
+
+BEHAVIOR_DIM = 8
+_BEHAVIOR_COLS = [f"b_{j}" for j in range(BEHAVIOR_DIM)]
+_BEHAVIOR_SCHEMA = pa.schema(
+    [("user_id", pa.int64()), ("n_bigrams", pa.int64())]
+    + [(c, pa.int64()) for c in _BEHAVIOR_COLS])
+
+
+def user_behavior_vectors(sf_dir: str) -> rd.Dataset:
+    """(user_id, n_bigrams, b_0..b_7): signed hashed counts of the user's
+    adjacent event-type bigrams in (ts, event_id) order (users with <2
+    events emit no row, matching the oracle's inner grouping)."""
+    from ocrautomator_ray.functions.dedup import _fnv1a_strings
+    from ocrautomator_ray.functions.mix import _HASH_SIGN_SHIFT
+
+    ev_path = f"{sf_dir}/events.parquet"
+    ds = pruned_read(ev_path, ["user_id", "ts", "event_id", "event_type"])
+
+    def vec_block(block: pd.DataFrame) -> pa.Table:
+        if block.empty:
+            return _BEHAVIOR_SCHEMA.empty_table()
+        g = block.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        keep = uid[1:] == uid[:-1]
+        if not keep.any():
+            return _BEHAVIOR_SCHEMA.empty_table()
+        pair_uid = uid[:-1][keep].astype(np.int64)
+        grams = pa.array(np.char.add(np.char.add(
+            et[:-1][keep].astype(str), " "), et[1:][keep].astype(str)))
+        h = _fnv1a_strings(grams)
+        bucket = (h % np.uint64(BEHAVIOR_DIM)).astype(np.int64)
+        sign = np.where(
+            (h >> np.uint64(_HASH_SIGN_SHIFT)) & np.uint64(1) == 1,
+            -1, 1).astype(np.int64)
+        uids, inv = np.unique(pair_uid, return_inverse=True)
+        out = np.zeros((len(uids), BEHAVIOR_DIM), np.int64)
+        np.add.at(out, (inv, bucket), sign)
+        res = {"user_id": pa.array(uids, pa.int64()),
+               "n_bigrams": pa.array(
+                   np.bincount(inv).astype(np.int64), pa.int64())}
+        for j, c in enumerate(_BEHAVIOR_COLS):
+            res[c] = pa.array(out[:, j], pa.int64())
+        return pa.table(res)
+
+    return per_key_blocks(ds, ["user_id"], vec_block,
+                          batch_format="pandas",
+                          num_partitions=auto_partitions(ev_path))
+
+
+def _sql_behavior_vectors() -> str:
+    from ocrautomator_ray.functions.dedup import _sql_fnv1a
+    from ocrautomator_ray.functions.mix import _HASH_SIGN_SHIFT
+
+    vcols = ",\n       ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN b = {j} THEN sgn ELSE 0 END), 0) "
+        f"AS BIGINT) AS b_{j}" for j in range(BEHAVIOR_DIM))
+    return f"""
+WITH pairs AS (
+    SELECT user_id, event_type || ' ' || nxt AS gram FROM (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events)
+    WHERE nxt IS NOT NULL
+),
+hg AS (
+    SELECT gram, {_sql_fnv1a('gram')} AS h
+    FROM (SELECT DISTINCT gram FROM pairs)
+),
+hb AS (
+    SELECT gram, CAST(h % {BEHAVIOR_DIM} AS BIGINT) AS b,
+           CASE WHEN (h // {1 << _HASH_SIGN_SHIFT}) % 2 = 1
+                THEN -1 ELSE 1 END AS sgn
+    FROM hg
+)
+SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       {vcols}
+FROM pairs p JOIN hb USING (gram)
+GROUP BY p.user_id
+"""
+
+
+SQL_USER_BEHAVIOR = _sql_behavior_vectors()
+
+
+QUERIES["user_behavior_vectors"] = user_behavior_vectors
+SQL["user_behavior_vectors"] = SQL_USER_BEHAVIOR

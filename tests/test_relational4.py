@@ -205,3 +205,37 @@ def test_latest_event_state_matches_pandas():
     assert g.set_index(key).index.is_unique
     assert set(map(tuple, g[key].to_numpy())) == \
         set(map(tuple, ev[key].drop_duplicates().to_numpy()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_user_behavior_vectors_match_serial():
+    import pandas as pd
+    import pyarrow as pa
+
+    from ocrautomator_ray.functions.dedup import _fnv1a_strings
+    from ocrautomator_ray.functions.mix import _HASH_SIGN_SHIFT
+    from ocrautomator_ray.functions.relational3 import (
+        BEHAVIOR_DIM,
+        user_behavior_vectors,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"], kind="stable")
+    exp = {}
+    for uid, g in ev.groupby("user_id"):
+        et = g["event_type"].tolist()
+        if len(et) < 2:
+            continue
+        v = [0] * BEHAVIOR_DIM
+        for a, b in zip(et, et[1:]):
+            h = int(_fnv1a_strings(pa.array([f"{a} {b}"]))[0])
+            sgn = -1 if (h >> _HASH_SIGN_SHIFT) & 1 else 1
+            v[h % BEHAVIOR_DIM] += sgn
+        exp[int(uid)] = (len(et) - 1, v)
+    got = user_behavior_vectors(sf).to_pandas().set_index("user_id")
+    assert set(got.index) == set(exp)
+    for uid, (n, v) in exp.items():
+        row = got.loc[uid]
+        assert row["n_bigrams"] == n
+        assert [row[f"b_{j}"] for j in range(BEHAVIOR_DIM)] == v
