@@ -741,3 +741,132 @@ SQL_USER_BEHAVIOR = _sql_behavior_vectors()
 
 QUERIES["user_behavior_vectors"] = user_behavior_vectors
 SQL["user_behavior_vectors"] = SQL_USER_BEHAVIOR
+
+
+# ---------------------------------------------------------------------------
+# daily_active_users — DAU + trailing-7-day WAU: the sliding DISTINCT-count
+# analytics shape (sliding_window_activity slides sums; distinct users
+# cannot pre-aggregate the same way). Three bounded stages:
+#   1. per-batch DISTINCT (user, day) partials → one (user, day)-keyed
+#      exchange dedups globally (the D2+ INTERSECT discipline: the shuffle
+#      moves keys, never events),
+#   2. DAU = per-day counts of the distinct pairs (tiny aggregate),
+#   3. WAU: each distinct pair fans out to the ≤7 OBSERVED window-end days
+#      it supports (the in-map window fan-out of sliding_window_activity,
+#      filtered against the broadcast O(days) day set), a second
+#      (user, wday)-keyed dedup exchange, and a per-day count.
+# ---------------------------------------------------------------------------
+
+_DAU_SCHEMA = pa.schema([
+    ("day", pa.int64()), ("dau", pa.int64()), ("wau", pa.int64()),
+])
+WAU_WINDOW = 7
+
+
+def daily_active_users(sf_dir: str) -> rd.Dataset:
+    """(day, dau, wau): distinct users active that day, and in the trailing
+    {WAU_WINDOW}-day window ending that day — for every observed day; day
+    is int64 days-since-epoch (the retention_cohorts convention)."""
+    from ray.data.aggregate import Sum
+
+    ev_path = f"{sf_dir}/events.parquet"
+    base = pruned_read(ev_path, ["user_id", "ts"])
+    pair_schema = pa.schema([("user_id", pa.int64()), ("day", pa.int32())])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (t["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[D]").astype(np.int32))
+        pairs = np.unique(np.stack([uid, day.astype(np.int64)], 1), axis=0)
+        return pa.table({"user_id": pa.array(pairs[:, 0], pa.int64()),
+                         "day": pa.array(pairs[:, 1].astype(np.int32),
+                                         pa.int32())})
+
+    def dedup_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pair_schema.empty_table()
+        uid = block["user_id"].to_numpy(zero_copy_only=False)
+        day = block["day"].to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([uid, day.astype(np.int64)], 1), axis=0)
+        return pa.table({"user_id": pa.array(pairs[:, 0], pa.int64()),
+                         "day": pa.array(pairs[:, 1].astype(np.int32),
+                                         pa.int32())})
+
+    pairs = per_key_blocks(
+        base.map_batches(pair_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["user_id", "day"], dedup_block,
+        num_partitions=auto_partitions(ev_path)).materialize()
+
+    days = np.sort(np.unique(
+        pairs.select_columns(["day"]).to_pandas()["day"].to_numpy()
+    ).astype(np.int64))                         # O(observed days) driver set
+
+    cnt_schema = pa.schema([("day", pa.int32()), ("n", pa.int64())])
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cnt_schema.empty_table()
+        day = t["day"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int32()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    dau = (pairs.map_batches(day_counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+           .groupby("day", num_partitions=2)
+           .aggregate(Sum("n", alias_name="dau")).to_pandas())
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wd = (day[:, None] + np.arange(WAU_WINDOW)[None, :]).ravel()
+        wu = np.repeat(uid, WAU_WINDOW)
+        pos = np.searchsorted(days, wd)
+        safe = np.minimum(pos, len(days) - 1)
+        keep = days[safe] == wd                 # observed days only
+        return pa.table({"user_id": pa.array(wu[keep], pa.int64()),
+                         "day": pa.array(wd[keep].astype(np.int32),
+                                         pa.int32())})
+
+    wpairs = per_key_blocks(
+        pairs.map_batches(fan_out, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["user_id", "day"], dedup_block,
+        num_partitions=auto_partitions(ev_path))
+    wau = (wpairs.map_batches(day_counts, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("day", num_partitions=2)
+           .aggregate(Sum("n", alias_name="wau")).to_pandas())
+
+    dau = dau.set_index("day")["dau"]
+    wau = wau.set_index("day")["wau"]
+    return rd.from_arrow(pa.table({
+        "day": pa.array(days, pa.int64()),
+        "dau": pa.array([int(dau[d]) for d in days], pa.int64()),
+        "wau": pa.array([int(wau[d]) for d in days], pa.int64()),
+    }))
+
+
+SQL_DAILY_ACTIVE_USERS = f"""
+WITH pairs AS (
+    -- int64 days-since-epoch (FLOOR before the cast: epoch() is a DOUBLE
+    -- with fractional seconds and CAST rounds half-away)
+    SELECT DISTINCT user_id, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+    FROM events
+),
+days AS (SELECT DISTINCT day FROM pairs)
+SELECT d.day, 
+       (SELECT COUNT(*) FROM pairs p WHERE p.day = d.day) AS dau,
+       (SELECT COUNT(DISTINCT p.user_id) FROM pairs p
+         WHERE p.day BETWEEN d.day - {WAU_WINDOW - 1} AND d.day) AS wau
+FROM days d
+"""
+
+
+QUERIES["daily_active_users"] = daily_active_users
+SQL["daily_active_users"] = SQL_DAILY_ACTIVE_USERS

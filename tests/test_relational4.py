@@ -239,3 +239,29 @@ def test_user_behavior_vectors_match_serial():
         row = got.loc[uid]
         assert row["n_bigrams"] == n
         assert [row[f"b_{j}"] for j in range(BEHAVIOR_DIM)] == v
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_daily_active_users_matches_pandas():
+    import numpy as np
+    import pandas as pd
+
+    from ocrautomator_ray.functions.relational3 import (
+        WAU_WINDOW,
+        daily_active_users,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts"])
+    day = ev["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    pairs = set(zip(ev["user_id"].tolist(), day.tolist()))
+    days = sorted({d for _, d in pairs})
+    got = daily_active_users(sf).to_pandas().set_index("day")
+    assert list(got.index) == days
+    for d in days:
+        dau = sum(1 for _, dd in pairs if dd == d)
+        wau = len({u for u, dd in pairs if d - WAU_WINDOW + 1 <= dd <= d})
+        assert got.loc[d, "dau"] == dau
+        assert got.loc[d, "wau"] == wau
+    # window invariant: wau ≥ dau everywhere
+    assert (got["wau"] >= got["dau"]).all()
