@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     # -- changed since last driver attestation (cherry-picked to the front;
     #    later module updates overwrite the value but keep the position) --
+    q["contamination_fraction"] = _curate.QUERIES["contamination_fraction"]
+    q["dedup_best_docs"] = _curate.QUERIES["dedup_best_docs"]  # new
+    q["bm25_index_topk"] = _corpus.QUERIES["bm25_index_topk"]  # new
     q.update(_snapshot.QUERIES)  # new this round (cross-snapshot near-dup,
     #                              per-source drift)
     q["hashed_doc_vectors"] = _mix.QUERIES["hashed_doc_vectors"]  # new

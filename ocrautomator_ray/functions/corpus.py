@@ -28,6 +28,8 @@ the term string — deterministic and oracle-exact without any ``log`` call
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -524,50 +526,41 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def bm25_doc0_topk(sf_dir: str, k: int = BM25_TOP_K) -> rd.Dataset:
-    import ray
+_BM25_TF_SCHEMA = pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                             ("tf", pa.int64()), ("dl", pa.int64())])
 
-    path = f"{sf_dir}/documents.parquet"
 
-    # query = document 0's distinct tokens (tiny pruned filtered read)
-    q = stripped_read(path, columns=["doc_id", "text"],
-                      filter=(pc.field("doc_id") == 0)).to_pandas()
-    q_flat, _ = _tokenize_re2(pa.array(q["text"].tolist(), pa.string()))
-    q_terms = set(q_flat.to_pylist())
-    q_ref = ray.put(pa.array(sorted(q_terms), pa.string()))
+def _bm25_side_stats(path: str) -> tuple[int, int]:
+    """(N docs, T total tokens): two tiny integer side aggregates combined
+    per batch — one row per batch reaches the driver."""
 
-    # side stats: N docs, T total tokens (ints; combined per batch)
     def batch_stats(t: pa.Table) -> pa.Table:
         _, cnt = _tokenize_re2(t["text"])
         return pa.table({"n": pa.array([t.num_rows], pa.int64()),
                          "t": pa.array([int(cnt.sum())], pa.int64())})
 
     stats = pruned_read(path, ["text"]).map_batches(
-        batch_stats, batch_format="pyarrow", zero_copy_batch=True) \
-        .to_pandas()  # one row per batch — tiny
-    N, T = int(stats["n"].sum()), int(stats["t"].sum())
+        batch_stats, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return int(stats["n"].sum()), int(stats["t"].sum())
 
-    tf_schema = pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
-                           ("tf", pa.int64()), ("dl", pa.int64())])
 
-    def tf_rows(t: pa.Table) -> pa.Table:
-        flat, cnt = _tokenize_re2(t["text"])
-        if len(flat) == 0:
-            return tf_schema.empty_table()
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        doc_of = np.repeat(ids, cnt)
-        dl_of = np.repeat(cnt, cnt)
-        keep = pc.is_in(flat, value_set=ray.get(q_ref))
-        keepn = keep.to_numpy(zero_copy_only=False)
-        g = pa.TableGroupBy(pa.table({
-            "doc_id": pa.array(doc_of[keepn], pa.int64()),
-            "term": flat.filter(keep),
-            "dl": pa.array(dl_of[keepn], pa.int64()),
-        }), ["doc_id", "term", "dl"]).aggregate([([], "count_all")])
-        return pa.table({"doc_id": g["doc_id"], "term": g["term"],
-                         "tf": g["count_all"].cast(pa.int64()),
-                         "dl": g["dl"]})
+def _bm25_query_terms(path: str) -> pa.Array:
+    """Document 0's distinct tokens, sorted (tiny pruned filtered read)."""
+    q = stripped_read(path, columns=["doc_id", "text"],
+                      filter=(pc.field("doc_id") == 0)).to_pandas()
+    q_flat, _ = _tokenize_re2(pa.array(q["text"].tolist(), pa.string()))
+    return pa.array(sorted(set(q_flat.to_pylist())), pa.string())
 
+
+def _bm25_rank(tf: rd.Dataset, N: int, T: int, k: int,
+               n_parts: int) -> rd.Dataset:
+    """Score and rank a (doc_id, term, tf, dl) stream — shared VERBATIM by
+    the recompute path (``bm25_doc0_topk``) and the persisted-index path
+    (``bm25_index_topk``) so both produce byte-identical rows: df attaches
+    in one term-keyed exchange (rows are doc-distinct, so df = the term's
+    block-local row count), each (doc, term) contribution integerizes at
+    1e-6 from an identically-parenthesized double expression, and doc
+    scores finalize in one doc-keyed exchange with block-local top-K."""
     contrib_schema = pa.schema([("doc_id", pa.int64()), ("c_u", pa.int64())])
 
     def attach_df_score(block: pa.Table) -> pa.Table:
@@ -621,15 +614,43 @@ def bm25_doc0_topk(sf_dir: str, k: int = BM25_TOP_K) -> rd.Dataset:
                              pa.int64()),
         })
 
-    docs = pruned_read(path, ["doc_id", "text"])
-    tf = docs.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
     contrib = per_key_blocks(tf, ["term"], attach_df_score,
-                             num_partitions=auto_partitions(path))
+                             num_partitions=n_parts)
     local = per_key_blocks(contrib, ["doc_id"], topk_block,
-                           num_partitions=auto_partitions(path))
+                           num_partitions=n_parts)
     return local.repartition(1).map_batches(finalize, batch_format="pyarrow",
                                             batch_size=None,
                                             zero_copy_batch=True)
+
+
+def bm25_doc0_topk(sf_dir: str, k: int = BM25_TOP_K) -> rd.Dataset:
+    import ray
+
+    path = f"{sf_dir}/documents.parquet"
+    q_ref = ray.put(_bm25_query_terms(path))
+    N, T = _bm25_side_stats(path)
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        flat, cnt = _tokenize_re2(t["text"])
+        if len(flat) == 0:
+            return _BM25_TF_SCHEMA.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(ids, cnt)
+        dl_of = np.repeat(cnt, cnt)
+        keep = pc.is_in(flat, value_set=ray.get(q_ref))
+        keepn = keep.to_numpy(zero_copy_only=False)
+        g = pa.TableGroupBy(pa.table({
+            "doc_id": pa.array(doc_of[keepn], pa.int64()),
+            "term": flat.filter(keep),
+            "dl": pa.array(dl_of[keepn], pa.int64()),
+        }), ["doc_id", "term", "dl"]).aggregate([([], "count_all")])
+        return pa.table({"doc_id": g["doc_id"], "term": g["term"],
+                         "tf": g["count_all"].cast(pa.int64()),
+                         "dl": g["dl"]})
+
+    docs = pruned_read(path, ["doc_id", "text"])
+    tf = docs.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return _bm25_rank(tf, N, T, k, auto_partitions(path))
 
 
 SQL_BM25 = rf"""
@@ -666,6 +687,160 @@ SELECT doc_id, score_u, rank FROM (
   FROM contrib GROUP BY doc_id
 ) WHERE rank <= {BM25_TOP_K}
 """
+
+
+# --------------------------------------------------------------------------
+# bm25_index_build / bm25_index_topk — the persisted-INVERTED-INDEX
+# completion of the BM25 story, the text-side mirror of the IVF index
+# (ann.py): postings (doc_id, term, tf, dl) are written ONCE through the
+# generic resumable sink, hive-partitioned by term-hash bucket, and queries
+# then PRUNE AT THE READ — only the buckets holding the query's terms are
+# ever opened — instead of re-tokenizing the corpus per query. At 10^12
+# docs the build is one streaming tokenize pass + partitioned write, a
+# killed build resumes with O(P) manifest reads, and each query's IO is
+# |query-term buckets|/BM25_BUCKETS of the postings. Global stats (N, T)
+# persist beside the data (stats.parquet) so a committed index answers with
+# zero corpus passes. Because every term's postings are COMPLETE inside its
+# bucket, the in-block df and every downstream double are byte-identical to
+# the recompute path — bm25_index_topk shares bm25_doc0_topk's SQL oracle.
+# --------------------------------------------------------------------------
+
+BM25_BUCKETS = 64
+_BM25_INDEX_ROOT = os.path.join("/tmp", "ocrauto_bm25_index")
+_POSTING_SCHEMA = pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                             ("tf", pa.int64()), ("dl", pa.int64()),
+                             ("bucket", pa.int32())])
+
+
+def bm25_index_dir(sf_dir: str) -> str:
+    """Deterministic per-input index location under /tmp, fingerprinted by
+    (dir basename, size, mtime_ns) so a changed input never reuses a stale
+    index — same discipline as ivf_index_dir."""
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = (f"{os.path.basename(os.path.dirname(src))}-{st.st_size}-"
+           f"{st.st_mtime_ns}")
+    return os.path.join(_BM25_INDEX_ROOT, tag)
+
+
+def _evict_stale_bm25(index_dir: str) -> None:
+    """Drop older fingerprints of the same source basename (regenerated
+    scale dirs would otherwise accrete full postings copies under /tmp)."""
+    import shutil
+
+    root, tag = os.path.split(index_dir)
+    if root != _BM25_INDEX_ROOT or not os.path.isdir(root):
+        return
+    base = tag.rsplit("-", 2)[0]
+    for d in os.listdir(root):
+        if d != tag and d.rsplit("-", 2)[0] == base:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
+def _bm25_stats_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "stats.parquet")
+
+
+def _write_bm25_stats(index_dir: str, N: int, T: int) -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(index_dir, exist_ok=True)
+    path = _bm25_stats_path(index_dir)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(pa.table({"n": pa.array([N], pa.int64()),
+                             "t": pa.array([T], pa.int64())}), tmp)
+    os.replace(tmp, path)
+
+
+def _read_bm25_stats(index_dir: str) -> tuple[int, int]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_bm25_stats_path(index_dir))
+    return int(t["n"][0].as_py()), int(t["t"][0].as_py())
+
+
+def bm25_index_build(sf_dir: str, index_dir: str | None = None,
+                     num_partitions: int = 8) -> dict:
+    """Build (or resume) the persisted inverted index: one distributed
+    tokenize pass emits FULL (doc_id, term, tf, dl) postings (each doc's
+    text lives in one row, so per-batch group counts are final), written
+    via the resumable sink with ``partition_by="bucket"`` — layout
+    ``data/bucket=<b>/part-NNNNN.parquet``. Returns the sink summary plus
+    ``index_dir``."""
+    from ocrautomator_ray.functions.dedup import _fnv1a_strings
+    from ocrautomator_ray.sinks.parquet_commit import resumable_write
+
+    path = f"{sf_dir}/documents.parquet"
+    index_dir = index_dir or bm25_index_dir(sf_dir)
+    _evict_stale_bm25(index_dir)
+    if os.path.exists(_bm25_stats_path(index_dir)):
+        N, T = _read_bm25_stats(index_dir)
+    else:
+        N, T = _bm25_side_stats(path)
+        _write_bm25_stats(index_dir, N, T)
+
+    def posting_rows(t: pa.Table) -> pa.Table:
+        flat, cnt = _tokenize_re2(t["text"])
+        if len(flat) == 0:
+            return _POSTING_SCHEMA.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        g = pa.TableGroupBy(pa.table({
+            "doc_id": pa.array(np.repeat(ids, cnt), pa.int64()),
+            "term": flat,
+            "dl": pa.array(np.repeat(cnt, cnt), pa.int64()),
+        }), ["doc_id", "term", "dl"]).aggregate([([], "count_all")])
+        bucket = (_fnv1a_strings(g["term"]) % BM25_BUCKETS).astype(np.int32)
+        return pa.table({"doc_id": g["doc_id"], "term": g["term"],
+                         "tf": g["count_all"].cast(pa.int64()),
+                         "dl": g["dl"],
+                         "bucket": pa.array(bucket, pa.int32())})
+
+    ds = pruned_read(path, ["doc_id", "text"])
+    summary = resumable_write(
+        ds.map_batches(posting_rows, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        index_dir, num_partitions=num_partitions, key="doc_id",
+        input_desc=path, partition_by="bucket")
+    summary["index_dir"] = index_dir
+    return summary
+
+
+def bm25_bucket_fragments(index_dir: str, buckets: list[int]) -> list[str]:
+    """Parquet fragments under exactly the requested bucket value dirs."""
+    dirs = [os.path.join(index_dir, "data", f"bucket={b}") for b in buckets]
+    return sorted(
+        os.path.join(d, f)
+        for d in dirs if os.path.isdir(d)
+        for f in os.listdir(d) if f.endswith(".parquet"))
+
+
+def bm25_index_topk(sf_dir: str, k: int = BM25_TOP_K) -> rd.Dataset:
+    """Pruned-probe BM25 query over the persisted inverted index:
+    rows-identical to ``bm25_doc0_topk`` (same tf/dl/N/T, same in-block df,
+    same IEEE parenthesization) but the read opens ONLY the term-hash
+    bucket directories the query's terms live in, and no tokenize pass
+    runs. pytest pins the row equality, the pruning (opened dirs ⊊ all
+    bucket dirs), and that a committed index rebuild is a no-op."""
+    import ray
+
+    from ocrautomator_ray.functions.dedup import _fnv1a_strings
+
+    path = f"{sf_dir}/documents.parquet"
+    bm25_index_build(sf_dir)  # no-op when committed (O(P) manifest reads)
+    index_dir = bm25_index_dir(sf_dir)
+    N, T = _read_bm25_stats(index_dir)
+    q = _bm25_query_terms(path)
+    buckets = sorted({int(b) for b in _fnv1a_strings(q) % BM25_BUCKETS})
+    frags = bm25_bucket_fragments(index_dir, buckets)
+    q_ref = ray.put(q)
+
+    def keep_query_terms(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["term"], value_set=ray.get(q_ref)))
+
+    tf = rd.read_parquet(
+        frags, columns=["doc_id", "term", "tf", "dl"]).map_batches(
+        keep_query_terms, batch_format="pyarrow", zero_copy_batch=True)
+    return _bm25_rank(tf, N, T, k, auto_partitions(path))
 
 
 # --------------------------------------------------------------------------
@@ -914,11 +1089,15 @@ QUERIES = {"tfidf_top_terms": tfidf_top_terms, "doc_chunks": doc_chunks,
            "bpe_pair_counts": bpe_pair_counts,
            "bpe_train_merges": bpe_train_merges,
            "bpe_apply_stats": bpe_apply_stats,
-           "bm25_doc0_topk": bm25_doc0_topk}
+           "bm25_doc0_topk": bm25_doc0_topk,
+           "bm25_index_topk": bm25_index_topk}
 SQL = {"tfidf_top_terms": SQL_TFIDF, "doc_chunks": SQL_DOC_CHUNKS,
        "pack_sequences": SQL_PACK_SEQUENCES,
        "corpus_freq_score": SQL_CORPUS_FREQ_SCORE,
        "bpe_pair_counts": SQL_BPE_PAIRS,
        "bpe_train_merges": SQL_BPE_TRAIN,
        "bpe_apply_stats": SQL_BPE_APPLY,
-       "bm25_doc0_topk": SQL_BM25}
+       "bm25_doc0_topk": SQL_BM25,
+       # the index changes where tf rows come from, never what they are —
+       # the persisted-index query shares the recompute path's oracle
+       "bm25_index_topk": SQL_BM25}

@@ -162,6 +162,141 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# contamination_fraction — the FRACTIONAL contamination rule (the PaLM /
+# GPT-3 appendix convention: a train doc is "contaminated" when a high
+# fraction of its n-grams appears in the eval set, not when any single gram
+# does). decontaminate answers "which docs share ≥1 gram"; this grades HOW
+# MUCH of each doc overlaps — the number real pipelines threshold and audit.
+# Distribution: the same gram-keyed exchange as decontaminate produces
+# per-doc shared partials; per-doc TOTAL distinct-gram counts are FINAL per
+# batch (each doc's text lives in one row), ride the same doc-keyed groupby
+# as a second summed column, and the fraction finalizes as one exact integer
+# division — 2 exchanges total, text never moves. All-integer: frac_u =
+# shared·1e6 // total, flag = frac_u ≥ CONTAM_THRESH_U (70%, the PaLM bar).
+# ---------------------------------------------------------------------------
+
+CONTAM_THRESH_U = 700_000  # 70% of a doc's distinct grams seen in eval
+
+
+def contamination_fraction(sf_dir: str, k: int = DECONTAM_K,
+                           eval_modulus: int = EVAL_MODULUS,
+                           num_partitions: int | None = None) -> rd.Dataset:
+    """(doc_id, n_grams, shared_grams, contam_frac_u, contaminated) for
+    every TRAIN doc with ≥1 word k-gram: what share of its distinct grams
+    also occurs in the eval subset (doc_id % m == 0)."""
+    from ray.data.aggregate import Sum
+
+    from ocrautomator_ray.functions.exchange import (auto_partitions,
+                                                     sentinel_pad)
+
+    if num_partitions is None:
+        num_partitions = auto_partitions(f"{sf_dir}/documents.parquet",
+                                         bytes_per_partition=8 << 20)
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+    tune_exchange(ds, num_partitions)
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        gh, cnt = _batch_kgrams(t["text"], k)
+        doc = np.repeat(ids, cnt)
+        is_eval = doc % eval_modulus == 0
+        return sentinel_pad(pa.table({
+            "gh": pa.array(gh, pa.uint64()),
+            "doc_id": pa.array(np.where(is_eval, -1, doc), pa.int64()),
+        }), pa.table({"gh": pa.array([0], pa.uint64()),
+                      "doc_id": pa.array([-2], pa.int64())}))
+
+    partial_schema = pa.schema([("doc_id", pa.int64()), ("n", pa.int64()),
+                                ("tot", pa.int64())])
+
+    def match_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return partial_schema.empty_table()
+        gh = block["gh"].to_numpy(zero_copy_only=False)
+        doc = block["doc_id"].to_numpy(zero_copy_only=False)
+        keep = doc != -2
+        gh, doc = gh[keep], doc[keep]
+        ev = doc < 0
+        hit = np.isin(gh[~ev], np.unique(gh[ev]))
+        d, c = np.unique(doc[~ev][hit], return_counts=True)
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64()),
+                         "tot": pa.array(np.zeros(len(d), np.int64))})
+
+    def total_rows(t: pa.Table) -> pa.Table:
+        # per-doc distinct-gram totals: FINAL per batch (doc in one row)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        _, cnt = _batch_kgrams(t["text"], k)
+        train = (ids % eval_modulus != 0) & (cnt > 0)
+        return pa.table({
+            "doc_id": pa.array(ids[train], pa.int64()),
+            "n": pa.array(np.zeros(int(train.sum()), np.int64)),
+            "tot": pa.array(cnt[train], pa.int64()),
+        })
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    shared = (
+        grams.repartition(num_partitions, keys=["gh"])
+        .map_batches(match_block, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
+    totals = ds.map_batches(total_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    summed = totals.union(shared).groupby(
+        "doc_id", num_partitions=num_partitions).aggregate(
+        Sum("n", alias_name="shared_grams"),
+        Sum("tot", alias_name="n_grams"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        shared_n = t["shared_grams"].to_numpy(zero_copy_only=False)
+        tot = t["n_grams"].to_numpy(zero_copy_only=False)
+        frac = shared_n * 1_000_000 // tot
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_grams": t["n_grams"],
+            "shared_grams": t["shared_grams"],
+            "contam_frac_u": pa.array(frac, pa.int64()),
+            "contaminated": pa.array(
+                (frac >= CONTAM_THRESH_U).astype(np.int64), pa.int64()),
+        })
+
+    return summed.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+SQL_CONTAMINATION_FRACTION = f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i.i : i.i + {DECONTAM_K - 1}], ' ') AS g
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - {DECONTAM_K - 1})) AS i) i
+),
+eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MODULUS} = 0
+),
+tr AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COUNT(*) FILTER (WHERE g IN (SELECT g FROM eval_grams))
+              AS BIGINT) AS shared_grams
+  FROM grams WHERE doc_id % {EVAL_MODULUS} <> 0 GROUP BY doc_id
+)
+SELECT doc_id, n_grams, shared_grams,
+       shared_grams * 1000000 // n_grams AS contam_frac_u,
+       CAST(CASE WHEN shared_grams * 1000000 // n_grams
+                      >= {CONTAM_THRESH_U} THEN 1 ELSE 0 END
+            AS BIGINT) AS contaminated
+FROM tr
+"""
+
+
+# ---------------------------------------------------------------------------
 # hash_split — deterministic train/val/test assignment
 # ---------------------------------------------------------------------------
 
@@ -341,6 +476,95 @@ SQL_STRATIFIED_SAMPLE = f"""
 SELECT doc_id, source
 FROM documents
 WHERE {sql_bucket('doc_id')} < 50 + 90 * (ascii(substr(source, 4, 1)) % 7)
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_best_docs — exact dedup keeping the BEST copy, not the first: when
+# identical text arrives from several sources (mirrors, re-crawls), real
+# pipelines keep the copy from the most trusted source rather than the
+# smallest id. Identical texts have identical text-derived quality, so the
+# arbitration signal must be metadata — here the per-source priority is the
+# same closed-form permille used by stratified_sample (engine and SQL agree
+# without a shared config table). Keep rule per text group: max source
+# priority, then min doc_id; n_copies audits the group size. Distribution:
+# per-batch lossless prune (best row + count per batch-local text group) →
+# ONE text-keyed exchange (the same GROUP BY text shuffle as
+# dedup_first_docs — text moves once, pre-pruned) → in-block argmax.
+# ---------------------------------------------------------------------------
+
+_BEST_SCHEMA = pa.schema([("text", pa.string()), ("doc_id", pa.int64()),
+                          ("source", pa.string()), ("pr", pa.int64()),
+                          ("c", pa.int64())])
+_BEST_OUT_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                              ("source", pa.string()),
+                              ("n_copies", pa.int64())])
+
+
+def _best_rows(text: np.ndarray, ids: np.ndarray, srcs: np.ndarray,
+               pr: np.ndarray, c: np.ndarray) -> pa.Table:
+    """Group by text; keep (max pr, then min doc_id) per group; sum c."""
+    order = np.lexsort((ids, -pr, text))
+    text_s = text[order]
+    starts = np.flatnonzero(np.r_[True, text_s[1:] != text_s[:-1]])
+    best = order[starts]
+    csum = np.add.reduceat(c[order], starts)
+    return pa.table({
+        "text": pa.array(text[best], pa.string()),
+        "doc_id": pa.array(ids[best], pa.int64()),
+        "source": pa.array(srcs[best], pa.string()),
+        "pr": pa.array(pr[best], pa.int64()),
+        "c": pa.array(csum.astype(np.int64), pa.int64()),
+    })
+
+
+def dedup_best_docs(sf_dir: str) -> rd.Dataset:
+    """(doc_id, source, n_copies): one row per distinct text — the kept
+    copy (highest source priority, tie → min doc_id) and how many exact
+    copies existed corpus-wide."""
+    from ocrautomator_ray.functions.exchange import (auto_partitions,
+                                                     per_key_blocks)
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = pruned_read(path, ["doc_id", "text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _BEST_SCHEMA.empty_table()
+        srcs = t["source"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(srcs, return_inverse=True)
+        pr = np.array([_stratum_permille(u) for u in uniq], np.int64)[inv]
+        return _best_rows(t["text"].to_numpy(zero_copy_only=False),
+                          t["doc_id"].to_numpy(zero_copy_only=False),
+                          srcs, pr, np.ones(t.num_rows, np.int64))
+
+    def best_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _BEST_OUT_SCHEMA.empty_table()
+        t = _best_rows(block["text"].to_numpy(zero_copy_only=False),
+                       block["doc_id"].to_numpy(zero_copy_only=False),
+                       block["source"].to_numpy(zero_copy_only=False),
+                       block["pr"].to_numpy(zero_copy_only=False),
+                       block["c"].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "n_copies": t["c"]})
+
+    pruned = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return per_key_blocks(pruned, ["text"], best_block,
+                          num_partitions=auto_partitions(path))
+
+
+SQL_DEDUP_BEST = """
+SELECT doc_id, source, n_copies FROM (
+  SELECT doc_id, source,
+         CAST(COUNT(*) OVER (PARTITION BY text) AS BIGINT) AS n_copies,
+         row_number() OVER (
+           PARTITION BY text
+           ORDER BY 50 + 90 * (ascii(substr(source, 4, 1)) % 7) DESC,
+                    doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
 """
 
 
@@ -794,6 +1018,8 @@ SQL_LEAKAGE_SAFE_SPLIT = _leakage_safe_split_sql()
 
 QUERIES = {
     "decontaminate": decontaminate,
+    "contamination_fraction": contamination_fraction,
+    "dedup_best_docs": dedup_best_docs,
     "decontaminated_docs": decontaminated_docs,
     "incremental_dedup": incremental_dedup,
     "hash_split": hash_split,
@@ -806,6 +1032,8 @@ QUERIES = {
 
 SQL = {
     "decontaminate": SQL_DECONTAMINATE,
+    "contamination_fraction": SQL_CONTAMINATION_FRACTION,
+    "dedup_best_docs": SQL_DEDUP_BEST,
     "decontaminated_docs": SQL_DECONTAMINATED_DOCS,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,

@@ -159,3 +159,91 @@ def test_corpus_freq_score_brute_force(docs):
         s = sum(c[w] for w in ws)
         assert df.loc[d, "n_tokens"] == len(ws)
         assert df.loc[d, "freq_score_u"] == s * 10**9 // (len(ws) * T)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_contamination_fraction_set_logic(docs):
+    """Pure-Python oracle: per-train-doc distinct-gram totals, eval-shared
+    counts, exact integer fraction, and the 70% PaLM flag."""
+    got = C.contamination_fraction(SF).to_pandas().set_index("doc_id")
+    eval_grams = set()
+    for d, t in docs.items():
+        if d % C.EVAL_MODULUS == 0:
+            eval_grams |= _grams(t, C.DECONTAM_K)
+    seen = 0
+    for d, t in docs.items():
+        g = _grams(t, C.DECONTAM_K)
+        if d % C.EVAL_MODULUS == 0 or not g:
+            assert d not in got.index
+            continue
+        seen += 1
+        shared = len(g & eval_grams)
+        frac = shared * 1_000_000 // len(g)
+        assert got.loc[d, "n_grams"] == len(g)
+        assert got.loc[d, "shared_grams"] == shared
+        assert got.loc[d, "contam_frac_u"] == frac
+        assert got.loc[d, "contaminated"] == int(frac >= C.CONTAM_THRESH_U)
+    assert seen == len(got)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_best_docs_arbitration(tmp_path):
+    """Crafted cross-source duplicate groups: the kept copy must be the
+    max-priority source (tie -> min doc_id), with the exact copy count —
+    the driver corpus has no exact dups, so arbitration is pinned here."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    # priorities: _stratum_permille('srcX') = 50 + 90*(ord(X) % 7)
+    # src1 -> 50+90*(49%7)=50, src3 -> 50+90*(51%7)=230, src5 -> 410
+    rows = [
+        (10, "dup text one", "src1"),   # group A: src3 wins (higher pr)
+        (11, "dup text one", "src3"),
+        (12, "dup text one", "src1"),
+        (20, "dup text two", "src5"),   # group B: tie on src5 -> min id 20
+        (21, "dup text two", "src5"),
+        (30, "unique text", "src1"),    # singleton passes through
+    ]
+    sfdir = tmp_path / "sf"
+    os.makedirs(sfdir)
+    pq_.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    }), f"{sfdir}/documents.parquet")
+    got = (C.dedup_best_docs(str(sfdir)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [11, 20, 30]
+    assert got["source"].tolist() == ["src3", "src5", "src1"]
+    assert got["n_copies"].tolist() == [3, 2, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bm25_index_matches_recompute_and_prunes():
+    """The persisted inverted index must answer byte-identically to the
+    recompute path, open ONLY the query terms' bucket dirs (proper subset
+    of the written buckets), and no-op on a committed rebuild."""
+    import os
+    import shutil
+
+    from ocrautomator_ray.functions import corpus as CO
+    from ocrautomator_ray.functions.dedup import _fnv1a_strings
+
+    idx = CO.bm25_index_dir(SF)
+    shutil.rmtree(idx, ignore_errors=True)
+    base = CO.bm25_doc0_topk(SF).to_pandas().reset_index(drop=True)
+    via_index = CO.bm25_index_topk(SF).to_pandas().reset_index(drop=True)
+    assert base.sort_values("rank").reset_index(drop=True).equals(
+        via_index.sort_values("rank").reset_index(drop=True))
+
+    q = CO._bm25_query_terms(f"{SF}/documents.parquet")
+    buckets = sorted({int(b) for b in _fnv1a_strings(q) % CO.BM25_BUCKETS})
+    opened = set(CO.bm25_bucket_fragments(idx, buckets))
+    every = set(CO.bm25_bucket_fragments(idx, list(range(CO.BM25_BUCKETS))))
+    assert opened and opened < every, (len(opened), len(every))
+
+    s = CO.bm25_index_build(SF)
+    assert s["partitions_this_run"] == 0
+    shutil.rmtree(idx, ignore_errors=True)

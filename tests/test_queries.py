@@ -82,7 +82,9 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "label_dispersion", "source_report", "event_transitions",
                "embedding_covariance", "knn_pagerank", "mutual_knn_pairs",
                "knn_components", "data_value_rank", "cluster_sample",
-               "length_histogram", "value_rank_pipeline"]
+               "length_histogram", "value_rank_pipeline",
+               "contamination_fraction", "dedup_best_docs",
+               "bm25_index_topk"]
 
 
 @pytest.mark.usefixtures("ray_session")
