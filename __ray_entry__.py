@@ -110,6 +110,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     for _k in ("tfidf_top_terms", "bpe_pair_counts", "bm25_doc0_topk",
                "corpus_freq_score"):
         q[_k] = _corpus.QUERIES[_k]
+    # -- VERDICT r3 task 1 names: the window family + the relational ops
+    #    rewritten since their last driver hash (hourly_user_activity above
+    #    all), pinned INSIDE the 50-entry sample window; plus the round-4
+    #    relational additions that have never had a driver row. The
+    #    unchanged r1/r2-attested relational entries (filter_project,
+    #    dedup_first_docs, revenue_by_nation, ...) yield their window slots
+    #    — their standing attestation is r1/r2 + the sweep (COVERAGE.md). --
+    _rel: dict[str, Callable[[str], Any]] = {}
+    for _m in (_relational, _relational2, _relational3, _relational4,
+               _filters):
+        _rel.update(_m.QUERIES)
+    for _k in ("q1_pricing_summary", "customers_without_orders",
+               "hourly_user_activity", "sessionize_events",
+               "sliding_window_activity", "cumulative_user_value",
+               "rolling_value_sum", "event_gaps", "user_event_sequences",
+               "latest_event_state", "user_behavior_vectors",
+               "daily_active_users", "value_mad_by_type"):
+        q[_k] = _rel[_k]
     # -- relational/window families: last full driver hash in r1/r2 --
     q.update(_relational.QUERIES)
     q.update(_relational2.QUERIES)
