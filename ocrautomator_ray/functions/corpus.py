@@ -650,7 +650,10 @@ def bm25_doc0_topk(sf_dir: str, k: int = BM25_TOP_K) -> rd.Dataset:
 
     docs = pruned_read(path, ["doc_id", "text"])
     tf = docs.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
-    return _bm25_rank(tf, N, T, k, auto_partitions(path))
+    # tf rows expand ~8x the compressed text bytes (term strings per doc) —
+    # size the exchanges like the other gram-expanding ops
+    return _bm25_rank(tf, N, T, k,
+                      auto_partitions(path, bytes_per_partition=8 << 20))
 
 
 SQL_BM25 = rf"""
@@ -840,7 +843,10 @@ def bm25_index_topk(sf_dir: str, k: int = BM25_TOP_K) -> rd.Dataset:
     tf = rd.read_parquet(
         frags, columns=["doc_id", "term", "tf", "dl"]).map_batches(
         keep_query_terms, batch_format="pyarrow", zero_copy_batch=True)
-    return _bm25_rank(tf, N, T, k, auto_partitions(path))
+    # size the exchange on the POSTINGS actually read, not the raw corpus;
+    # they decompress/expand heavily (term strings), so 8 MB per partition
+    return _bm25_rank(tf, N, T, k,
+                      auto_partitions(*frags, bytes_per_partition=8 << 20))
 
 
 # --------------------------------------------------------------------------
