@@ -715,6 +715,29 @@ _POSTING_SCHEMA = pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
                              ("bucket", pa.int32())])
 
 
+def _posting_rows(t: pa.Table) -> pa.Table:
+    """Per-batch FULL (doc_id, term, tf, dl, bucket) postings: each doc's
+    text lives in one row, so the per-batch group count is final; bucket is
+    the term's FNV hash mod BM25_BUCKETS (shared by build and append so an
+    epoch's postings land in the same value dirs as the base's)."""
+    from ocrautomator_ray.functions.dedup import _fnv1a_strings
+
+    flat, cnt = _tokenize_re2(t["text"])
+    if len(flat) == 0:
+        return _POSTING_SCHEMA.empty_table()
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    g = pa.TableGroupBy(pa.table({
+        "doc_id": pa.array(np.repeat(ids, cnt), pa.int64()),
+        "term": flat,
+        "dl": pa.array(np.repeat(cnt, cnt), pa.int64()),
+    }), ["doc_id", "term", "dl"]).aggregate([([], "count_all")])
+    bucket = (_fnv1a_strings(g["term"]) % BM25_BUCKETS).astype(np.int32)
+    return pa.table({"doc_id": g["doc_id"], "term": g["term"],
+                     "tf": g["count_all"].cast(pa.int64()),
+                     "dl": g["dl"],
+                     "bucket": pa.array(bucket, pa.int32())})
+
+
 def bm25_index_dir(sf_dir: str) -> str:
     """Deterministic per-input index location under /tmp, fingerprinted by
     (dir basename, size, mtime_ns) so a changed input never reuses a stale
@@ -756,10 +779,21 @@ def _write_bm25_stats(index_dir: str, N: int, T: int) -> None:
 
 
 def _read_bm25_stats(index_dir: str) -> tuple[int, int]:
+    """Base stats plus every appended epoch's additive delta — the stats a
+    fresh rebuild over base ∪ epochs would compute."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(_bm25_stats_path(index_dir))
-    return int(t["n"][0].as_py()), int(t["t"][0].as_py())
+    N, T = int(t["n"][0].as_py()), int(t["t"][0].as_py())
+    epochs = os.path.join(index_dir, "epochs")
+    if os.path.isdir(epochs):
+        for e in sorted(os.listdir(epochs)):
+            p = _bm25_stats_path(os.path.join(epochs, e))
+            if os.path.exists(p):
+                et = pq.read_table(p)
+                N += int(et["n"][0].as_py())
+                T += int(et["t"][0].as_py())
+    return N, T
 
 
 def bm25_index_build(sf_dir: str, index_dir: str | None = None,
@@ -782,25 +816,9 @@ def bm25_index_build(sf_dir: str, index_dir: str | None = None,
         N, T = _bm25_side_stats(path)
         _write_bm25_stats(index_dir, N, T)
 
-    def posting_rows(t: pa.Table) -> pa.Table:
-        flat, cnt = _tokenize_re2(t["text"])
-        if len(flat) == 0:
-            return _POSTING_SCHEMA.empty_table()
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        g = pa.TableGroupBy(pa.table({
-            "doc_id": pa.array(np.repeat(ids, cnt), pa.int64()),
-            "term": flat,
-            "dl": pa.array(np.repeat(cnt, cnt), pa.int64()),
-        }), ["doc_id", "term", "dl"]).aggregate([([], "count_all")])
-        bucket = (_fnv1a_strings(g["term"]) % BM25_BUCKETS).astype(np.int32)
-        return pa.table({"doc_id": g["doc_id"], "term": g["term"],
-                         "tf": g["count_all"].cast(pa.int64()),
-                         "dl": g["dl"],
-                         "bucket": pa.array(bucket, pa.int32())})
-
     ds = pruned_read(path, ["doc_id", "text"])
     summary = resumable_write(
-        ds.map_batches(posting_rows, batch_format="pyarrow",
+        ds.map_batches(_posting_rows, batch_format="pyarrow",
                        zero_copy_batch=True),
         index_dir, num_partitions=num_partitions, key="doc_id",
         input_desc=path, partition_by="bucket")
@@ -809,12 +827,51 @@ def bm25_index_build(sf_dir: str, index_dir: str | None = None,
 
 
 def bm25_bucket_fragments(index_dir: str, buckets: list[int]) -> list[str]:
-    """Parquet fragments under exactly the requested bucket value dirs."""
-    dirs = [os.path.join(index_dir, "data", f"bucket={b}") for b in buckets]
+    """Parquet fragments under exactly the requested bucket value dirs —
+    of the base index AND every appended epoch sub-sink, so queries see
+    appended documents with no code change."""
+    roots = [os.path.join(index_dir, "data")]
+    epochs = os.path.join(index_dir, "epochs")
+    if os.path.isdir(epochs):
+        roots += [os.path.join(epochs, e, "data")
+                  for e in sorted(os.listdir(epochs))]
+    dirs = [os.path.join(r, f"bucket={b}") for r in roots for b in buckets]
     return sorted(
         os.path.join(d, f)
         for d in dirs if os.path.isdir(d)
         for f in os.listdir(d) if f.endswith(".parquet"))
+
+
+def bm25_index_append(new_path: str, index_dir: str,
+                      num_partitions: int = 4) -> dict:
+    """Fold a NEW documents fragment into a committed inverted index
+    without rebuilding — the watch-mode path, mirroring ivf_index_append:
+    tokenize ONLY the fragment and commit its postings as an epoch sub-sink
+    (``epochs/<basename>-<size>-<mtime_ns>/`` with its own manifests and
+    the same hive ``bucket=<b>`` layout), plus the epoch's additive (n, t)
+    stats delta. Unlike IVF appends (which freeze centroids), BM25 appends
+    are EXACT: postings are per-doc-local and N/T are sums, so queries over
+    base ∪ epochs equal a fresh full rebuild bit-for-bit (pytest-pinned).
+    Append cost is O(fragment); idempotent by fragment fingerprint; a
+    killed append resumes with O(P) manifest reads like any sink."""
+    from ocrautomator_ray.functions.dedup import _fnv1a_strings
+    from ocrautomator_ray.sinks.parquet_commit import resumable_write
+
+    st = os.stat(new_path)
+    tag = f"{os.path.basename(new_path)}-{st.st_size}-{st.st_mtime_ns}"
+    epoch_dir = os.path.join(index_dir, "epochs", tag)
+    if not os.path.exists(_bm25_stats_path(epoch_dir)):
+        n, t = _bm25_side_stats(new_path)
+        _write_bm25_stats(epoch_dir, n, t)
+
+    ds = pruned_read(new_path, ["doc_id", "text"])
+    summary = resumable_write(
+        ds.map_batches(_posting_rows, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        epoch_dir, num_partitions=num_partitions, key="doc_id",
+        input_desc=new_path, partition_by="bucket")
+    summary["epoch_dir"] = epoch_dir
+    return summary
 
 
 def bm25_index_topk(sf_dir: str, k: int = BM25_TOP_K) -> rd.Dataset:

@@ -247,3 +247,52 @@ def test_bm25_index_matches_recompute_and_prunes():
     s = CO.bm25_index_build(SF)
     assert s["partitions_this_run"] == 0
     shutil.rmtree(idx, ignore_errors=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bm25_index_append_equals_full_rebuild(tmp_path):
+    """BM25 appends are EXACT (unlike IVF's frozen-centroid tradeoff):
+    postings are doc-local and N/T are sums, so a query over base ∪ epochs
+    must equal the recompute answer over the full corpus bit-for-bit; the
+    append must also be idempotent and leave the base sink untouched."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from ocrautomator_ray.functions import corpus as CO
+
+    t = pq_.read_table(f"{SF}/documents.parquet",
+                       columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    first = ids < int(np.median(ids))          # doc0 stays in the base half
+    half = tmp_path / "half"
+    full = tmp_path / "full"
+    os.makedirs(half), os.makedirs(full)
+    pq_.write_table(t.filter(pa.array(first)), f"{half}/documents.parquet")
+    pq_.write_table(t, f"{full}/documents.parquet")
+    appendix = tmp_path / "appendix.parquet"
+    pq_.write_table(t.filter(pa.array(~first)), str(appendix))
+
+    idx = CO.bm25_index_dir(str(half))
+    shutil.rmtree(idx, ignore_errors=True)
+    CO.bm25_index_build(str(half))
+    base_stats = CO._read_bm25_stats(idx)
+
+    s1 = CO.bm25_index_append(str(appendix), idx)
+    assert s1["partitions_this_run"] > 0
+    # stats now cover base + epoch = the full corpus
+    assert CO._read_bm25_stats(idx) == CO._bm25_side_stats(
+        f"{full}/documents.parquet")
+    assert CO._read_bm25_stats(idx) != base_stats
+
+    got = (CO.bm25_index_topk(str(half)).to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+    want = (CO.bm25_doc0_topk(str(full)).to_pandas()
+            .sort_values("rank").reset_index(drop=True))
+    assert got.equals(want)
+
+    s2 = CO.bm25_index_append(str(appendix), idx)
+    assert s2["partitions_this_run"] == 0
+    shutil.rmtree(idx, ignore_errors=True)
