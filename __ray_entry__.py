@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["contamination_fraction"] = _curate.QUERIES["contamination_fraction"]
     q["dedup_best_docs"] = _curate.QUERIES["dedup_best_docs"]  # new
     q["bm25_index_topk"] = _corpus.QUERIES["bm25_index_topk"]  # new
+    q["char_diversity"] = _text.QUERIES["char_diversity"]  # new
     q.update(_snapshot.QUERIES)  # new this round (cross-snapshot near-dup,
     #                              per-source drift)
     q["hashed_doc_vectors"] = _mix.QUERIES["hashed_doc_vectors"]  # new
@@ -121,10 +122,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     for _m in (_relational, _relational2, _relational3, _relational4,
                _filters):
         _rel.update(_m.QUERIES)
+    # (event_gaps — r2-attested, unchanged — yields its slot to the new
+    #  char_diversity so the prefix stays exactly 50)
     for _k in ("q1_pricing_summary", "customers_without_orders",
                "hourly_user_activity", "sessionize_events",
                "sliding_window_activity", "cumulative_user_value",
-               "rolling_value_sum", "event_gaps", "user_event_sequences",
+               "rolling_value_sum", "user_event_sequences",
                "latest_event_state", "user_behavior_vectors",
                "daily_active_users", "value_mad_by_type"):
         q[_k] = _rel[_k]

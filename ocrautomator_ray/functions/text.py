@@ -82,6 +82,98 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# char_diversity — character-level Gini-Simpson collision index, the
+# gibberish / keyboard-mash / repeated-char screen: simpson = Σ c_i² / n²
+# is the probability two random character draws collide (1/alphabet-size
+# for uniform text, →1 for "aaaa…"). Chosen over Shannon entropy because it
+# needs NO libm log — all-integer, hash-exact vs SQL (the same trade
+# documented on bigram_lm_score / corpus_freq_score). Embarrassingly
+# parallel (no exchange); per-batch decode is the chargram trick from
+# dedup.py — ONE utf-8 decode + ONE utf-32 encode for the whole batch, a
+# (doc, code) lexsort, run lengths via reduceat-style first-in-run masks.
+# Exactness bound: n²·1e6 < 2^63 holds to ~3.0e6 chars per document; a
+# longer doc would drop the scale to 1e3, same pipeline.
+# --------------------------------------------------------------------------
+
+SIMPSON_SCALE = 1_000_000
+
+
+def char_diversity(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_chars, distinct_chars, simpson_u): per-doc character
+    collision index, integerized at 1e-6 — simpson_u = Σc²·1e6 // n²."""
+    import numpy as np
+
+    ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_chars", pa.int64()),
+        ("distinct_chars", pa.int64()), ("simpson_u", pa.int64()),
+    ])
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = t["text"].combine_chunks() \
+            if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        texts = pc.fill_null(texts, "")
+        n = len(texts)
+        if n == 0:
+            return out_schema.empty_table()
+        off_dt = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+        bufs = texts.buffers()
+        offs = np.frombuffer(bufs[1], off_dt)[
+            texts.offset: texts.offset + n + 1].astype(np.int64)
+        raw = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None \
+            else np.empty(0, np.uint8)
+        full = raw[offs[0]: offs[-1]].tobytes().decode("utf-8")
+        codes = np.frombuffer(full.encode("utf-32-le"), np.uint32)
+        lens = pc.utf8_length(texts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(np.arange(n), lens)
+        order = np.lexsort((codes, doc))
+        d_s, c_s = doc[order], codes[order]
+        first = np.zeros(len(order), bool)
+        if len(order):
+            first[0] = True
+            first[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+        starts = np.flatnonzero(first)
+        run_len = np.diff(np.r_[starts, len(order)])
+        # Σc² per doc: run_len ≤ 3e6 → run_len² < 2^53 exact as the float64
+        # bincount weights, and the per-doc sum ≤ n² ≤ 9e12 stays exact too
+        s2 = np.bincount(d_s[starts], weights=(run_len.astype(np.float64)
+                                               ** 2), minlength=n)
+        s2 = s2.astype(np.int64)
+        distinct = np.bincount(d_s[starts], minlength=n).astype(np.int64)
+        keep = lens > 0
+        simpson = s2[keep] * SIMPSON_SCALE // (lens[keep] * lens[keep])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_chars": pa.array(lens[keep], pa.int64()),
+            "distinct_chars": pa.array(distinct[keep], pa.int64()),
+            "simpson_u": pa.array(simpson, pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CHAR_DIVERSITY = f"""
+WITH cs AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE length(text) > 0
+),
+cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM cs GROUP BY doc_id, ch),
+agg AS (
+  SELECT doc_id, SUM(c * c) AS s2, SUM(c) AS n, COUNT(*) AS d
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_chars,
+       CAST(d AS BIGINT) AS distinct_chars,
+       CAST(s2 * {SIMPSON_SCALE} // (n * n) AS BIGINT) AS simpson_u
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # lang_id — stopword-profile n-gram heuristic (stateful actor: profiles
 # compiled once per actor). Rows-only driver check; accuracy pinned in pytest
 # on hand-written sentences (the driver corpus's lang labels are synthetic).
@@ -576,6 +668,7 @@ QUERIES = {
     "length_histogram": length_histogram,
     "fingerprint_dups": fingerprint_dups,
     "quality_score": quality_score,
+    "char_diversity": char_diversity,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
     "normalize_text": normalize_text,
@@ -587,6 +680,7 @@ SQL = {
     "length_histogram": SQL_LENGTH_HISTOGRAM,
     "fingerprint_dups": SQL_FINGERPRINT_DUPS,
     "quality_score": SQL_QUALITY_SCORE,
+    "char_diversity": SQL_CHAR_DIVERSITY,
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "normalize_text": SQL_NORMALIZE_TEXT,

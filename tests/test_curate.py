@@ -296,3 +296,35 @@ def test_bm25_index_append_equals_full_rebuild(tmp_path):
     s2 = CO.bm25_index_append(str(appendix), idx)
     assert s2["partitions_this_run"] == 0
     shutil.rmtree(idx, ignore_errors=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_char_diversity_crafted(tmp_path):
+    """Hand-computable docs incl. a non-ASCII codepoint: simpson_u must be
+    the exact integer collision index and empty docs must be excluded."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from ocrautomator_ray.functions.text import SIMPSON_SCALE, char_diversity
+
+    rows = [(0, "aaaa"),       # 1 run of 4: 16*1e6 // 16 = 1e6
+            (1, "abab"),       # 2+2: (4+4)*1e6 // 16 = 500000
+            (2, "abcd"),       # 4 singletons: 4*1e6 // 16 = 250000
+            (3, "naïve"),      # 5 distinct codepoints: 5*1e6 // 25
+            (4, "")]           # excluded
+    sfdir = tmp_path / "sf"
+    os.makedirs(sfdir)
+    pq_.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }), f"{sfdir}/documents.parquet")
+    got = (char_diversity(str(sfdir)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [0, 1, 2, 3]
+    assert got["n_chars"].tolist() == [4, 4, 4, 5]
+    assert got["distinct_chars"].tolist() == [1, 2, 4, 5]
+    assert got["simpson_u"].tolist() == [
+        SIMPSON_SCALE, SIMPSON_SCALE // 2, SIMPSON_SCALE // 4,
+        5 * SIMPSON_SCALE // 25]

@@ -84,7 +84,7 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "knn_components", "data_value_rank", "cluster_sample",
                "length_histogram", "value_rank_pipeline",
                "contamination_fraction", "dedup_best_docs",
-               "bm25_index_topk"]
+               "bm25_index_topk", "char_diversity"]
 
 
 @pytest.mark.usefixtures("ray_session")
