@@ -242,6 +242,12 @@ def run_benchmarks() -> dict:
     snap.neardup_index_build(SF_DIR)
     timed("incremental_neardup_indexed", snap.incremental_neardup_indexed,
           consume="count")
+    timed("contamination_fraction", curate.contamination_fraction,
+          consume="count")
+    timed("dedup_best_docs", curate.dedup_best_docs, consume="count")
+    timed("char_diversity", text.char_diversity, consume="count")
+    corpus.bm25_index_build(SF_DIR)  # same warm-path convention as above
+    timed("bm25_index_topk", corpus.bm25_index_topk, consume="count")
     timed("corpus_drift", snap.corpus_drift, consume="count")
     timed("snapshot_changelog", snap.snapshot_changelog, consume="count")
 
