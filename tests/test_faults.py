@@ -263,3 +263,77 @@ def test_driver_sigkill_mid_propagation_resumes_from_checkpoint(tmp_path):
     got = got[cols].sort_values(cols).reset_index(drop=True)
     exp = exp[cols].sort_values(cols).reset_index(drop=True)
     assert got.equals(exp.astype(got.dtypes.to_dict()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bm25_index_build_sigkill_then_resume_is_exact(tmp_path):
+    """SIGKILL the driver mid-bm25_index_build once at least one partition
+    has committed; the resumed build must recompute only the missing
+    partitions and the finished index must answer byte-identically to the
+    recompute path."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from ocrautomator_ray.state.manifest import completed_parts
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "bm25idx")
+    P = 16
+    code = (
+        "from ocrautomator_ray.functions.corpus import bm25_index_build; "
+        f"bm25_index_build({sf!r}, index_dir={idx!r}, num_partitions={P})"
+    )
+    cmd = [sys.executable, "-c", code]
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)  # subprocess owns its own local session
+    proc = subprocess.Popen(cmd, cwd="/root/repo", env=env,
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if completed_parts(idx, P) or proc.poll() is not None:
+                break
+            time.sleep(0.01)
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGKILL)
+            proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    done_after_kill = completed_parts(idx, P)
+    if len(done_after_kill) == P:
+        pytest.skip("build finished before the kill landed")
+    assert proc.returncode != 0 or done_after_kill
+
+    from ocrautomator_ray.functions import corpus as CO
+
+    s = CO.bm25_index_build(sf, index_dir=idx, num_partitions=P)
+    assert s["partitions_this_run"] == P - len(done_after_kill)
+    assert completed_parts(idx, P) == set(range(P))
+
+    # the resumed index answers byte-identically to the recompute path
+    import ray.data as rd
+
+    q = CO._bm25_query_terms(f"{sf}/documents.parquet")
+    from ocrautomator_ray.functions.dedup import _fnv1a_strings
+
+    buckets = sorted({int(b) for b in _fnv1a_strings(q) % CO.BM25_BUCKETS})
+    frags = CO.bm25_bucket_fragments(idx, buckets)
+    N, T = CO._read_bm25_stats(idx)
+    import pyarrow.compute as pc_
+    import ray as ray_
+
+    q_ref = ray_.put(q)
+    tf = rd.read_parquet(frags, columns=["doc_id", "term", "tf", "dl"]) \
+        .map_batches(lambda t: t.filter(
+            pc_.is_in(t["term"], value_set=ray_.get(q_ref))),
+            batch_format="pyarrow", zero_copy_batch=True)
+    got = (CO._bm25_rank(tf, N, T, CO.BM25_TOP_K, 4).to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+    want = (CO.bm25_doc0_topk(sf).to_pandas()
+            .sort_values("rank").reset_index(drop=True))
+    assert got.equals(want)
