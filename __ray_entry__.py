@@ -160,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(_graph.QUERIES)
     q["value_rank_pipeline"] = run_value_rank_flagship
     q["embedding_curation_pipeline"] = run_embedding_curation_flagship
+    # post-window late addition (sweep-verified at sf0.001/0.01/10x;
+    # first driver attestation lands in the round-5 front window)
+    q["minhash_cluster_sizes"] = _dedup.QUERIES["minhash_cluster_sizes"]
     return q
 
 

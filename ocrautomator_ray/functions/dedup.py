@@ -1745,3 +1745,72 @@ SQL_DEDUP_RATE = _dedup_rate_sql()
 
 QUERIES["dedup_rate_by_source"] = dedup_rate_by_source
 SQL["dedup_rate_by_source"] = SQL_DEDUP_RATE
+
+
+# --------------------------------------------------------------------------
+# minhash_cluster_sizes — the dup-cluster size histogram, the audit table
+# every dedup paper reports (how much of the corpus sits in pairs vs in
+# large boilerplate blobs) and the number that drives the keep-one removal
+# estimate: docs removed = Σ (size-1)·n_clusters. Distribution: the
+# verified cluster table (doc_id, cluster_id) flows through ONE
+# cluster-keyed exchange whose blocks reduce their co-located clusters to
+# per-size bincount partials, then a tiny size-keyed groupby sums them —
+# nothing larger than the cluster table ever moves, and the result is
+# O(max cluster size) rows.
+# --------------------------------------------------------------------------
+
+_CSIZE_SCHEMA = pa.schema([("cluster_size", pa.int64()),
+                           ("n_clusters", pa.int64())])
+
+
+def minhash_cluster_sizes(sf_dir: str,
+                          threshold: float = MINHASH_THRESHOLD) -> rd.Dataset:
+    """(cluster_size, n_clusters): histogram of verified near-dup connected
+    component sizes over the whole corpus."""
+    from ray.data.aggregate import Sum
+
+    from ocrautomator_ray.functions.exchange import per_key_blocks
+
+    clusters = minhash_dup_clusters(sf_dir, threshold)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        # per-batch (cluster_id, n) — PARTIAL: a cluster's rows may span
+        # batches, the exchange block below finishes the count
+        g = pa.TableGroupBy(t.select(["cluster_id"]),
+                            "cluster_id").aggregate([([], "count_all")])
+        return pa.table({"cluster_id": g["cluster_id"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    def size_hist_block(block: pa.Table) -> pa.Table:
+        # exchange invariant: every partial of a cluster is in this block,
+        # so its size is exact here; reduce straight to a size histogram
+        if block.num_rows == 0:
+            return _CSIZE_SCHEMA.empty_table()
+        cid = block["cluster_id"].to_numpy(zero_copy_only=False)
+        n = block["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cid, kind="mergesort")
+        cid_s, n_s = cid[order], n[order]
+        starts = np.flatnonzero(np.r_[True, cid_s[1:] != cid_s[:-1]])
+        sizes = np.add.reduceat(n_s, starts)
+        u, c = np.unique(sizes, return_counts=True)
+        return pa.table({"cluster_size": pa.array(u, pa.int64()),
+                         "n_clusters": pa.array(c.astype(np.int64),
+                                                pa.int64())})
+
+    partials = clusters.map_batches(count_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    per_size = per_key_blocks(partials, ["cluster_id"], size_hist_block,
+                              num_partitions=8)
+    return per_size.groupby("cluster_size", num_partitions=4).aggregate(
+        Sum("n_clusters", alias_name="n_clusters"))
+
+
+SQL_CLUSTER_SIZES = f"""
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM ({SQL_MINHASH_DUP_CLUSTERS}) c GROUP BY cluster_id
+) GROUP BY cluster_size
+"""
+
+QUERIES["minhash_cluster_sizes"] = minhash_cluster_sizes
+SQL["minhash_cluster_sizes"] = SQL_CLUSTER_SIZES

@@ -84,7 +84,8 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "knn_components", "data_value_rank", "cluster_sample",
                "length_histogram", "value_rank_pipeline",
                "contamination_fraction", "dedup_best_docs",
-               "bm25_index_topk", "char_diversity"]
+               "bm25_index_topk", "char_diversity",
+               "minhash_cluster_sizes"]
 
 
 @pytest.mark.usefixtures("ray_session")

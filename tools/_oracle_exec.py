@@ -42,9 +42,18 @@ def main() -> int:
     if not cap:
         with open("/proc/meminfo") as f:
             kb = {l.split(":")[0]: int(l.split()[1]) for l in f
-                  if l.startswith(("MemAvailable", "MemTotal"))}
+                  if l.startswith(("MemAvailable", "MemTotal",
+                                   "CommitLimit"))}
         avail_gb = kb.get("MemAvailable", kb["MemTotal"]) // (1 << 20)
-        cap = f"{max(8, int(avail_gb * 0.7))}GB"
+        cap_gb = int(avail_gb * 0.7)
+        # This box enforces CommitLimit (63 GB) well below MemTotal
+        # (125 GB): a cap above it dies with 'bad allocation' /
+        # 'failed to map segment' instead of spilling — deterministic
+        # overcommit, not flakiness. Leave ~8 GB of commit headroom for
+        # the harness's Ray session and this interpreter.
+        if "CommitLimit" in kb:
+            cap_gb = min(cap_gb, max(8, kb["CommitLimit"] // (1 << 20) - 8))
+        cap = f"{max(8, cap_gb)}GB"
     con.execute(f"SET memory_limit='{cap}'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
