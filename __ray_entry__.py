@@ -160,9 +160,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(_graph.QUERIES)
     q["value_rank_pipeline"] = run_value_rank_flagship
     q["embedding_curation_pipeline"] = run_embedding_curation_flagship
-    # post-window late addition (sweep-verified at sf0.001/0.01/10x;
+    # post-window late additions (sweep-verified at sf0.001/0.01/10x;
     # first driver attestation lands in the round-5 front window)
     q["minhash_cluster_sizes"] = _dedup.QUERIES["minhash_cluster_sizes"]
+    q["hard_negatives"] = _ann.QUERIES["hard_negatives"]
+    q["dsir_resample"] = _lm.QUERIES["dsir_resample"]
     return q
 
 

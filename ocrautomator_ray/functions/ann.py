@@ -129,6 +129,95 @@ SELECT qid, vec_id, rank FROM (
 """
 
 
+def hard_negatives(sf_dir: str, num_queries: int = ANN_NUM_QUERIES,
+                   k: int = ANN_K) -> rd.Dataset:
+    """(qid, vec_id, rank): for each query vector, the k most-similar
+    vectors with a DIFFERENT label — hard-negative mining for contrastive
+    training (the nearly-confusable cross-class examples a retrieval or
+    embedding model learns the most from). Same brute-force combiner shape
+    as ann_topk (one matmul per batch, num_queries×k rows to the shuffle)
+    with the label predicate applied inside the batch mask; the
+    metadata-FILTERED variant of vector search every production store
+    exposes. At corpus scale the LSH/IVF escapes apply unchanged — the
+    filter composes with any candidate source."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    qt = stripped_read(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filter=(pc.field("vec_id") < num_queries),
+    ).to_pandas().sort_values("vec_id")
+    qids = qt["vec_id"].to_numpy(dtype=np.int64)
+    qlabels = qt["label"].to_numpy(dtype=np.int64)
+    Q = np.stack(qt["embedding"].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    ref = ray.put((qids, qlabels, Qn))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        q_ids, q_labels, Q_ = ray.get(ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        E = _embed_matrix(t)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        sims = Q_ @ En.T
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            mask = (ids != qid) & (labels != q_labels[qi])
+            if not mask.any():
+                continue
+            cand_ids, cand_s = ids[mask], sims[qi][mask]
+            order = np.lexsort((cand_ids, -cand_s))[:k]
+            out_q.extend([qid] * len(order))
+            out_v.extend(cand_ids[order].tolist())
+            out_s.extend(cand_s[order].tolist())
+        return pa.table({
+            "qid": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "qid": g["qid"].values,
+            "vec_id": g["vec_id"].values,
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    ds = pruned_read(f"{sf_dir}/embeddings.parquet",
+                     ["vec_id", "embedding", "label"])
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("qid", num_partitions=4)
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH q AS (
+    SELECT vec_id AS qid, label AS qlabel,
+           CAST(embedding AS DOUBLE[]) AS qe
+    FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}
+),
+s AS (
+    SELECT q.qid, e.vec_id,
+           list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+    FROM q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.qid AND e.label <> q.qlabel
+)
+SELECT qid, vec_id, rank FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+    FROM s
+) WHERE rank <= {ANN_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # lsh_ann_topk — approximate variant: sign-LSH bucketed probe (the scale path)
 # ---------------------------------------------------------------------------
@@ -1120,6 +1209,7 @@ QUERIES = {
     "ann_topk": ann_topk,
     "knn_graph": knn_graph,
     "semantic_dedup": semantic_dedup,
+    "hard_negatives": hard_negatives,
     "embedding_quantize": embedding_quantize,
     "embedding_outliers": embedding_outliers,
     "lsh_ann_topk": lsh_ann_topk,
@@ -1134,6 +1224,7 @@ SQL = {
     "ann_topk": SQL_ANN_TOPK,
     "knn_graph": SQL_KNN_GRAPH,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "hard_negatives": SQL_HARD_NEGATIVES,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,

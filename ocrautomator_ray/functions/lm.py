@@ -637,6 +637,68 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# dsir_resample — the RESAMPLE half of DSIR (Xie et al., NeurIPS 2023):
+# draw a fixed-size training subset where a document's selection chance
+# grows with its importance weight. DSIR proper uses Gumbel top-k; this is
+# the deterministic integer analog of Efraimidis-Spirakis weighted
+# reservoir sampling (priority = u^(1/w), keep the k best): priority_u =
+# knuth_hash32(doc_id) · 1e6 // (importance_u + 1) — the hash supplies the
+# exchangeable randomness, a large weight divides the priority down, the k
+# SMALLEST priorities win (ties → doc_id). No RNG, no float pow, rerunnable
+# bit-for-bit. Distribution: the dsir_importance chain (2 exchanges), then
+# a stateless priority map with a LOSSLESS per-batch bottom-k prune (the
+# global bottom-k is a subset of batch bottom-ks — the sample_k pattern),
+# so the final sort ranks k × batches rows, never the corpus.
+# --------------------------------------------------------------------------
+
+DSIR_SAMPLE_K = 100
+_KNUTH32 = 2654435761  # matches curate.knuth_bucket / sql_bucket
+
+
+def dsir_resample(sf_dir: str, k: int = DSIR_SAMPLE_K) -> rd.Dataset:
+    """(doc_id, importance_u, priority_u): the k docs selected by
+    deterministic weighted-without-replacement sampling over the DSIR
+    importance weights."""
+    imp = dsir_importance(sf_dir)
+
+    def prio(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        w = t["importance_u"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = (ids.astype(np.uint64) * np.uint64(_KNUTH32)) \
+                % np.uint64(1 << 32)
+        # h ≤ 2^32-1 → h·1e6 < 2^52, exact in int64
+        p = (h.astype(np.int64) * 1_000_000) // (w + 1)
+        out = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "importance_u": pa.array(w, pa.int64()),
+            "priority_u": pa.array(p, pa.int64()),
+        })
+        if out.num_rows > k:  # lossless bottom-k prune per batch
+            keep = np.lexsort((ids, p))[:k]
+            keep.sort()
+            out = out.take(pa.array(keep))
+        return out
+
+    return (
+        imp.map_batches(prio, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(key=["priority_u", "doc_id"])
+        .limit(k)
+    )
+
+
+SQL_DSIR_RESAMPLE = f"""
+WITH imp AS ({SQL_DSIR})
+SELECT doc_id, importance_u,
+       CAST(CAST(doc_id AS HUGEINT) * {_KNUTH32} % 4294967296 * 1000000
+            // (importance_u + 1) AS BIGINT) AS priority_u
+FROM imp
+ORDER BY priority_u, doc_id
+LIMIT {DSIR_SAMPLE_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # oov_stats — vocabulary-coverage / out-of-vocabulary rate per document
 # against the corpus top-K vocabulary (the tokenizer-coverage question every
 # training run asks before committing a vocab: which documents would shatter
@@ -985,6 +1047,7 @@ QUERIES = {"bigram_lm_score": bigram_lm_score,
            "dup_ngram_removed_docs": dup_ngram_removed_docs,
            "oov_stats": oov_stats,
            "dsir_importance": dsir_importance,
+    "dsir_resample": dsir_resample,
            "source_overlap_matrix": source_overlap_matrix}
 SQL = {"bigram_lm_score": SQL_BIGRAM_LM,
        "perplexity_buckets": SQL_PPL_BUCKETS,
@@ -992,6 +1055,7 @@ SQL = {"bigram_lm_score": SQL_BIGRAM_LM,
        "dup_ngram_removed_docs": SQL_DUP_NGRAM_REMOVED,
        "oov_stats": SQL_OOV,
        "dsir_importance": SQL_DSIR,
+    "dsir_resample": SQL_DSIR_RESAMPLE,
        "source_overlap_matrix": SQL_SOURCE_OVERLAP}
 
 
