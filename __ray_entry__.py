@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["minhash_cluster_sizes"] = _dedup.QUERIES["minhash_cluster_sizes"]
     q["hard_negatives"] = _ann.QUERIES["hard_negatives"]
     q["dsir_resample"] = _lm.QUERIES["dsir_resample"]
+    q["neardup_source_matrix"] = _dedup.QUERIES["neardup_source_matrix"]
     return q
 
 

@@ -1814,3 +1814,111 @@ SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM (
 
 QUERIES["minhash_cluster_sizes"] = minhash_cluster_sizes
 SQL["minhash_cluster_sizes"] = SQL_CLUSTER_SIZES
+
+
+# --------------------------------------------------------------------------
+# neardup_source_matrix — WHICH sources duplicate against which: the
+# directional complement of dedup_rate_by_source (that says how much of a
+# source is duplicated; this says against whom — "this crawl mostly
+# re-crawls last year's", "mirror A ≈ mirror B"). One row per unordered
+# source pair with the count of verified near-dup pairs between them.
+# Distribution: the verified pair stream hops through TWO doc-keyed
+# exchanges that attach each endpoint's source by co-located searchsorted
+# (the dedup_rate_by_source union-tag pattern, applied per endpoint), then
+# per-batch (src_lo, src_hi) partials reduce in a sources²-bounded groupby
+# — sources move, text and shingles never do.
+# --------------------------------------------------------------------------
+
+_SRCHOP_SCHEMA = pa.schema([("key", pa.int64()), ("other", pa.int64()),
+                            ("src", pa.string())])
+_SRCMAT_SCHEMA = pa.schema([("src_lo", pa.string()), ("src_hi", pa.string()),
+                            ("n", pa.int64())])
+
+
+def neardup_source_matrix(sf_dir: str,
+                          threshold: float = MINHASH_THRESHOLD) -> rd.Dataset:
+    """(src_lo, src_hi, n_pairs): verified near-dup pair counts per
+    unordered source pair."""
+    from ray.data.aggregate import Sum
+
+    from ocrautomator_ray.functions.exchange import (auto_partitions,
+                                                     pruned_read)
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = pruned_read(path, ["doc_id", "source"])
+    pairs = minhash_lsh_dups(sf_dir, threshold).select_columns(
+        ["doc_a", "doc_b"])
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["doc_id"],
+                         "other": pa.array(np.full(t.num_rows, -1, np.int64),
+                                           pa.int64()),
+                         "src": t["source"]})
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["doc_a"], "other": t["doc_b"],
+                         "src": pa.array([""] * t.num_rows, pa.string())})
+
+    def _attach(block: pa.Table):
+        """(pair-side rows with the key's source attached) — the block holds
+        each key's single doc row (other == -1) plus its pair rows."""
+        ids = block["key"].to_numpy(zero_copy_only=False)
+        other = block["other"].to_numpy(zero_copy_only=False)
+        src = block["src"].to_numpy(zero_copy_only=False)
+        is_doc = other == -1
+        d_keys, d_src = ids[is_doc], src[is_doc]
+        order = np.argsort(d_keys, kind="mergesort")
+        d_keys, d_src = d_keys[order], d_src[order]
+        p = ~is_doc
+        pos = np.searchsorted(d_keys, ids[p])  # FK-dense: always present
+        return ids[p], other[p], src[p], d_src[pos]
+
+    def hop1_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _SRCHOP_SCHEMA.empty_table()
+        _, other, _, key_src = _attach(block)
+        # re-key on the OTHER endpoint, carrying this endpoint's source;
+        # other = -2 marks an attached pair row for hop 2
+        return pa.table({"key": pa.array(other, pa.int64()),
+                         "other": pa.array(np.full(len(other), -2, np.int64),
+                                           pa.int64()),
+                         "src": pa.array(key_src, pa.string())})
+
+    def hop2_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _SRCMAT_SCHEMA.empty_table()
+        _, _, src_a, src_b = _attach(block)
+        lo = np.where(src_a < src_b, src_a, src_b)
+        hi = np.where(src_a < src_b, src_b, src_a)
+        g = pa.TableGroupBy(pa.table({
+            "src_lo": pa.array(lo, pa.string()),
+            "src_hi": pa.array(hi, pa.string()),
+        }), ["src_lo", "src_hi"]).aggregate([([], "count_all")])
+        return pa.table({"src_lo": g["src_lo"], "src_hi": g["src_hi"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    n_parts = auto_partitions(path)
+    docs_tagged = docs.map_batches(doc_rows, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    pairs_tagged = pairs.map_batches(pair_rows, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    hop1 = per_key_blocks(docs_tagged.union(pairs_tagged), ["key"],
+                          hop1_block, num_partitions=n_parts)
+    hop2 = per_key_blocks(docs_tagged.union(hop1), ["key"], hop2_block,
+                          num_partitions=n_parts)
+    return hop2.groupby(["src_lo", "src_hi"], num_partitions=2).aggregate(
+        Sum("n", alias_name="n_pairs"))
+
+
+SQL_SOURCE_MATRIX = f"""
+SELECT src_lo, src_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM (
+  SELECT LEAST(da.source, db.source) AS src_lo,
+         GREATEST(da.source, db.source) AS src_hi
+  FROM ({SQL_MINHASH_LSH_DUPS}) p
+  JOIN documents da ON p.doc_a = da.doc_id
+  JOIN documents db ON p.doc_b = db.doc_id
+) GROUP BY src_lo, src_hi
+"""
+
+QUERIES["neardup_source_matrix"] = neardup_source_matrix
+SQL["neardup_source_matrix"] = SQL_SOURCE_MATRIX

@@ -85,7 +85,8 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "length_histogram", "value_rank_pipeline",
                "contamination_fraction", "dedup_best_docs",
                "bm25_index_topk", "char_diversity",
-               "minhash_cluster_sizes", "hard_negatives", "dsir_resample"]
+               "minhash_cluster_sizes", "hard_negatives", "dsir_resample",
+               "neardup_source_matrix"]
 
 
 @pytest.mark.usefixtures("ray_session")
