@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["hard_negatives"] = _ann.QUERIES["hard_negatives"]
     q["dsir_resample"] = _lm.QUERIES["dsir_resample"]
     q["neardup_source_matrix"] = _dedup.QUERIES["neardup_source_matrix"]
+    q["lang_confusion"] = _text.QUERIES["lang_confusion"]
+    q["split_balance"] = _curate.QUERIES["split_balance"]
     return q
 
 

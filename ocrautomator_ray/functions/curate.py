@@ -357,6 +357,49 @@ FROM documents
 """
 
 
+def split_balance(sf_dir: str) -> rd.Dataset:
+    """(split, source, n_docs, n_tokens): the split QA table — per
+    train/val/test × source, how many documents and tokens landed there.
+    The audit every pipeline runs after hash_split (is val non-empty per
+    source? did a hot source capture the test set?). Stateless per-batch
+    (split, source) partials — docs counted, tokens RE2-counted without
+    tokenizing — reduce in a 3×sources-bounded groupby; text never moves."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ocrautomator_ray.functions.text import TOKEN_RE
+
+    ds = pruned_read(f"{sf_dir}/documents.parquet",
+                     ["doc_id", "text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        bucket = knuth_bucket(t["doc_id"].to_numpy(zero_copy_only=False))
+        toks = pc.cast(pc.count_substring_regex(t["text"], TOKEN_RE),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        g = pa.TableGroupBy(pa.table({
+            "split": pa.array(split_of(bucket), pa.string()),
+            "source": t["source"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "tok": pa.array(toks, pa.int64()),
+        }), ["split", "source"]).aggregate([("n", "sum"), ("tok", "sum")])
+        return g.rename_columns(["split", "source", "n", "tok"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.groupby(["split", "source"], num_partitions=2).aggregate(
+        Sum("n", alias_name="n_docs"), Sum("tok", alias_name="n_tokens"))
+
+
+SQL_SPLIT_BALANCE = f"""
+SELECT {sql_split('doc_id')} AS split, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS BIGINT)
+           AS n_tokens
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # repetition_stats — Gopher-style per-document repetition signals
 # ---------------------------------------------------------------------------
@@ -1023,6 +1066,7 @@ QUERIES = {
     "decontaminated_docs": decontaminated_docs,
     "incremental_dedup": incremental_dedup,
     "hash_split": hash_split,
+    "split_balance": split_balance,
     "leakage_safe_split": leakage_safe_split,
     "repetition_stats": repetition_stats,
     "stratified_sample": stratified_sample,
@@ -1038,6 +1082,7 @@ SQL = {
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "hash_split": SQL_HASH_SPLIT,
+    "split_balance": SQL_SPLIT_BALANCE,
     "repetition_stats": SQL_REPETITION_STATS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "top_ngrams": SQL_TOP_NGRAMS,

@@ -399,6 +399,42 @@ FROM h
 SQL_LANG_ID = _lang_id_sql()
 
 
+def lang_confusion(sf_dir: str) -> rd.Dataset:
+    """(lang, pred_lang, n_docs): the labeled-vs-predicted language
+    confusion matrix — the model-evaluation table behind every classifier
+    screen (which languages bleed into which, how much lands in 'und').
+    The warm-profile actor pool predicts per batch with the LABEL carried
+    through, per-batch (lang, pred) partial counts reduce in a
+    langs²-bounded groupby — text never reaches the shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    pool = max(2, (int(ray.cluster_resources().get("CPU", 4))
+                   if ray.is_initialized() else 4) // 2)
+
+    class _ConfusionActor(LangIdActor):
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out = super().__call__(df)
+            g = (pd.DataFrame({"lang": df["lang"].values,
+                               "pred_lang": out["pred_lang"].values,
+                               "n": 1})
+                 .groupby(["lang", "pred_lang"], as_index=False)["n"].sum())
+            return g
+
+    preds = pruned_read(f"{sf_dir}/documents.parquet",
+                        ["doc_id", "text", "lang"]).map_batches(
+        _ConfusionActor, batch_format="pandas", concurrency=(2, pool))
+    return preds.groupby(["lang", "pred_lang"], num_partitions=2).aggregate(
+        Sum("n", alias_name="n_docs"))
+
+
+SQL_LANG_CONFUSION = f"""
+SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ({SQL_LANG_ID}) p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY d.lang, p.pred_lang
+"""
+
+
 # --------------------------------------------------------------------------
 # fingerprint_dups — MOSS-style overlap detection: doc pairs sharing
 # winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 §5: drop
@@ -670,6 +706,7 @@ QUERIES = {
     "quality_score": quality_score,
     "char_diversity": char_diversity,
     "lang_id": lang_id,
+    "lang_confusion": lang_confusion,
     "doc_fingerprint": doc_fingerprint,
     "normalize_text": normalize_text,
     "source_report": source_report,
@@ -682,6 +719,7 @@ SQL = {
     "quality_score": SQL_QUALITY_SCORE,
     "char_diversity": SQL_CHAR_DIVERSITY,
     "lang_id": SQL_LANG_ID,
+    "lang_confusion": SQL_LANG_CONFUSION,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "source_report": SQL_SOURCE_REPORT,

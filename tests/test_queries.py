@@ -86,7 +86,7 @@ SQL_ORACLED = ["q1_pricing_summary", "filter_project", "first_event_per_user",
                "contamination_fraction", "dedup_best_docs",
                "bm25_index_topk", "char_diversity",
                "minhash_cluster_sizes", "hard_negatives", "dsir_resample",
-               "neardup_source_matrix"]
+               "neardup_source_matrix", "lang_confusion", "split_balance"]
 
 
 @pytest.mark.usefixtures("ray_session")
