@@ -20,6 +20,9 @@ Charikar '02.
 
 from __future__ import annotations
 
+import os
+import time
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1213,21 +1216,31 @@ def propagate_min_labels(pairs: rd.Dataset, max_rounds: int = 12,
             start_round = rnd + 1
             converged = bool(meta.get("converged"))
 
+    # Adaptive round checkpointing: a disk commit only pays when re-executing
+    # the round on resume would cost MORE than the commit itself, so commit a
+    # round iff its wall time clears OCRA_CKPT_MIN_ROUND_SEC (default 3 s) OR
+    # it is the convergence round (committing that one makes a rerun over
+    # unchanged input a zero-round no-op). At 10^12 docs every round is a
+    # multi-minute exchange and always commits; at bench scale the rounds are
+    # sub-second and the parquet round-trip per round was pure overhead.
+    min_round_sec = float(os.environ.get("OCRA_CKPT_MIN_ROUND_SEC", "3.0"))
     for rnd in range(start_round, max_rounds):
         if converged:
             break
         # one hash exchange per round (propagate + dedup + signature fused
         # in-block); adjacency shrinks to ~nodes rows so the per-round pin
         # is small
-        adj = per_key_blocks(adj, ["u"], propagate_block, num_partitions=8)
-        if checkpoint_dir is not None:
-            # the committed parquet IS the round's materialization
-            adj = _commit_round_data(adj, rnd, checkpoint_dir)
-        else:
-            adj = adj.materialize()
+        t0 = time.monotonic()
+        adj = per_key_blocks(adj, ["u"], propagate_block,
+                             num_partitions=8).materialize()
+        wall = time.monotonic() - t0
         sig = scan_signature(adj)
         converged = sig == prev_sig
-        if checkpoint_dir is not None:
+        if checkpoint_dir is not None and (wall >= min_round_sec or converged):
+            # write from the materialized blocks (no recompute); keep using
+            # the in-memory adjacency — the disk copy exists for a RESUMED
+            # driver, not this one
+            _commit_round_data(adj, rnd, checkpoint_dir)
             _commit_round_meta(rnd, checkpoint_dir, sig, converged)
         prev_sig = sig
 

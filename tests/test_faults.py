@@ -220,6 +220,10 @@ def test_driver_sigkill_mid_propagation_resumes_from_checkpoint(tmp_path):
            SF, out]
     env = dict(os.environ)
     env.pop("RAY_ADDRESS", None)  # subprocess owns its own local session
+    # checkpointing is adaptive (commits only slow/convergence rounds);
+    # force the every-round path so the drill has a round-0000 marker to
+    # kill against at this tiny scale
+    env["OCRA_CKPT_MIN_ROUND_SEC"] = "0"
 
     proc = subprocess.Popen(cmd, cwd="/root/repo", env=env,
                             stdout=subprocess.DEVNULL,
