@@ -46,123 +46,105 @@ PR_DAMP_NUM = 85              # damping 0.85 as an exact rational
 PR_DAMP_DEN = 100
 PR_TELEPORT = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN  # 150000
 
-_UNION_SCHEMA = pa.schema([
+# One exchange per power iteration (VERDICT r4 #4): the working set is a
+# single union table of kind-tagged rows — edges (kind 0: node=src, dst),
+# ranks (kind 1: node, r, outdeg), contributions (kind 2: node=dst, r=c) —
+# all hash-keyed on ``node``. Because per_key_blocks uses the same hash for
+# every round, a node's rank row, its out-edges, and its incoming
+# contributions land in the SAME block, so one block function both applies
+# the previous round's update (r ← teleport + Σ incoming c) and emits the
+# next round's contributions from the fresh ranks. Step 0 additionally
+# derives out-degrees and r_0 in-block from the co-located out-edges,
+# folding the former degree-seeding exchange in as well: iters+1 exchanges
+# total, vs 1 + 2·iters for the unfused update/contribute pair.
+_WORK_SCHEMA = pa.schema([
     ("node", pa.int64()), ("dst", pa.int64()),
-    ("r", pa.int64()), ("outdeg", pa.int64()), ("is_rank", pa.int64()),
+    ("r", pa.int64()), ("outdeg", pa.int64()), ("kind", pa.int64()),
 ])
-_CONTRIB_SCHEMA = pa.schema([
-    ("node", pa.int64()), ("c", pa.int64()), ("outdeg", pa.int64()),
-])
-_RANK_SCHEMA = pa.schema([
-    ("node", pa.int64()), ("r", pa.int64()), ("outdeg", pa.int64()),
-])
+_OUT_SCHEMA = pa.schema([("vec_id", pa.int64()), ("pr_micros", pa.int64())])
 
 
-def _contrib_block(t: pa.Table) -> pa.Table:
-    """One partition of the (edges ∪ ranks) union: every edge row finds its
-    source's rank row (same ``node`` hash key ⇒ same block) and emits
-    (dst, contribution). Rank lookup is one searchsorted, no Python loop."""
-    if t.num_rows == 0:
-        return _CONTRIB_SCHEMA.empty_table()
-    node = t["node"].to_numpy(zero_copy_only=False)
-    is_rank = t["is_rank"].to_numpy(zero_copy_only=False).astype(bool)
-    rn = node[is_rank]
-    order = np.argsort(rn, kind="stable")
-    rn = rn[order]
-    rv = t["r"].to_numpy(zero_copy_only=False)[is_rank][order]
-    rd_ = t["outdeg"].to_numpy(zero_copy_only=False)[is_rank][order]
-    en = node[~is_rank]
-    if len(en) == 0:
-        return _CONTRIB_SCHEMA.empty_table()
-    dst = t["dst"].to_numpy(zero_copy_only=False)[~is_rank]
-    idx = np.searchsorted(rn, en)
-    c = (rv[idx] * PR_DAMP_NUM) // (rd_[idx] * PR_DAMP_DEN)
-    return pa.table({
-        "node": pa.array(dst, pa.int64()),
-        "c": pa.array(c, pa.int64()),
-        "outdeg": pa.array(np.zeros(len(dst), np.int64), pa.int64()),
-    })
+def _make_pr_step(first: bool, last: bool):
+    def step(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return (_OUT_SCHEMA if last else _WORK_SCHEMA).empty_table()
+        node = t["node"].to_numpy(zero_copy_only=False)
+        if first:
+            # edges only: node set, out-degrees and r_0 = 1.0 in-block
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            order = np.argsort(node, kind="stable")
+            en, ed = node[order], dst[order]
+            starts = np.flatnonzero(np.r_[True, en[1:] != en[:-1]])
+            rn = en[starts]
+            rdeg = np.diff(np.r_[starts, len(en)])
+            rv = np.full(len(rn), PR_SCALE, np.int64)
+        else:
+            kind = t["kind"].to_numpy(zero_copy_only=False)
+            r = t["r"].to_numpy(zero_copy_only=False)
+            rank_m = kind == 1
+            rn = node[rank_m]
+            order = np.argsort(rn, kind="stable")
+            rn = rn[order]
+            rdeg = t["outdeg"].to_numpy(zero_copy_only=False)[rank_m][order]
+            # update: r ← teleport + Σ incoming contributions (kind-2 rows;
+            # every contribution dst is a source node — the k-NN graph has
+            # no dangling nodes, see module docstring)
+            cm = kind == 2
+            cn, cv = node[cm], r[cm]
+            corder = np.argsort(cn, kind="stable")
+            cn, cv = cn[corder], cv[corder]
+            cstarts = np.flatnonzero(np.r_[True, cn[1:] != cn[:-1]])
+            rv = np.full(len(rn), PR_TELEPORT, np.int64)
+            if len(cstarts):
+                pos = np.searchsorted(rn, cn[cstarts])
+                rv[pos] += np.add.reduceat(cv, cstarts)
+            em = kind == 0
+            en = node[em]
+            ed = t["dst"].to_numpy(zero_copy_only=False)[em]
+        if last:
+            return pa.table({"vec_id": pa.array(rn, pa.int64()),
+                             "pr_micros": pa.array(rv, pa.int64())})
+        # contributions from the FRESH ranks against the co-located edges
+        idx = np.searchsorted(rn, en)
+        c = (rv[idx] * PR_DAMP_NUM) // (rdeg[idx] * PR_DAMP_DEN)
+        zero_e = np.zeros(len(en), np.int64)
+        zero_r = np.zeros(len(rn), np.int64)
+        return pa.table({
+            "node": pa.array(np.concatenate([en, rn, ed]), pa.int64()),
+            "dst": pa.array(np.concatenate([ed, zero_r - 1, zero_e - 1]),
+                            pa.int64()),
+            "r": pa.array(np.concatenate([zero_e, rv, c]), pa.int64()),
+            "outdeg": pa.array(np.concatenate([zero_e, rdeg, zero_e]),
+                               pa.int64()),
+            "kind": pa.array(np.concatenate([zero_e, zero_r + 1,
+                                             zero_e + 2]), pa.int64()),
+        })
 
-
-def _update_block(t: pa.Table) -> pa.Table:
-    """Contributions + one base row per node → next rank vector. The base
-    row contributes c = 0 and carries the node's out-degree (max over the
-    group recovers it; contribution rows carry 0)."""
-    if t.num_rows == 0:
-        return _RANK_SCHEMA.empty_table()
-    node = t["node"].to_numpy(zero_copy_only=False)
-    c = t["c"].to_numpy(zero_copy_only=False)
-    deg = t["outdeg"].to_numpy(zero_copy_only=False)
-    order = np.argsort(node, kind="stable")
-    node, c, deg = node[order], c[order], deg[order]
-    starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
-    sums = np.add.reduceat(c, starts)
-    degs = np.maximum.reduceat(deg, starts)
-    return pa.table({
-        "node": pa.array(node[starts], pa.int64()),
-        "r": pa.array(PR_TELEPORT + sums, pa.int64()),
-        "outdeg": pa.array(degs, pa.int64()),
-    })
+    return step
 
 
 def knn_pagerank(sf_dir: str, iters: int = PR_ITERS) -> rd.Dataset:
     """(vec_id, pr_micros): PageRank of each vector in the within-label
     k-NN graph after ``iters`` damped power iterations, in exact micros."""
-    edges = knn_graph(sf_dir).map_batches(
+    work = knn_graph(sf_dir).map_batches(
         lambda t: pa.table({
             "node": t["vec_id"].cast(pa.int64()),
             "dst": t["nbr_id"].cast(pa.int64()),
             "r": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
             "outdeg": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
-            "is_rank": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+            "kind": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
         }),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).materialize()
-
-    def degree_block(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _RANK_SCHEMA.empty_table()
-        node = np.sort(t["node"].to_numpy(zero_copy_only=False))
-        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
-        deg = np.diff(np.r_[starts, len(node)])
-        return pa.table({
-            "node": pa.array(node[starts], pa.int64()),
-            "r": pa.array(np.full(len(starts), PR_SCALE), pa.int64()),
-            "outdeg": pa.array(deg, pa.int64()),
-        })
-
-    # nodes = distinct sources with out-degree; doubles as r_0 (rank = 1.0)
-    ranks = per_key_blocks(edges, ["node"], degree_block,
-                           num_partitions=8).materialize()
-    base = ranks.map_batches(
-        lambda t: pa.table({
-            "node": t["node"],
-            "c": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
-            "outdeg": t["outdeg"],
-        }),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).materialize()
-
-    for _ in range(iters):
-        tagged = ranks.map_batches(
-            lambda t: pa.table({
-                "node": t["node"],
-                "dst": pa.array(np.full(t.num_rows, -1, np.int64)),
-                "r": t["r"],
-                "outdeg": t["outdeg"],
-                "is_rank": pa.array(np.ones(t.num_rows, np.int64)),
-            }),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
-        contribs = per_key_blocks(edges.union(tagged), ["node"],
-                                  _contrib_block, num_partitions=8)
-        ranks = per_key_blocks(contribs.union(base), ["node"],
-                               _update_block, num_partitions=8).materialize()
-
-    return ranks.map_batches(
-        lambda t: pa.table({"vec_id": t["node"], "pr_micros": t["r"]}),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+    # step 0 seeds ranks/degrees and emits contribs(r_0); steps 1..iters
+    # each apply one update (the last emits the final rank table directly)
+    for i in range(iters + 1):
+        work = per_key_blocks(work, ["node"],
+                              _make_pr_step(first=i == 0, last=i == iters),
+                              num_partitions=8)
+        if i < iters:
+            work = work.materialize()
+    return work
 
 
 # ---------------------------------------------------------------------------
