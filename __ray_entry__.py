@@ -69,106 +69,72 @@ def _flagship_query(sf_dir: str) -> Any:
     return run_flagship(sf_dir)
 
 
+# The driver samples the FIRST 50 queries() entries for its per-round
+# attestation; ROUND5_WINDOW pins that prefix explicitly (tests/
+# test_extensibility.py asserts list(queries())[:len(ROUND5_WINDOW)] equals
+# this list, so the window is code, not comment arithmetic — ADVICE r4 #4).
+# Round-5 composition, per VERDICT r4 task 2: every operator that has NEVER
+# had a driver-green CORRECTNESS row (the late round-4 additions: k-means /
+# PQ / PCA / perceptron / CM-sketch / graph / topics / value-rank families
+# and the final-stretch audits), plus every entry whose implementation
+# CHANGED this round (adaptive propagation checkpointing behind
+# full_corpus_pipeline / minhash_dup_clusters / knn_components, the fused
+# one-exchange PageRank behind knn_pagerank / data_value_rank /
+# value_rank_pipeline, and the round-5 additions appended as they land).
+# Everything outside the window holds a driver-green row from rounds 1-4
+# and is unchanged; standing attestation = that row + the full
+# tools/check_correctness.py sweep recorded in COVERAGE.md.
+ROUND5_WINDOW: list[str] = [
+    # never driver-attested (added late in round 4)
+    "kmeans_fit", "cluster_sample", "pq_codes", "pq_ann_topk",
+    "pca_project", "perceptron_lang", "cmsketch_token_counts",
+    "embedding_covariance", "quantile_normalize",
+    "mutual_knn_pairs", "markov_stationary",
+    "doc_topics", "topic_keywords", "incremental_doc_topics",
+    "embedding_curation_pipeline",
+    "minhash_cluster_sizes", "hard_negatives", "dsir_resample",
+    "neardup_source_matrix", "lang_confusion", "split_balance",
+    # changed in round 5 (adaptive checkpointing / fused PageRank)
+    "full_corpus_pipeline", "minhash_dup_clusters", "knn_components",
+    "knn_pagerank", "data_value_rank", "value_rank_pipeline",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    # Iteration order is steered at the round-4 driver's 50-entry prefix
-    # sample: the prefix holds every query whose implementation CHANGED since
-    # its last driver-green row (embedding_quantize's min/max exchange, the
-    # Arrow-ported corpus finalizers, the checkpointed cluster propagation
-    # behind full_corpus_pipeline / minhash_dup_clusters), the relational /
-    # window families last driver-hashed in rounds 1-2 (hourly_user_activity
-    # was rewritten in round 3), and the media queries whose SQL oracles are
-    # new this round. The dedup / ANN / curate / text / sketch / mix families
-    # that follow were all driver-green in round 3 and are unchanged; their
-    # standing attestation is r3 + tools/check_correctness.py (COVERAGE.md
-    # records which families sit outside the current sample window).
     q: dict[str, Callable[[str], Any]] = {}
-    # -- changed since last driver attestation (cherry-picked to the front;
-    #    later module updates overwrite the value but keep the position) --
-    q["contamination_fraction"] = _curate.QUERIES["contamination_fraction"]
-    q["dedup_best_docs"] = _curate.QUERIES["dedup_best_docs"]  # new
-    q["bm25_index_topk"] = _corpus.QUERIES["bm25_index_topk"]  # new
-    q["char_diversity"] = _text.QUERIES["char_diversity"]  # new
-    q.update(_snapshot.QUERIES)  # new this round (cross-snapshot near-dup,
-    #                              per-source drift)
-    q["hashed_doc_vectors"] = _mix.QUERIES["hashed_doc_vectors"]  # new
-    q["semantic_dedup"] = _ann.QUERIES["semantic_dedup"]  # new this round
-    q.update(_lm.QUERIES)  # new this round (bigram LM score, dup n-grams,
-    #                        dup-n-gram removal, OOV stats, DSIR weights)
-    q["token_budget_mix"] = _mix.QUERIES["token_budget_mix"]  # new this round
-    q["temperature_mix"] = _mix.QUERIES["temperature_mix"]  # new this round
-    q["label_dispersion"] = _ann.QUERIES["label_dispersion"]  # new this round
-    q["source_report"] = _text.QUERIES["source_report"]  # new this round
-    q["training_mix_pipeline"] = run_training_mix_flagship  # new this round
-    q["gopher_rules"] = _filters.QUERIES["gopher_rules"]  # new this round
-    q["knn_graph"] = _ann.QUERIES["knn_graph"]  # new this round
-    q["bpe_train_merges"] = _corpus.QUERIES["bpe_train_merges"]  # new
-    q["winsorize_values"] = _filters.QUERIES["winsorize_values"]  # new
-    q["neardup_jaccard_hist"] = _dedup.QUERIES["neardup_jaccard_hist"]  # new
-    q["bpe_apply_stats"] = _corpus.QUERIES["bpe_apply_stats"]  # new
-    q["embedding_quantize"] = _ann.QUERIES["embedding_quantize"]
-    q["full_corpus_pipeline"] = run_full_corpus_flagship
-    q["minhash_dup_clusters"] = _dedup.QUERIES["minhash_dup_clusters"]
-    for _k in ("tfidf_top_terms", "bpe_pair_counts", "bm25_doc0_topk",
-               "corpus_freq_score"):
-        q[_k] = _corpus.QUERIES[_k]
-    # -- VERDICT r3 task 1 names: the window family + the relational ops
-    #    rewritten since their last driver hash (hourly_user_activity above
-    #    all), pinned INSIDE the 50-entry sample window; plus the round-4
-    #    relational additions that have never had a driver row. The
-    #    unchanged r1/r2-attested relational entries (filter_project,
-    #    dedup_first_docs, revenue_by_nation, ...) yield their window slots
-    #    — their standing attestation is r1/r2 + the sweep (COVERAGE.md). --
-    _rel: dict[str, Callable[[str], Any]] = {}
-    for _m in (_relational, _relational2, _relational3, _relational4,
-               _filters):
-        _rel.update(_m.QUERIES)
-    # (event_gaps — r2-attested, unchanged — yields its slot to the new
-    #  char_diversity so the prefix stays exactly 50)
-    for _k in ("q1_pricing_summary", "customers_without_orders",
-               "hourly_user_activity", "sessionize_events",
-               "sliding_window_activity", "cumulative_user_value",
-               "rolling_value_sum", "user_event_sequences",
-               "latest_event_state", "user_behavior_vectors",
-               "daily_active_users", "value_mad_by_type"):
-        q[_k] = _rel[_k]
-    # -- relational/window families: last full driver hash in r1/r2 --
     q.update(_relational.QUERIES)
     q.update(_relational2.QUERIES)
     q.update(_relational3.QUERIES)
     q.update(_relational4.QUERIES)
     q.update(_filters.QUERIES)
-    # -- new SQL oracles this round --
     q.update(_media.QUERIES)
-    # -- r3 driver-green, unchanged --
     q.update(_dedup.QUERIES)
     q.update(_ann.QUERIES)
     q.update(_curate.QUERIES)
     q.update(_mix.QUERIES)
-    q["extract_pipeline"] = _flagship_query
-    q["curate_pipeline"] = run_curate_flagship
-    q["assemble_pipeline"] = run_assemble_flagship
     q.update(_text.QUERIES)
     q.update(_corpus.QUERIES)
     q.update(_sketch.QUERIES)
-    # -- new post-window additions (first driver attestation lands next
-    #    round; this round they are sweep- and pytest-verified) --
+    q.update(_lm.QUERIES)
+    q.update(_snapshot.QUERIES)
     q.update(_kmeans.QUERIES)
     q.update(_moments.QUERIES)
     q.update(_pca.QUERIES)
     q.update(_classifier.QUERIES)
     q.update(_topics.QUERIES)
     q.update(_graph.QUERIES)
+    q["extract_pipeline"] = _flagship_query
+    q["curate_pipeline"] = run_curate_flagship
+    q["assemble_pipeline"] = run_assemble_flagship
+    q["full_corpus_pipeline"] = run_full_corpus_flagship
+    q["training_mix_pipeline"] = run_training_mix_flagship
     q["value_rank_pipeline"] = run_value_rank_flagship
     q["embedding_curation_pipeline"] = run_embedding_curation_flagship
-    # post-window late additions (sweep-verified at sf0.001/0.01/10x;
-    # first driver attestation lands in the round-5 front window)
-    q["minhash_cluster_sizes"] = _dedup.QUERIES["minhash_cluster_sizes"]
-    q["hard_negatives"] = _ann.QUERIES["hard_negatives"]
-    q["dsir_resample"] = _lm.QUERIES["dsir_resample"]
-    q["neardup_source_matrix"] = _dedup.QUERIES["neardup_source_matrix"]
-    q["lang_confusion"] = _text.QUERIES["lang_confusion"]
-    q["split_balance"] = _curate.QUERIES["split_balance"]
-    return q
+    # order: the pinned attestation window first, everything else after in
+    # registration order (dict.update leaves already-present keys in place)
+    out = {k: q[k] for k in ROUND5_WINDOW}
+    out.update(q)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

@@ -411,14 +411,17 @@ def ivf_ann_topk(sf_dir: str, num_queries: int = ANN_NUM_QUERIES,
 
 def ivf_index_dir(sf_dir: str) -> str:
     """Deterministic per-input index location under /tmp, fingerprinted by
-    the source file's (size, mtime) so a changed input never reuses a stale
-    index (the resumable sink would otherwise skip committed partitions)."""
+    (dir basename, full-path hash, size, mtime_ns) via the shared
+    exchange.index_fingerprint_dir rule, so a changed input never reuses a
+    stale index (the resumable sink would otherwise skip committed
+    partitions) and same-named dirs of different corpora never share an
+    eviction key."""
     import os
 
-    src = f"{sf_dir}/embeddings.parquet"
-    st = os.stat(src)
-    tag = f"{os.path.basename(os.path.dirname(src))}-{st.st_size}-{st.st_mtime_ns}"
-    return os.path.join("/tmp", "ocrauto_ivf_index", tag)
+    from ocrautomator_ray.functions.exchange import index_fingerprint_dir
+
+    return index_fingerprint_dir(os.path.join("/tmp", "ocrauto_ivf_index"),
+                                 f"{sf_dir}/embeddings.parquet")
 
 
 _IVF_INDEX_ROOT = os.path.join("/tmp", "ocrauto_ivf_index")
@@ -452,18 +455,9 @@ def _read_centroids(index_dir: str) -> np.ndarray:
 
 
 def _evict_stale_indexes(index_dir: str) -> None:
-    """Drop older fingerprints of the same source basename: the tag embeds
-    (size, mtime_ns), so regenerated scale dirs would otherwise accrete a
-    full duplicate embeddings copy under /tmp per rebuild."""
-    import shutil
+    from ocrautomator_ray.functions.exchange import evict_stale_index_dirs
 
-    root, tag = os.path.split(index_dir)
-    if root != _IVF_INDEX_ROOT or not os.path.isdir(root):
-        return  # only manage tags this module created
-    base = tag.rsplit("-", 2)[0]
-    for d in os.listdir(root):
-        if d != tag and d.rsplit("-", 2)[0] == base:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    evict_stale_index_dirs(index_dir, _IVF_INDEX_ROOT)
 
 
 def _make_assign(C: np.ndarray):

@@ -740,27 +740,20 @@ def _posting_rows(t: pa.Table) -> pa.Table:
 
 def bm25_index_dir(sf_dir: str) -> str:
     """Deterministic per-input index location under /tmp, fingerprinted by
-    (dir basename, size, mtime_ns) so a changed input never reuses a stale
-    index — same discipline as ivf_index_dir."""
-    src = f"{sf_dir}/documents.parquet"
-    st = os.stat(src)
-    tag = (f"{os.path.basename(os.path.dirname(src))}-{st.st_size}-"
-           f"{st.st_mtime_ns}")
-    return os.path.join(_BM25_INDEX_ROOT, tag)
+    (dir basename, full-path hash, size, mtime_ns) via the shared
+    exchange.index_fingerprint_dir rule, so a changed input never reuses a
+    stale index and same-named dirs of DIFFERENT corpora never share an
+    eviction key."""
+    from ocrautomator_ray.functions.exchange import index_fingerprint_dir
+
+    return index_fingerprint_dir(_BM25_INDEX_ROOT,
+                                 f"{sf_dir}/documents.parquet")
 
 
 def _evict_stale_bm25(index_dir: str) -> None:
-    """Drop older fingerprints of the same source basename (regenerated
-    scale dirs would otherwise accrete full postings copies under /tmp)."""
-    import shutil
+    from ocrautomator_ray.functions.exchange import evict_stale_index_dirs
 
-    root, tag = os.path.split(index_dir)
-    if root != _BM25_INDEX_ROOT or not os.path.isdir(root):
-        return
-    base = tag.rsplit("-", 2)[0]
-    for d in os.listdir(root):
-        if d != tag and d.rsplit("-", 2)[0] == base:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    evict_stale_index_dirs(index_dir, _BM25_INDEX_ROOT)
 
 
 def _bm25_stats_path(index_dir: str) -> str:
@@ -833,8 +826,12 @@ def bm25_bucket_fragments(index_dir: str, buckets: list[int]) -> list[str]:
     roots = [os.path.join(index_dir, "data")]
     epochs = os.path.join(index_dir, "epochs")
     if os.path.isdir(epochs):
+        # an epoch without its stats marker is incomplete (killed append) —
+        # skip it so reads match _read_bm25_stats' view exactly
         roots += [os.path.join(epochs, e, "data")
-                  for e in sorted(os.listdir(epochs))]
+                  for e in sorted(os.listdir(epochs))
+                  if os.path.exists(_bm25_stats_path(
+                      os.path.join(epochs, e)))]
     dirs = [os.path.join(r, f"bucket={b}") for r in roots for b in buckets]
     return sorted(
         os.path.join(d, f)
@@ -860,16 +857,23 @@ def bm25_index_append(new_path: str, index_dir: str,
     st = os.stat(new_path)
     tag = f"{os.path.basename(new_path)}-{st.st_size}-{st.st_mtime_ns}"
     epoch_dir = os.path.join(index_dir, "epochs", tag)
-    if not os.path.exists(_bm25_stats_path(epoch_dir)):
-        n, t = _bm25_side_stats(new_path)
-        _write_bm25_stats(epoch_dir, n, t)
-
+    # The epoch's stats file is its COMMIT MARKER: postings first (resumable,
+    # partition-granular), stats only after every partition committed. A
+    # killed append therefore leaves an epoch that readers
+    # (_read_bm25_stats, bm25_bucket_fragments) skip entirely — queries keep
+    # answering from the pre-append index — and the rerun resumes the
+    # postings then commits the marker, instead of the old order where full
+    # epoch N/T could pair with a committed SUBSET of epoch postings and
+    # silently score against neither index state.
     ds = pruned_read(new_path, ["doc_id", "text"])
     summary = resumable_write(
         ds.map_batches(_posting_rows, batch_format="pyarrow",
                        zero_copy_batch=True),
         epoch_dir, num_partitions=num_partitions, key="doc_id",
         input_desc=new_path, partition_by="bucket")
+    if not os.path.exists(_bm25_stats_path(epoch_dir)):
+        n, t = _bm25_side_stats(new_path)
+        _write_bm25_stats(epoch_dir, n, t)
     summary["epoch_dir"] = epoch_dir
     return summary
 

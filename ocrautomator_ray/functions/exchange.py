@@ -165,6 +165,48 @@ def pruned_read(path: str, columns: list[str],
                            override_num_blocks=nblocks)
 
 
+def index_fingerprint_dir(root: str, src: str) -> str:
+    """``<root>/<basename>-<path-hash8>-<size>-<mtime_ns>`` — the shared
+    location rule for every persisted index family (IVF, BM25, LSH
+    signatures, topic model). The fingerprint ties the index to the exact
+    source bytes; the 8-hex path hash keys eviction to the FULL source path,
+    so two distinct corpora that happen to share a dir basename (two
+    checkouts' sf0.01) never evict each other's index (ADVICE r4)."""
+    import hashlib
+    import os
+
+    st = os.stat(src)
+    ph = hashlib.sha1(os.path.abspath(src).encode()).hexdigest()[:8]
+    return os.path.join(
+        root, f"{os.path.basename(os.path.dirname(src))}-{ph}-"
+              f"{st.st_size}-{st.st_mtime_ns}")
+
+
+def evict_stale_index_dirs(index_dir: str, root: str) -> None:
+    """Drop STRICTLY OLDER fingerprints of the same (basename, path-hash)
+    key under ``root`` — regenerated inputs would otherwise accrete a full
+    index copy per rebuild under /tmp. Same-age or newer fingerprints and
+    other sources are never touched, so a concurrent build of the current
+    fingerprint cannot be raced, and eviction never crosses source paths."""
+    import os
+    import shutil
+
+    r, tag = os.path.split(index_dir)
+    if r != root or not os.path.isdir(r):
+        return  # only manage tags this rule created
+    base, _, mt = tag.rsplit("-", 2)
+    for d in os.listdir(r):
+        if d == tag:
+            continue
+        parts = d.rsplit("-", 2)
+        try:
+            older = int(parts[2]) < int(mt)
+        except (IndexError, ValueError):
+            continue
+        if len(parts) == 3 and parts[0] == base and older:
+            shutil.rmtree(os.path.join(r, d), ignore_errors=True)
+
+
 def arrow_clean(df) -> "object":
     """Convert a pandas UDF output to a metadata-free Arrow table.
 

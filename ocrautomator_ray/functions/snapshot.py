@@ -169,27 +169,19 @@ _BK_COLS = [f"bk_{j}" for j in range(_BANDS)]
 
 
 def neardup_index_dir(sf_dir: str) -> str:
-    """Deterministic per-input index location, fingerprinted by the source
-    file's (size, mtime_ns) — a changed input never reuses a stale index."""
-    src = f"{sf_dir}/documents.parquet"
-    st = os.stat(src)
-    tag = (f"{os.path.basename(os.path.dirname(src))}-{st.st_size}-"
-           f"{st.st_mtime_ns}")
-    return os.path.join(_NEARDUP_INDEX_ROOT, tag)
+    """Deterministic per-input index location — the shared
+    exchange.index_fingerprint_dir rule; a changed input never reuses a
+    stale index."""
+    from ocrautomator_ray.functions.exchange import index_fingerprint_dir
+
+    return index_fingerprint_dir(_NEARDUP_INDEX_ROOT,
+                                 f"{sf_dir}/documents.parquet")
 
 
 def _evict_stale_neardup_indexes(index_dir: str) -> None:
-    """Drop older fingerprints of the same source basename (disk hygiene —
-    regenerated scale dirs would otherwise accrete full signature copies)."""
-    import shutil
+    from ocrautomator_ray.functions.exchange import evict_stale_index_dirs
 
-    root, tag = os.path.split(index_dir)
-    if root != _NEARDUP_INDEX_ROOT or not os.path.isdir(root):
-        return
-    base = tag.rsplit("-", 2)[0]
-    for d in os.listdir(root):
-        if d != tag and d.rsplit("-", 2)[0] == base:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    evict_stale_index_dirs(index_dir, _NEARDUP_INDEX_ROOT)
 
 
 def _committed_sig_table(t: pa.Table) -> pa.Table:

@@ -127,6 +127,15 @@ def char_diversity(sf_dir: str) -> rd.Dataset:
         codes = np.frombuffer(full.encode("utf-32-le"), np.uint32)
         lens = pc.utf8_length(texts).to_numpy(
             zero_copy_only=False).astype(np.int64)
+        # enforce the exactness bound loudly instead of wrapping silently:
+        # s2·1e6 ≤ n²·1e6 must stay < 2^63, i.e. n ≤ ~3.0e6 chars/doc —
+        # beyond it the engine would diverge from the exact SQL oracle
+        if int(lens.max()) > 3_000_000:
+            raise ValueError(
+                "char_diversity exactness bound exceeded: a document has "
+                f"{int(lens.max())} chars > 3,000,000, so simpson_u would "
+                "overflow int64; lower SIMPSON_SCALE to 1_000 (engine and "
+                "SQL mirror together) for corpora with oversized documents")
         doc = np.repeat(np.arange(n), lens)
         order = np.lexsort((codes, doc))
         d_s, c_s = doc[order], codes[order]

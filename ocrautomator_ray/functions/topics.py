@@ -521,32 +521,23 @@ SQL["topic_keywords"] = SQL_TOPIC_KEYWORDS
 
 
 def topic_index_dir(sf_dir: str) -> str:
-    """Deterministic per-input model location, fingerprinted by the source
-    file's (size, mtime) — same rule as ann.ivf_index_dir."""
+    """Deterministic per-input model location — the shared
+    exchange.index_fingerprint_dir rule (same as ann.ivf_index_dir)."""
     import os
 
-    src = f"{sf_dir}/documents.parquet"
-    st = os.stat(src)
-    tag = (f"{os.path.basename(os.path.dirname(src))}"
-           f"-{st.st_size}-{st.st_mtime_ns}")
-    return os.path.join("/tmp", "ocrauto_topic_index", tag)
+    from ocrautomator_ray.functions.exchange import index_fingerprint_dir
+
+    return index_fingerprint_dir(os.path.join("/tmp", "ocrauto_topic_index"),
+                                 f"{sf_dir}/documents.parquet")
 
 
 def _evict_stale_topic_indexes(index_dir: str) -> None:
-    """Drop older fingerprints of the same source basename (the
-    ann._evict_stale_indexes rule): regenerated scale dirs would otherwise
-    accrete a duplicate df table under /tmp per rebuild."""
     import os
-    import shutil
 
-    root, tag = os.path.split(index_dir)
-    if os.path.basename(root) != "ocrauto_topic_index" \
-            or not os.path.isdir(root):
-        return
-    base = tag.rsplit("-", 2)[0]
-    for d in os.listdir(root):
-        if d != tag and d.rsplit("-", 2)[0] == base:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    from ocrautomator_ray.functions.exchange import evict_stale_index_dirs
+
+    evict_stale_index_dirs(index_dir,
+                           os.path.join("/tmp", "ocrauto_topic_index"))
 
 
 def topic_index_build(sf_dir: str, k: int = TOPIC_K,

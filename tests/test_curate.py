@@ -299,6 +299,53 @@ def test_bm25_index_append_equals_full_rebuild(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_bm25_incomplete_epoch_is_invisible(tmp_path):
+    """ADVICE r4: the epoch's stats file is its COMMIT MARKER, written only
+    after every postings partition commits. An epoch missing it (a killed
+    append) must be invisible to BOTH readers — stats and fragments — so
+    queries keep answering from the pre-append index, and the retried
+    append must complete the epoch and make it visible atomically."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq_
+
+    from ocrautomator_ray.functions import corpus as CO
+
+    t = pq_.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    half = tmp_path / "half"
+    os.makedirs(half)
+    n = t.num_rows
+    pq_.write_table(t.slice(0, n // 2), f"{half}/documents.parquet")
+    appendix = tmp_path / "appendix.parquet"
+    pq_.write_table(t.slice(n // 2), str(appendix))
+
+    idx = CO.bm25_index_dir(str(half))
+    shutil.rmtree(idx, ignore_errors=True)
+    CO.bm25_index_build(str(half))
+    base_stats = CO._read_bm25_stats(idx)
+    all_buckets = list(range(CO.BM25_BUCKETS))
+    base_frags = set(CO.bm25_bucket_fragments(idx, all_buckets))
+
+    # complete the append, then DELETE the marker to simulate the kill
+    # window between the last postings commit and the stats write
+    s = CO.bm25_index_append(str(appendix), idx)
+    epoch = s["epoch_dir"]
+    os.remove(CO._bm25_stats_path(epoch))
+    assert CO._read_bm25_stats(idx) == base_stats
+    assert set(CO.bm25_bucket_fragments(idx, all_buckets)) == base_frags
+
+    # the retried append resumes (no partitions re-run) and recommits the
+    # marker; both readers now include the epoch
+    s2 = CO.bm25_index_append(str(appendix), idx)
+    assert s2["partitions_this_run"] == 0
+    assert os.path.exists(CO._bm25_stats_path(epoch))
+    assert CO._read_bm25_stats(idx) != base_stats
+    assert set(CO.bm25_bucket_fragments(idx, all_buckets)) > base_frags
+    shutil.rmtree(idx, ignore_errors=True)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_char_diversity_crafted(tmp_path):
     """Hand-computable docs incl. a non-ASCII codepoint: simpson_u must be
     the exact integer collision index and empty docs must be excluded."""

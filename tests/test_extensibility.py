@@ -42,3 +42,22 @@ def test_registered_text_extractor(monkeypatch):
 
         register_text_extractor("plain", extract_plain)
     assert TEXT_EXTRACTORS["plain"] is extract_plain
+
+
+def test_driver_window_composition_is_pinned():
+    """ADVICE r4: the driver attests exactly the first 50 queries() entries,
+    so the intended window must be CODE (ROUND5_WINDOW), not comment
+    arithmetic — every window name leads the dict, in order, and every
+    window entry has either a SQL oracle or a documented rows-only status."""
+    import __ray_entry__ as e
+
+    q = e.queries()
+    w = e.ROUND5_WINDOW
+    assert len(w) == len(set(w)), "duplicate names in the window"
+    assert len(w) <= 50, "window exceeds the driver's 50-entry sample"
+    assert list(q)[: len(w)] == w
+    rows_only = {"lsh_ann_topk", "ivf_ann_topk", "ivf_index_topk",
+                 "approx_distinct_users_per_type", "extract_pipeline"}
+    sql = e.oracle_sql()
+    for name in q:
+        assert name in sql or name in rows_only, f"{name} has no oracle"
