@@ -94,9 +94,13 @@ ROUND5_WINDOW: list[str] = [
     "embedding_curation_pipeline",
     "minhash_cluster_sizes", "hard_negatives", "dsir_resample",
     "neardup_source_matrix", "lang_confusion", "split_balance",
-    # changed in round 5 (adaptive checkpointing / fused PageRank)
+    # changed in round 5 (adaptive checkpointing / fused PageRank /
+    # trainer round-checkpoints / index commit-marker + eviction rules /
+    # char_diversity bound)
     "full_corpus_pipeline", "minhash_dup_clusters", "knn_components",
     "knn_pagerank", "data_value_rank", "value_rank_pipeline",
+    "bpe_train_merges", "bpe_apply_stats", "char_diversity",
+    "bm25_index_topk", "incremental_neardup_indexed",
 ]
 
 

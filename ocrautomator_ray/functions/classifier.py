@@ -65,10 +65,17 @@ def _featurize(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return X, y
 
 
-def _train(sf_dir: str, rounds: int) -> tuple[np.ndarray, int]:
+def _train(sf_dir: str, rounds: int,
+           checkpoint_dir: str | None = None) -> tuple[np.ndarray, int]:
     """((PCT_DIM,) int64 final weights, misclassified count in the last
-    round — i.e. under the weights that round started from)."""
+    round — i.e. under the weights that round started from).
+
+    ``checkpoint_dir``: per-round weight checkpoints (state/rounds.py) — a
+    killed driver resumes the batch-perceptron loop from its last committed
+    round instead of round 0."""
     from ray.data.aggregate import Sum
+
+    from ocrautomator_ray.state.rounds import RoundState, input_fingerprint
 
     partial_schema = pa.schema([
         ("dim", pa.int64()), ("delta", pa.int64()), ("errors", pa.int64()),
@@ -76,7 +83,15 @@ def _train(sf_dir: str, rounds: int) -> tuple[np.ndarray, int]:
     dims = np.arange(PCT_DIM, dtype=np.int64)
     w = np.zeros(PCT_DIM, dtype=np.int64)
     errors = 0
-    for _ in range(rounds):
+    start_round = 0
+    rs = None
+    if checkpoint_dir is not None:
+        rs = RoundState(checkpoint_dir, input_fingerprint(
+            f"{sf_dir}/documents.parquet", rounds=rounds))
+        start_round, state = rs.resume()
+        if state is not None:
+            w, errors = state["w"], int(state["errors"])
+    for rnd in range(start_round, rounds):
         def round_partial(t: pa.Table, w=w) -> pa.Table:
             if t.num_rows == 0:
                 return partial_schema.empty_table()
@@ -101,13 +116,16 @@ def _train(sf_dir: str, rounds: int) -> tuple[np.ndarray, int]:
                   .to_pandas().sort_values("dim"))
         w = w + agg["delta"].to_numpy(dtype=np.int64)
         errors = int(agg["errors"].iloc[0])   # every dim row carries the total
+        if rs is not None:
+            rs.commit(rnd, w=w, errors=np.int64(errors))
     return w, errors
 
 
-def perceptron_lang(sf_dir: str, rounds: int = PCT_ROUNDS) -> rd.Dataset:
+def perceptron_lang(sf_dir: str, rounds: int = PCT_ROUNDS,
+                    checkpoint_dir: str | None = None) -> rd.Dataset:
     """(dim, weight, errors): the trained weight vector (dim = PCT_DIM-1 is
     the bias) and the misclassified-document count of the final round."""
-    w, errors = _train(sf_dir, rounds)
+    w, errors = _train(sf_dir, rounds, checkpoint_dir=checkpoint_dir)
     return rd.from_arrow(pa.table({
         "dim": pa.array(np.arange(PCT_DIM, dtype=np.int64), pa.int64()),
         "weight": pa.array(w, pa.int64()),

@@ -968,15 +968,37 @@ _BPE_SORT1 = [("cnt", "descending"), ("tok_a", "ascending"),
               ("tok_b", "ascending")]
 
 
-def bpe_train_merges(sf_dir: str, rounds: int = BPE_ROUNDS) -> pa.Table:
+def bpe_train_merges(sf_dir: str, rounds: int = BPE_ROUNDS,
+                     checkpoint_dir: str | None = None) -> pa.Table:
     """(merge_round, tok_a, tok_b, cnt): the merge chosen each round with
     its pre-merge global count — ties broken (cnt DESC, tok_a, tok_b).
-    Returns the small driver-side merge table (O(rounds) rows)."""
+    Returns the small driver-side merge table (O(rounds) rows).
+
+    ``checkpoint_dir``: per-round merge-table checkpoints (state/rounds.py)
+    — each round is a full tokenize+pair-count pass over the corpus, so a
+    killed driver resumes from the last committed merge instead of
+    re-training every earlier round."""
+    from ocrautomator_ray.state.rounds import RoundState, input_fingerprint
+
     path = f"{sf_dir}/documents.parquet"
     merges: list[tuple[str, str]] = []
     out_rows: list[tuple[int, str, str, int]] = []
+    start = 1
+    rs = None
+    if checkpoint_dir is not None:
+        rs = RoundState(checkpoint_dir,
+                        input_fingerprint(path, rounds=rounds))
+        nxt, state = rs.resume()
+        if state is not None:
+            merges = list(zip(state["tok_a"].tolist(),
+                              state["tok_b"].tolist()))
+            out_rows = list(zip(state["merge_round"].tolist(),
+                                state["tok_a"].tolist(),
+                                state["tok_b"].tolist(),
+                                state["cnt"].tolist()))
+            start = nxt + 1  # round files are 0-based, merge rounds 1-based
 
-    for r in range(1, rounds + 1):
+    for r in range(start, rounds + 1):
         applied = list(merges)
 
         def pair_rows(t: pa.Table, _m=applied) -> pa.Table:
@@ -1033,6 +1055,13 @@ def bpe_train_merges(sf_dir: str, rounds: int = BPE_ROUNDS) -> pa.Table:
                    int(best["cnt"][0]))
         merges.append((a, b))
         out_rows.append((r, a, b, c))
+        if rs is not None:
+            rs.commit(r - 1,
+                      merge_round=np.array([x[0] for x in out_rows],
+                                           np.int64),
+                      tok_a=np.array([x[1] for x in out_rows], dtype=str),
+                      tok_b=np.array([x[2] for x in out_rows], dtype=str),
+                      cnt=np.array([x[3] for x in out_rows], np.int64))
 
     return pa.table({
         "merge_round": pa.array([x[0] for x in out_rows], pa.int64()),

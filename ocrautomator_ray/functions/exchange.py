@@ -20,7 +20,33 @@ from __future__ import annotations
 import logging
 from collections.abc import Callable
 
+import ray
 import ray.data as rd
+
+# Ray minor versions on which the ONE-block-per-partition hash-shuffle
+# finalize behavior (module docstring) has been verified — by reading
+# hash_shuffle.py and by tests/test_dedup.py's oversized-partition pin. A
+# Ray upgrade that starts splitting finalize output at
+# target_max_block_size would silently fragment key groups across blocks;
+# this gate turns that into an IMPORT-time failure instead of a mid-job
+# duplicate-commit guard trip (VERDICT r4 #6).
+_VERIFIED_RAY_MINORS = ("2.49",)
+
+
+def _check_block_invariant_version(version: str | None = None) -> None:
+    v = ray.__version__ if version is None else version
+    if not any(v == m or v.startswith(m + ".") for m in _VERIFIED_RAY_MINORS):
+        raise RuntimeError(
+            f"ray {v} is not a version on which per_key_blocks' one-block-"
+            "per-partition hash-shuffle invariant has been verified "
+            f"(verified minors: {_VERIFIED_RAY_MINORS}). Re-run "
+            "tests/test_dedup.py::test_per_key_runs_oversized_partition_"
+            "stays_whole (and read ray.data hash_shuffle finalize) on the "
+            "new version, then add its minor to _VERIFIED_RAY_MINORS in "
+            "ocrautomator_ray/functions/exchange.py.")
+
+
+_check_block_invariant_version()
 
 
 class _EmptySchemaWarningFilter(logging.Filter):

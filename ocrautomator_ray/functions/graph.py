@@ -123,27 +123,64 @@ def _make_pr_step(first: bool, last: bool):
     return step
 
 
-def knn_pagerank(sf_dir: str, iters: int = PR_ITERS) -> rd.Dataset:
+def knn_pagerank(sf_dir: str, iters: int = PR_ITERS,
+                 checkpoint_dir: str | None = None) -> rd.Dataset:
     """(vec_id, pr_micros): PageRank of each vector in the within-label
-    k-NN graph after ``iters`` damped power iterations, in exact micros."""
-    work = knn_graph(sf_dir).map_batches(
-        lambda t: pa.table({
-            "node": t["vec_id"].cast(pa.int64()),
-            "dst": t["nbr_id"].cast(pa.int64()),
-            "r": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
-            "outdeg": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
-            "kind": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
-        }),
-        batch_format="pyarrow", zero_copy_batch=True,
+    k-NN graph after ``iters`` damped power iterations, in exact micros.
+
+    ``checkpoint_dir`` makes the ITERATION restartable with the same
+    adaptive dataset-round rule as label propagation (dedup.py): a round's
+    working set (edges + ranks + contributions, edge-sized) commits to
+    parquet only when the round wall clears OCRA_CKPT_MIN_ROUND_SEC, so a
+    killed driver resumes from the last committed round at scale while
+    bench-scale sub-second rounds skip the disk round-trip."""
+    import os
+    import time
+
+    from ocrautomator_ray.functions.dedup import (
+        _commit_round_data,
+        _commit_round_meta,
+        _committed_rounds,
+        _prepare_checkpoint_dir,
     )
+    from ocrautomator_ray.state.rounds import input_fingerprint
+
+    start = 0
+    work = None
+    if checkpoint_dir is not None:
+        _prepare_checkpoint_dir(checkpoint_dir, input_fingerprint(
+            f"{sf_dir}/embeddings.parquet", iters=iters))
+        committed = _committed_rounds(checkpoint_dir)
+        if committed:
+            rnd, dpath, _meta = committed[-1]
+            work = rd.read_parquet(dpath)
+            start = rnd + 1
+    if work is None:
+        work = knn_graph(sf_dir).map_batches(
+            lambda t: pa.table({
+                "node": t["vec_id"].cast(pa.int64()),
+                "dst": t["nbr_id"].cast(pa.int64()),
+                "r": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "outdeg": pa.array(np.zeros(t.num_rows, np.int64),
+                                   pa.int64()),
+                "kind": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+            }),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    min_round_sec = float(os.environ.get("OCRA_CKPT_MIN_ROUND_SEC", "3.0"))
     # step 0 seeds ranks/degrees and emits contribs(r_0); steps 1..iters
     # each apply one update (the last emits the final rank table directly)
-    for i in range(iters + 1):
+    for i in range(start, iters + 1):
+        t0 = time.monotonic()
         work = per_key_blocks(work, ["node"],
                               _make_pr_step(first=i == 0, last=i == iters),
                               num_partitions=8)
         if i < iters:
             work = work.materialize()
+            if (checkpoint_dir is not None
+                    and time.monotonic() - t0 >= min_round_sec):
+                _commit_round_data(work, i, checkpoint_dir)
+                _commit_round_meta(i, checkpoint_dir, sig=0, converged=False)
     return work
 
 

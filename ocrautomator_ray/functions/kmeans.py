@@ -77,16 +77,33 @@ def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
     return np.floor(E * 1e6 + 0.5).astype(np.int64)
 
 
-def _fit_centroids(sf_dir: str, k: int = KM_K,
-                   iters: int = KM_ITERS) -> tuple[np.ndarray, np.ndarray]:
+def _fit_centroids(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS,
+                   checkpoint_dir: str | None = None,
+                   ) -> tuple[np.ndarray, np.ndarray]:
     """Run the distributed Lloyd loop; returns the final (k, dim) int64
     micro-centroid matrix and the per-cluster sizes under the last
     assignment. Shared by kmeans_fit (which tabulates it) and the
-    assignment consumers (cluster_sample)."""
+    assignment consumers (cluster_sample).
+
+    ``checkpoint_dir`` makes the ITERATION restartable (state/rounds.py):
+    every round commits the (k, dim) centroid matrix atomically — each
+    round is a full table pass, the expensive thing a driver death loses —
+    and a resumed driver continues from the last committed round."""
     from ray.data.aggregate import Sum
+
+    from ocrautomator_ray.state.rounds import RoundState, input_fingerprint
 
     C = _init_centroids(sf_dir, k)
     dim = C.shape[1]
+    ns = np.zeros(k, dtype=np.int64)
+    start_round = 0
+    rs = None
+    if checkpoint_dir is not None:
+        rs = RoundState(checkpoint_dir, input_fingerprint(
+            f"{sf_dir}/embeddings.parquet", k=k, iters=iters))
+        start_round, state = rs.resume()
+        if state is not None:
+            C, ns = state["C"], state["ns"]
     partial_schema = pa.schema([
         ("cluster", pa.int64()), ("dim", pa.int64()),
         ("sum_micros", pa.int64()), ("n", pa.int64()),
@@ -94,8 +111,7 @@ def _fit_centroids(sf_dir: str, k: int = KM_K,
     clusters = np.repeat(np.arange(k, dtype=np.int64), dim)
     dims = np.tile(np.arange(1, dim + 1, dtype=np.int64), k)
 
-    ns = np.zeros(k, dtype=np.int64)
-    for _ in range(iters):
+    for rnd in range(start_round, iters):
         def assign_partial(t: pa.Table, C=C) -> pa.Table:
             if t.num_rows == 0:
                 return partial_schema.empty_table()
@@ -127,11 +143,14 @@ def _fit_centroids(sf_dir: str, k: int = KM_K,
         nz = ns > 0
         C = C.copy()
         C[nz] = sums[nz] // ns[nz, None]  # floor division, mirrored in SQL
+        if rs is not None:
+            rs.commit(rnd, C=C, ns=ns)
 
     return C, ns
 
 
-def kmeans_fit(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> rd.Dataset:
+def kmeans_fit(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS,
+               checkpoint_dir: str | None = None) -> rd.Dataset:
     """(cluster, dim, centroid_micros, n) after ``iters`` Lloyd rounds.
 
     ``dim`` is 1-based (generate_subscripts parity), ``centroid_micros`` the
@@ -139,7 +158,7 @@ def kmeans_fit(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> rd.Dataset:
     assignment (repeated per dim; 0 for an empty cluster, whose centroid
     stays at its previous value). k × dim output rows.
     """
-    C, ns = _fit_centroids(sf_dir, k, iters)
+    C, ns = _fit_centroids(sf_dir, k, iters, checkpoint_dir=checkpoint_dir)
     k, dim = C.shape
     clusters = np.repeat(np.arange(k, dtype=np.int64), dim)
     dims = np.tile(np.arange(1, dim + 1, dtype=np.int64), k)
@@ -329,15 +348,30 @@ PQ_ITERS = 2
 
 
 def _fit_pq(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
-            iters: int = PQ_ITERS) -> np.ndarray:
-    """(m, k, dsub) int64 micro sub-centroid codebook."""
+            iters: int = PQ_ITERS,
+            checkpoint_dir: str | None = None) -> np.ndarray:
+    """(m, k, dsub) int64 micro sub-centroid codebook.
+
+    ``checkpoint_dir``: per-round codebook checkpoints (state/rounds.py) —
+    a killed driver resumes the fused-subspace Lloyd from its last
+    committed round instead of round 0."""
     from ray.data.aggregate import Sum
+
+    from ocrautomator_ray.state.rounds import RoundState, input_fingerprint
 
     seeds = _init_centroids(sf_dir, k)          # (k, d) int64 micros
     d = seeds.shape[1]
     dsub = d // m
     C = np.ascontiguousarray(
         seeds.reshape(k, m, dsub).transpose(1, 0, 2))   # (m, k, dsub)
+    start_round = 0
+    rs = None
+    if checkpoint_dir is not None:
+        rs = RoundState(checkpoint_dir, input_fingerprint(
+            f"{sf_dir}/embeddings.parquet", m=m, k=k, iters=iters))
+        start_round, state = rs.resume()
+        if state is not None:
+            C = state["C"]
     partial_schema = pa.schema([
         ("sub", pa.int64()), ("cluster", pa.int64()), ("dim", pa.int64()),
         ("sum_micros", pa.int64()), ("n", pa.int64()),
@@ -346,7 +380,7 @@ def _fit_pq(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
     clusters = np.tile(np.repeat(np.arange(k, dtype=np.int64), dsub), m)
     dims = np.tile(np.arange(1, dsub + 1, dtype=np.int64), m * k)
 
-    for _ in range(iters):
+    for rnd in range(start_round, iters):
         def assign_partial(t: pa.Table, C=C) -> pa.Table:
             if t.num_rows == 0:
                 return partial_schema.empty_table()
@@ -381,15 +415,18 @@ def _fit_pq(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
         C = C.copy()
         nz = ns > 0
         C[nz] = sums[nz] // ns[nz, None]        # floor division, as in SQL
+        if rs is not None:
+            rs.commit(rnd, C=C)
     return C
 
 
 def pq_codes(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
-             iters: int = PQ_ITERS) -> rd.Dataset:
+             iters: int = PQ_ITERS,
+             checkpoint_dir: str | None = None) -> rd.Dataset:
     """(vec_id, sub, code, err2): each vector's nearest sub-centroid per
     subspace and the exact micro-int squared reconstruction error there —
     m rows per vector."""
-    C = _fit_pq(sf_dir, m, k, iters)
+    C = _fit_pq(sf_dir, m, k, iters, checkpoint_dir=checkpoint_dir)
     dsub = C.shape[2]
     out_schema = pa.schema([
         ("vec_id", pa.int64()), ("sub", pa.int64()),

@@ -507,3 +507,24 @@ def test_dedup_rate_by_source_set_logic():
         assert got.loc[src, "n_docs"] == n
         assert got.loc[src, "n_dups"] == d
         assert got.loc[src, "dup_permille"] == d * 1000 // n
+
+
+def test_block_invariant_version_gate():
+    """VERDICT r4 #6: the one-block-per-partition invariant is pinned to
+    verified Ray minors — an unverified version must fail at IMPORT (the
+    gate), not mid-job via the duplicate-commit guard."""
+    import pytest as _pytest
+
+    from ocrautomator_ray.functions.exchange import (
+        _check_block_invariant_version,
+    )
+
+    _check_block_invariant_version()  # the running version is verified
+    _check_block_invariant_version("2.49.2")
+    with _pytest.raises(RuntimeError, match="one-block-per-partition"):
+        _check_block_invariant_version("2.50.0")
+    with _pytest.raises(RuntimeError, match="one-block-per-partition"):
+        _check_block_invariant_version("3.0.0")
+    # prefix must match a version component, not a substring
+    with _pytest.raises(RuntimeError):
+        _check_block_invariant_version("2.490.0")
