@@ -53,6 +53,10 @@ from ocrautomator_ray.pipelines.value_rank import (
     SQL_VALUE_RANK,
     run_value_rank_flagship,
 )
+from ocrautomator_ray.pipelines.watch_incremental import (
+    SQL_WATCH_INCREMENTAL,
+    run_watch_incremental_flagship,
+)
 
 
 def entry() -> Any:
@@ -101,6 +105,24 @@ ROUND5_WINDOW: list[str] = [
     "knn_pagerank", "data_value_rank", "value_rank_pipeline",
     "bpe_train_merges", "bpe_apply_stats", "char_diversity",
     "bm25_index_topk", "incremental_neardup_indexed",
+    # changed in round 5 by the Arrow ports (pandas batch formats removed)
+    # and the shared exact/sketch quantile engine. The ports also touched
+    # event_transitions, user_behavior_vectors, ccnet_filter,
+    # approx_quantiles_value, percentile_filter_docs and the ann finalizers
+    # behind semantic_dedup/pq_ann_topk/hard_negatives (already above) —
+    # those don't fit the 50-entry window; their attestation this round is
+    # the full tools/check_correctness.py sweep + pytest (COVERAGE.md).
+    "sessionize_events", "asof_last_order", "quantiles_qty_by_flag",
+    "sliding_window_activity", "user_event_sequences",
+    "cumulative_user_value", "rolling_value_sum", "event_gaps",
+    "user_event_pivot", "customer_value_ntile", "first_event_per_user",
+    "revenue_by_nation", "type_token_ratio",
+    "lang_id", "ann_topk", "winsorize_values", "value_mad_by_type",
+    # new in round 5: the watch-driven incremental composition (arrivals →
+    # near-dup vs committed index → BM25 epoch appends), oracled by the
+    # one-statement batch recompute (top_events_per_user yielded its slot
+    # to keep the prefix at 50; it joins the sweep-attested group)
+    "watch_incremental_pipeline",
 ]
 
 
@@ -134,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["training_mix_pipeline"] = run_training_mix_flagship
     q["value_rank_pipeline"] = run_value_rank_flagship
     q["embedding_curation_pipeline"] = run_embedding_curation_flagship
+    q["watch_incremental_pipeline"] = run_watch_incremental_flagship
     # order: the pinned attestation window first, everything else after in
     # registration order (dict.update leaves already-present keys in place)
     out = {k: q[k] for k in ROUND5_WINDOW}
@@ -170,6 +193,7 @@ def oracle_sql() -> dict[str, str]:
     sql["training_mix_pipeline"] = SQL_TRAINING_MIX
     sql["value_rank_pipeline"] = SQL_VALUE_RANK
     sql["embedding_curation_pipeline"] = SQL_EMBEDDING_CURATION
+    sql["watch_incremental_pipeline"] = SQL_WATCH_INCREMENTAL
     # Rows-only (non-SQL-expressible): lsh_ann_topk, ivf_ann_topk,
     # ivf_index_topk, approx_distinct_users_per_type, extract_pipeline —
     # each has a pytest oracle instead (tests/): ivf_index_topk is pinned

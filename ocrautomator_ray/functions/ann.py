@@ -94,19 +94,22 @@ def ann_topk(sf_dir: str, num_queries: int = ANN_NUM_QUERIES, k: int = ANN_K) ->
             "sim": pa.array(out_s, pa.float64()),
         })
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        return pd.DataFrame({
-            "qid": g["qid"].values,
-            "vec_id": g["vec_id"].values,
-            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+    def final_topk(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = g.take(pc.sort_indices(g, sort_keys=[
+            ("sim", "descending"), ("vec_id", "ascending")])).slice(0, k)
+        return pa.table({
+            "qid": s["qid"], "vec_id": s["vec_id"],
+            "rank": pa.array(np.arange(1, s.num_rows + 1, dtype=np.int64),
+                             pa.int64()),
         })
 
     ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
     return (
         ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("qid", num_partitions=4)
-        .map_groups(final_topk, batch_format="pandas")
+        .map_groups(final_topk, batch_format="pyarrow")
     )
 
 
@@ -180,12 +183,15 @@ def hard_negatives(sf_dir: str, num_queries: int = ANN_NUM_QUERIES,
             "sim": pa.array(out_s, pa.float64()),
         })
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        return pd.DataFrame({
-            "qid": g["qid"].values,
-            "vec_id": g["vec_id"].values,
-            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+    def final_topk(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = g.take(pc.sort_indices(g, sort_keys=[
+            ("sim", "descending"), ("vec_id", "ascending")])).slice(0, k)
+        return pa.table({
+            "qid": s["qid"], "vec_id": s["vec_id"],
+            "rank": pa.array(np.arange(1, s.num_rows + 1, dtype=np.int64),
+                             pa.int64()),
         })
 
     ds = pruned_read(f"{sf_dir}/embeddings.parquet",
@@ -194,7 +200,7 @@ def hard_negatives(sf_dir: str, num_queries: int = ANN_NUM_QUERIES,
         ds.map_batches(partial_topk, batch_format="pyarrow",
                        zero_copy_batch=True)
         .groupby("qid", num_partitions=4)
-        .map_groups(final_topk, batch_format="pandas")
+        .map_groups(final_topk, batch_format="pyarrow")
     )
 
 
@@ -277,19 +283,22 @@ def lsh_ann_topk(sf_dir: str, num_queries: int = ANN_NUM_QUERIES, k: int = ANN_K
             "sim": pa.array(out_s, pa.float64()),
         })
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        return pd.DataFrame({
-            "qid": g["qid"].values,
-            "vec_id": g["vec_id"].values,
-            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+    def final_topk(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = g.take(pc.sort_indices(g, sort_keys=[
+            ("sim", "descending"), ("vec_id", "ascending")])).slice(0, k)
+        return pa.table({
+            "qid": s["qid"], "vec_id": s["vec_id"],
+            "rank": pa.array(np.arange(1, s.num_rows + 1, dtype=np.int64),
+                             pa.int64()),
         })
 
     ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
     return (
         ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("qid", num_partitions=4)
-        .map_groups(final_topk, batch_format="pandas")
+        .map_groups(final_topk, batch_format="pyarrow")
     )
 
 
@@ -382,19 +391,22 @@ def ivf_ann_topk(sf_dir: str, num_queries: int = ANN_NUM_QUERIES,
             "sim": pa.array(out_s, pa.float64()),
         })
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        return pd.DataFrame({
-            "qid": g["qid"].values,
-            "vec_id": g["vec_id"].values,
-            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+    def final_topk(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = g.take(pc.sort_indices(g, sort_keys=[
+            ("sim", "descending"), ("vec_id", "ascending")])).slice(0, k)
+        return pa.table({
+            "qid": s["qid"], "vec_id": s["vec_id"],
+            "rank": pa.array(np.arange(1, s.num_rows + 1, dtype=np.int64),
+                             pa.int64()),
         })
 
     ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
     return (
         ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("qid", num_partitions=4)
-        .map_groups(final_topk, batch_format="pandas")
+        .map_groups(final_topk, batch_format="pyarrow")
     )
 
 
@@ -621,19 +633,22 @@ def ivf_index_topk(sf_dir: str, num_queries: int = ANN_NUM_QUERIES,
             "sim": pa.array(out_s, pa.float64()),
         })
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        return pd.DataFrame({
-            "qid": g["qid"].values,
-            "vec_id": g["vec_id"].values,
-            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+    def final_topk(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = g.take(pc.sort_indices(g, sort_keys=[
+            ("sim", "descending"), ("vec_id", "ascending")])).slice(0, k)
+        return pa.table({
+            "qid": s["qid"], "vec_id": s["vec_id"],
+            "rank": pa.array(np.arange(1, s.num_rows + 1, dtype=np.int64),
+                             pa.int64()),
         })
 
     ds = rd.read_parquet(ivf_probe_fragments(index_dir, probe))
     return (
         ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("qid", num_partitions=4)
-        .map_groups(final_topk, batch_format="pandas")
+        .map_groups(final_topk, batch_format="pyarrow")
     )
 
 

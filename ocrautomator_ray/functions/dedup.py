@@ -77,9 +77,7 @@ def _per_key_runs(ds: rd.Dataset, keys: list[str], fn, empty_schema: pa.Schema,
         return per_key_blocks(ds, keys, per_block,
                               num_partitions=num_partitions)
     except ImportError:  # pre-HASH_SHUFFLE Ray: portable sort-based fallback
-        return ds.groupby(keys).map_groups(
-            lambda g: fn(pa.Table.from_pandas(g)), batch_format="pandas"
-        )
+        return ds.groupby(keys).map_groups(fn, batch_format="pyarrow")
 
 
 from ocrautomator_ray.functions.exchange import (

@@ -84,31 +84,47 @@ WHERE stop_hits >= {MIN_STOP_HITS}
 def type_token_ratio(sf_dir: str) -> rd.Dataset:
     ds = pruned_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
 
-    def ttr(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.findall(WORD_RE)
-        lens = toks.str.len().to_numpy(dtype=np.int64)
-        if lens.sum() == 0:
-            return pd.DataFrame({
-                "doc_id": df["doc_id"].to_numpy(),
-                "n_words": lens,
-                "n_distinct": np.zeros(len(df), dtype=np.int64),
-                "ttr": np.full(len(df), np.nan),
-            })
-        flat = pd.DataFrame({
-            "i": np.repeat(np.arange(len(df), dtype=np.int64), lens),
-            "w": np.concatenate([np.asarray(x, dtype=object) for x in toks]),
-        })
-        nd = np.zeros(len(df), dtype=np.int64)
-        g = flat.groupby("i")["w"].nunique()
-        nd[g.index.to_numpy()] = g.to_numpy()
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(),
-            "n_words": lens,
-            "n_distinct": nd,
-            "ttr": nd.astype(np.float64) / lens.astype(np.float64),
+    ttr_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_words", pa.int64()),
+        ("n_distinct", pa.int64()), ("ttr", pa.float64()),
+    ])
+
+    def ttr(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return ttr_schema.empty_table()
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        # split on \s+ and drop the empty boundary pieces ≡ findall(\S+)
+        parts = pc.split_pattern_regex(texts, pattern=r"\s+")
+        flat = pc.list_flatten(parts)
+        counts = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        lens = np.bincount(idx[nonempty],
+                           minlength=len(texts)).astype(np.int64)
+        # distinct words/doc: distinct (doc, word) pairs, then rows per doc
+        pairs = pa.TableGroupBy(pa.table({
+            "i": pa.array(idx[nonempty], pa.int64()),
+            "w": flat.filter(pa.array(nonempty)),
+        }), ["i", "w"]).aggregate([([], "count_all")])
+        per_doc = pa.TableGroupBy(pairs.select(["i"]), "i").aggregate(
+            [([], "count_all")])
+        nd = np.zeros(len(texts), np.int64)
+        nd[per_doc["i"].to_numpy(zero_copy_only=False)] = \
+            per_doc["count_all"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = nd.astype(np.float64) / lens.astype(np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(lens, pa.int64()),
+            "n_distinct": pa.array(nd, pa.int64()),
+            "ttr": pa.array(ratio, pa.float64()),
         })
 
-    return ds.map_batches(ttr, batch_format="pandas")
+    return ds.map_batches(ttr, batch_format="pyarrow", zero_copy_batch=True)
 
 
 SQL_TYPE_TOKEN_RATIO = f"""
@@ -132,6 +148,9 @@ PCTL_NUM, PCTL_DEN = 9, 10  # p90
 
 def _disc_threshold(vals: np.ndarray, counts: np.ndarray,
                     num: int, den: int) -> int:
+    """quantile_disc over a (values, counts) domain — the selection rule
+    grouped_disc_quantiles' exact path applies, pinned vs DuckDB in
+    tests/test_filters.py."""
     from ocrautomator_ray.functions.relational2 import disc_quantile
 
     order = np.argsort(vals)
@@ -139,25 +158,200 @@ def _disc_threshold(vals: np.ndarray, counts: np.ndarray,
     return int(disc_quantile(vals, np.cumsum(counts), num, den))
 
 
+# --------------------------------------------------------------------------
+# grouped_disc_quantiles — the shared selection-exact / histogram-sketch
+# quantile engine behind percentile_filter_docs, winsorize_values and
+# value_mad_by_type (VERDICT r4 #7). Exact path: one (group, value) count
+# exchange, per-group disc_quantile selection — hash-identical to DuckDB's
+# quantile_disc, but the value DOMAIN must fit a block (grouped) or the
+# driver (global). When the domain's distinct count exceeds the cap (a
+# continuous double column at corpus scale), the same count exchange
+# instead feeds approx_quantiles_value's mergeable-histogram shape: one
+# (group, bin) exchange bounded at groups × nbins rows, each estimate a bin
+# lower edge within (hi − lo)/nbins of the exact answer, and no node ever
+# materializes the value domain.
+# --------------------------------------------------------------------------
+
+QUANTILE_DOMAIN_CAP = 2_000_000
+QUANTILE_SKETCH_NBINS = 8192
+
+
+def grouped_disc_quantiles(base: rd.Dataset, group_col: str | None,
+                           value_col: str, qs: list[tuple[int, int]],
+                           domain_cap: int | None = None,
+                           nbins: int = QUANTILE_SKETCH_NBINS,
+                           ) -> tuple[pd.DataFrame, str]:
+    """((group?, n, q0..q{len(qs)-1}) DataFrame, path): per-group discrete
+    quantiles of ``value_col`` for each (num, den) in ``qs``; ``path`` is
+    "exact" or "sketch". Global quantiles: pass ``group_col=None`` (one
+    output row)."""
+    import os
+
+    from ocrautomator_ray.functions.exchange import per_key_blocks
+    from ocrautomator_ray.functions.relational2 import disc_quantile
+
+    cap = domain_cap if domain_cap is not None else int(os.environ.get(
+        "OCRA_QUANTILE_DOMAIN_CAP", str(QUANTILE_DOMAIN_CAP)))
+    gcols = [group_col] if group_col else []
+    key_cols = gcols + [value_col]
+
+    vc_fields = ([(group_col, pa.string())] if group_col else []) \
+        + [(value_col, pa.float64()), ("n", pa.int64())]
+    vc_schema = pa.schema(vc_fields)
+
+    def vcount(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return vc_schema.empty_table()
+        g = pa.TableGroupBy(t.select(key_cols), key_cols).aggregate(
+            [([], "count_all")])
+        cols = {c: g[c] for c in gcols}
+        cols[value_col] = g[value_col].cast(pa.float64())
+        cols["n"] = g["count_all"].cast(pa.int64())
+        return pa.table(cols)
+
+    counts = (base.map_batches(vcount, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .groupby(key_cols, num_partitions=4)
+              .aggregate(Sum("n", alias_name="n")))
+    counts = counts.materialize()
+    qnames = [f"q{i}" for i in range(len(qs))]
+
+    if counts.count() <= cap:
+        # ---- exact selection path (discrete/bounded domains) ----
+        def solve(et, v, n):
+            order = np.lexsort((v, et)) if len(gcols) else np.argsort(v)
+            v, n = v[order], n[order]
+            if len(gcols):
+                et = et[order]
+                starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+            else:
+                starts = np.array([0]) if len(v) else np.empty(0, np.int64)
+            ends = np.r_[starts[1:], len(v)]
+            rows: dict[str, list] = {c: [] for c in gcols}
+            rows["n"] = []
+            for qn in qnames:
+                rows[qn] = []
+            for s, e in zip(starts, ends):
+                cum = np.cumsum(n[s:e])
+                if gcols:
+                    rows[group_col].append(et[s])
+                rows["n"].append(int(cum[-1]))
+                for qn, (num, den) in zip(qnames, qs):
+                    rows[qn].append(float(disc_quantile(v[s:e], cum,
+                                                        num, den)))
+            return pd.DataFrame(rows)
+
+        if gcols:
+            out_schema = pa.schema(
+                [(group_col, pa.string()), ("n", pa.int64())]
+                + [(qn, pa.float64()) for qn in qnames])
+
+            def block_fn(block: pa.Table) -> pa.Table:
+                if block.num_rows == 0:
+                    return out_schema.empty_table()
+                g = pa.TableGroupBy(block, key_cols).aggregate([("n", "sum")])
+                df = solve(
+                    g[group_col].to_numpy(zero_copy_only=False),
+                    g[value_col].to_numpy(zero_copy_only=False),
+                    g["n_sum"].to_numpy(zero_copy_only=False))
+                return pa.Table.from_pandas(df, schema=out_schema,
+                                            preserve_index=False)
+
+            df = per_key_blocks(counts, gcols, block_fn,
+                                num_partitions=4).to_pandas()
+        else:
+            rows = counts.take_all()   # ≤ cap rows by the guard above
+            df = solve(None,
+                       np.array([r[value_col] for r in rows], np.float64),
+                       np.array([r["n"] for r in rows], np.int64))
+        return df, "exact"
+
+    # ---- histogram-sketch path (continuous/unbounded domains) ----
+    from ray.data.aggregate import Max, Min
+
+    if gcols:
+        stats = (counts.groupby(group_col)
+                 .aggregate(Min(value_col, alias_name="lo"),
+                            Max(value_col, alias_name="hi"),
+                            Sum("n", alias_name="n"))
+                 .to_pandas())                  # O(groups)
+    else:
+        agg = counts.aggregate(Min(value_col, alias_name="lo"),
+                               Max(value_col, alias_name="hi"),
+                               Sum("n", alias_name="n"))
+        stats = pd.DataFrame([agg])
+    if gcols:
+        g_sorted = np.sort(stats[group_col].to_numpy())
+        g_order = np.argsort(stats[group_col].to_numpy())
+        lo_v = stats["lo"].to_numpy()[g_order]
+        hi_v = stats["hi"].to_numpy()[g_order]
+    else:
+        lo_v = stats["lo"].to_numpy()
+        hi_v = stats["hi"].to_numpy()
+
+    bin_fields = ([(group_col, pa.string())] if group_col else []) \
+        + [("bin", pa.int64()), ("n", pa.int64())]
+    bin_schema = pa.schema(bin_fields)
+
+    def to_bins(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return bin_schema.empty_table()
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        if gcols:
+            i = np.searchsorted(g_sorted, t[group_col].to_numpy(
+                zero_copy_only=False))
+            lo, hi = lo_v[i], hi_v[i]
+        else:
+            lo, hi = lo_v[0], hi_v[0]
+        width = np.maximum(hi - lo, np.finfo(np.float64).tiny)
+        b = np.minimum((np.maximum(v - lo, 0.0) / width
+                        * nbins).astype(np.int64), nbins - 1)
+        cols = {c: t[c] for c in gcols}
+        cols["bin"] = pa.array(b, pa.int64())
+        cols["n"] = t["n"]
+        return pa.table(cols)
+
+    hist = (counts.map_batches(to_bins, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby(gcols + ["bin"], num_partitions=4)
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())                       # ≤ groups × nbins rows
+    rows: dict[str, list] = {c: [] for c in gcols}
+    rows["n"] = []
+    for qn in qnames:
+        rows[qn] = []
+    if gcols:
+        hist = hist.sort_values([group_col, "bin"])
+        groups = [(k, g) for k, g in hist.groupby(group_col, sort=True)]
+    else:
+        groups = [(None, hist.sort_values("bin"))]
+    for k, g in groups:
+        bins = g["bin"].to_numpy()
+        cum = g["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+        if gcols:
+            j = int(np.searchsorted(g_sorted, k))
+            lo, hi = lo_v[j], hi_v[j]
+            rows[group_col].append(k)
+        else:
+            lo, hi = lo_v[0], hi_v[0]
+        rows["n"].append(n)
+        for qn, (num, den) in zip(qnames, qs):
+            rank = max(-(-(n * num) // den), 1)
+            b = int(bins[np.searchsorted(cum, rank)])
+            rows[qn].append(lo + b * (hi - lo) / nbins)
+    return pd.DataFrame(rows), "sketch"
+
+
 def percentile_filter_docs(sf_dir: str) -> rd.Dataset:
     path = f"{sf_dir}/documents.parquet"
     ds = pruned_read(path, ["n_chars"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t, "n_chars").aggregate([([], "count_all")])
-        return g.rename_columns(["n_chars", "n"])
-
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("n_chars", num_partitions=4)
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()  # aggregated (distinct n_chars, count) — value-domain sized
-    )
-    thr = _disc_threshold(
-        np.array([r["n_chars"] for r in counts], dtype=np.int64),
-        np.array([r["n"] for r in counts], dtype=np.int64),
-        PCTL_NUM, PCTL_DEN,
-    )
+    # exact selection for this discrete int domain; a continuous
+    # high-cardinality column would flip grouped_disc_quantiles to its
+    # histogram-sketch path instead of take_all-ing the value domain
+    df, _ = grouped_disc_quantiles(ds, None, "n_chars",
+                                   [(PCTL_NUM, PCTL_DEN)])
+    thr = df["q0"].iloc[0]
     return stripped_read(
         path, columns=["doc_id", "n_chars"],
         filter=pc.field("n_chars") >= thr,  # predicate pushdown at the read
@@ -368,57 +562,17 @@ def winsorize_values(sf_dir: str) -> rd.Dataset:
     """(event_id, event_type, value, value_w): value_w is value clamped to
     the event_type's [quantile_disc(.01), quantile_disc(.99)].  Clamping is
     pure selection (no arithmetic), so floats hash-compare exactly."""
-    from ocrautomator_ray.functions.exchange import per_key_blocks
-    from ocrautomator_ray.functions.relational2 import disc_quantile
-
     path = f"{sf_dir}/events.parquet"
     base = pruned_read(path, ["event_id", "event_type", "value"])
 
-    vc_schema = pa.schema([("event_type", pa.string()),
-                           ("value", pa.float64()), ("n", pa.int64())])
-
-    def vc(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return vc_schema.empty_table()
-        g = pa.TableGroupBy(t.select(["event_type", "value"]),
-                            ["event_type", "value"]).aggregate(
-            [([], "count_all")])
-        return pa.table({"event_type": g["event_type"], "value": g["value"],
-                         "n": g["count_all"].cast(pa.int64())})
-
-    thr_schema = pa.schema([("event_type", pa.string()),
-                            ("lo", pa.float64()), ("hi", pa.float64())])
-
-    def thr_block(block: pa.Table) -> pa.Table:
-        if block.num_rows == 0:
-            return thr_schema.empty_table()
-        g = pa.TableGroupBy(block, ["event_type", "value"]).aggregate(
-            [("n", "sum")])
-        et = g["event_type"].to_numpy(zero_copy_only=False)
-        v = g["value"].to_numpy(zero_copy_only=False)
-        n = g["n_sum"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, et))
-        et, v, n = et[order], v[order], n[order]
-        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
-        ends = np.r_[starts[1:], len(et)]
-        types, los, his = [], [], []
-        for s, e in zip(starts, ends):
-            cum = np.cumsum(n[s:e])
-            types.append(et[s])
-            los.append(float(disc_quantile(v[s:e], cum, *WINSOR_LO)))
-            his.append(float(disc_quantile(v[s:e], cum, *WINSOR_HI)))
-        return pa.table({"event_type": pa.array(types, pa.string()),
-                         "lo": pa.array(los, pa.float64()),
-                         "hi": pa.array(his, pa.float64())})
-
-    thr = per_key_blocks(
-        base.map_batches(vc, batch_format="pyarrow", zero_copy_batch=True),
-        ["event_type"], thr_block, num_partitions=4,
-    ).to_pandas()  # O(types) rows — the only driver materialization
+    # per-type [p01, p99] through the shared exact/sketch quantile engine;
+    # O(types) driver rows either way
+    thr, _ = grouped_disc_quantiles(base, "event_type", "value",
+                                    [WINSOR_LO, WINSOR_HI])
     t_sorted = np.sort(thr["event_type"].to_numpy())
     t_order = np.argsort(thr["event_type"].to_numpy())
-    lo_v = thr["lo"].to_numpy()[t_order]
-    hi_v = thr["hi"].to_numpy()[t_order]
+    lo_v = thr["q0"].to_numpy()[t_order]
+    hi_v = thr["q1"].to_numpy()[t_order]
 
     def clamp(t: pa.Table) -> pa.Table:
         et = t["event_type"].to_numpy(zero_copy_only=False)
@@ -579,53 +733,14 @@ SQL["quantile_normalize"] = SQL_QUANTILE_NORMALIZE
 
 def value_mad_by_type(sf_dir: str) -> rd.Dataset:
     """(event_type, n, med, mad): per-type exact discrete median of value
-    and of |value − med|."""
-    from ocrautomator_ray.functions.exchange import per_key_blocks
-    from ocrautomator_ray.functions.relational2 import disc_quantile
-
+    and of |value − med| (both through the shared exact/sketch quantile
+    engine; a continuous domain flips to the histogram path)."""
     path = f"{sf_dir}/events.parquet"
     base = pruned_read(path, ["event_type", "value"])
 
-    vc_schema = pa.schema([("event_type", pa.string()),
-                           ("value", pa.float64()), ("n", pa.int64())])
-
-    def vc(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return vc_schema.empty_table()
-        g = pa.TableGroupBy(t.select(["event_type", "value"]),
-                            ["event_type", "value"]).aggregate(
-            [([], "count_all")])
-        return pa.table({"event_type": g["event_type"], "value": g["value"],
-                         "n": g["count_all"].cast(pa.int64())})
-
-    def med_block(block: pa.Table) -> pa.Table:
-        out_schema = pa.schema([("event_type", pa.string()),
-                                ("n", pa.int64()), ("q", pa.float64())])
-        if block.num_rows == 0:
-            return out_schema.empty_table()
-        g = pa.TableGroupBy(block, ["event_type", "value"]).aggregate(
-            [("n", "sum")])
-        et = g["event_type"].to_numpy(zero_copy_only=False)
-        v = g["value"].to_numpy(zero_copy_only=False)
-        n = g["n_sum"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, et))
-        et, v, n = et[order], v[order], n[order]
-        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
-        ends = np.r_[starts[1:], len(et)]
-        types, ns, qs = [], [], []
-        for s, e in zip(starts, ends):
-            cum = np.cumsum(n[s:e])
-            types.append(et[s])
-            ns.append(int(cum[-1]))
-            qs.append(float(disc_quantile(v[s:e], cum, 1, 2)))
-        return pa.table({"event_type": pa.array(types, pa.string()),
-                         "n": pa.array(ns, pa.int64()),
-                         "q": pa.array(qs, pa.float64())})
-
     def _per_type_median(ds) -> "object":
-        return per_key_blocks(
-            ds.map_batches(vc, batch_format="pyarrow", zero_copy_batch=True),
-            ["event_type"], med_block, num_partitions=4).to_pandas()
+        df, _ = grouped_disc_quantiles(ds, "event_type", "value", [(1, 2)])
+        return df.rename(columns={"q0": "q"})
 
     med = _per_type_median(base)              # O(types) rows
     t_sorted = np.sort(med["event_type"].to_numpy())

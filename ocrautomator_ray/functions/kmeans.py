@@ -600,20 +600,21 @@ def pq_ann_topk(sf_dir: str, k_top: int = PQ_ANN_K,
             "adist2": pa.array(adist, pa.int64()),
         })
 
-    def final(g: "object") -> "object":
-        import pandas as pd
+    def final(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-        g = g.sort_values(["adist2", "vec_id"]).head(k_top)
-        return pd.DataFrame({
-            "qid": g["qid"].values, "vec_id": g["vec_id"].values,
-            "adist2": g["adist2"].values,
-            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        s = g.take(pc.sort_indices(g, sort_keys=[
+            ("adist2", "ascending"), ("vec_id", "ascending")])).slice(0, k_top)
+        return pa.table({
+            "qid": s["qid"], "vec_id": s["vec_id"], "adist2": s["adist2"],
+            "rank": pa.array(np.arange(1, s.num_rows + 1, dtype=np.int64),
+                             pa.int64()),
         })
 
     ds = pruned_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
     return (ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
               .groupby("qid", num_partitions=1)
-              .map_groups(final, batch_format="pandas"))
+              .map_groups(final, batch_format="pyarrow"))
 
 
 def _sql_pq_ann(k_top: int = PQ_ANN_K, m: int = PQ_M, k: int = PQ_K,

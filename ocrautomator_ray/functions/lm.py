@@ -1207,8 +1207,9 @@ def ccnet_filter(sf_dir: str) -> rd.Dataset:
         lambda t: t.filter(pc.less_equal(t["bucket"], CCNET_KEEP_BUCKETS)),
         batch_format="pyarrow", zero_copy_batch=True)
     langs = lang_id(sf_dir).map_batches(
-        lambda df: df.loc[df["pred_lang"] == CCNET_LANG, ["doc_id"]],
-        batch_format="pandas")
+        lambda t: t.filter(pc.equal(t["pred_lang"],
+                                    CCNET_LANG)).select(["doc_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
     return buckets.join(
         langs, join_type="inner",
         num_partitions=auto_partitions(f"{sf_dir}/documents.parquet"),

@@ -115,30 +115,37 @@ WHERE l_shipdate > TIMESTAMP '1997-01-01' AND l_discount > 0.05
 # --------------------------------------------------------------------------
 
 def first_event_per_user(sf_dir: str) -> rd.Dataset:
-    from ocrautomator_ray.functions.exchange import (arrow_clean,
-                                                     auto_partitions,
+    from ocrautomator_ray.functions.exchange import (auto_partitions,
                                                      per_key_blocks)
 
     ev_path = f"{sf_dir}/events.parquet"
     ds = pruned_read(ev_path, ["user_id", "ts", "event_id", "event_type"])
 
-    def partial(df: pd.DataFrame):
+    _keys = [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")]
+
+    def _first_per_user(t: pa.Table) -> pa.Table:
+        s = t.take(pc.sort_indices(t, sort_keys=_keys))
+        u = s["user_id"].to_numpy(zero_copy_only=False)
+        first = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) \
+            if len(u) else np.empty(0, np.int64)
+        return s.take(pa.array(first, pa.int64()))
+
+    def partial(t: pa.Table) -> pa.Table:
         # per-batch pre-reduce: keep each user's first row; shrinks the
-        # shuffle. arrow_clean: pandas output feeding a hash exchange.
-        return arrow_clean(
-            df.sort_values(["ts", "event_id"]).drop_duplicates("user_id"))
+        # shuffle
+        return _first_per_user(t)
 
-    def first_rows(block: pd.DataFrame) -> pd.DataFrame:
+    def first_rows(block: pa.Table) -> pa.Table:
         # block holds every surviving row of each of its users (hash exchange)
-        g = block.sort_values(["user_id", "ts", "event_id"]) \
-            .drop_duplicates("user_id")
-        return pd.DataFrame({"user_id": g["user_id"].values,
-                             "first_ts": g["ts"].values,
-                             "first_type": g["event_type"].values})
+        g = _first_per_user(block)
+        return pa.table({"user_id": g["user_id"], "first_ts": g["ts"],
+                         "first_type": g["event_type"]})
 
-    return per_key_blocks(ds.map_batches(partial, batch_format="pandas"),
-                          ["user_id"], first_rows, batch_format="pandas",
-                          num_partitions=auto_partitions(ev_path))
+    return per_key_blocks(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], first_rows,
+        num_partitions=auto_partitions(ev_path))
 
 
 SQL_FIRST_EVENT = """
@@ -215,27 +222,37 @@ WHERE c_custkey NOT IN (
 def revenue_by_nation(sf_dir: str) -> rd.Dataset:
     import ray
 
-    cust = pruned_read(f"{sf_dir}/customer.parquet", ["c_custkey", "c_nationkey"]).to_pandas()
-    nation = pruned_read(f"{sf_dir}/nation.parquet", ["n_nationkey", "n_name"]).to_pandas()
-    cust2nation = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    lookup_ref = ray.put(
-        dict(zip(cust2nation["c_custkey"].to_numpy(), cust2nation["n_name"]))
-    )
+    cust = pruned_read(f"{sf_dir}/customer.parquet",
+                       ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pruned_read(f"{sf_dir}/nation.parquet",
+                         ["n_nationkey", "n_name"]).to_pandas()
+    cust2nation = cust.merge(nation, left_on="c_nationkey",
+                             right_on="n_nationkey")
+    # broadcast as a sorted (keys, names) pair: searchsorted lookup inside
+    # the batch fn, no per-row dict probes
+    order = np.argsort(cust2nation["c_custkey"].to_numpy())
+    lookup_ref = ray.put((
+        cust2nation["c_custkey"].to_numpy()[order],
+        cust2nation["n_name"].to_numpy()[order]))
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        lut = ray.get(lookup_ref)
-        df = df.assign(
-            n_name=df["o_custkey"].map(lut),
-            revenue_cents=np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64),
-        )
-        g = df.groupby("n_name", as_index=False).agg(
-            revenue_cents=("revenue_cents", "sum"), num_orders=("o_orderkey", "count")
-        )
-        return g
+    def partial(t: pa.Table) -> pa.Table:
+        keys, names = ray.get(lookup_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        n_name = names[np.searchsorted(keys, ck)]
+        cents = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+        g = pa.TableGroupBy(pa.table({
+            "n_name": pa.array(n_name, pa.string()),
+            "revenue_cents": pa.array(cents, pa.int64()),
+        }), "n_name").aggregate([("revenue_cents", "sum"), ([], "count_all")])
+        return pa.table({"n_name": g["n_name"],
+                         "revenue_cents": g["revenue_cents_sum"],
+                         "num_orders": g["count_all"].cast(pa.int64())})
 
     return (
-        pruned_read(f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey", "o_totalprice"])
-        .map_batches(partial, batch_format="pandas")
+        pruned_read(f"{sf_dir}/orders.parquet",
+                    ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("n_name", num_partitions=4)
         .aggregate(
             Sum("revenue_cents", alias_name="revenue_cents"),

@@ -132,32 +132,45 @@ def sessionize_events(sf_dir: str) -> rd.Dataset:
     ev_path = f"{sf_dir}/events.parquet"
     ds = pruned_read(ev_path, ["user_id", "ts", "event_id"])
 
-    def sessions_block(block: pd.DataFrame) -> pd.DataFrame:
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("session_id", pa.int64()),
+        ("n_events", pa.int64()),
+        ("session_start", pa.timestamp("us")),
+        ("session_end", pa.timestamp("us")),
+    ])
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+
+    def sessions_block(block: pa.Table) -> pa.Table:
         # all rows of each user are in this block (hash exchange); one
-        # vectorized pass sessionizes every user at once
-        if block.empty:
-            return pd.DataFrame({
-                "user_id": pd.Series([], dtype=np.int64),
-                "session_id": pd.Series([], dtype=np.int64),
-                "n_events": pd.Series([], dtype=np.int64),
-                "session_start": pd.Series([], dtype="datetime64[us]"),
-                "session_end": pd.Series([], dtype="datetime64[us]"),
-            })
-        g = block.sort_values(["user_id", "ts", "event_id"])
-        new_user = g["user_id"].ne(g["user_id"].shift())
-        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        new_s = (new_user | gap)
-        sid = new_s.groupby(g["user_id"].values).cumsum().astype(np.int64)
-        out = (
-            g.assign(session_id=sid)
-            .groupby(["user_id", "session_id"], as_index=False)
-            .agg(n_events=("event_id", "count"),
-                 session_start=("ts", "min"), session_end=("ts", "max"))
-        )
-        return out
+        # vectorized pass sessionizes every user at once: session starts
+        # are user boundaries OR >gap deltas, sessions are then runs
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        s = block.take(pc.sort_indices(block, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")]))
+        u = s["user_id"].to_numpy(zero_copy_only=False)
+        ts = s["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        tsi = ts.astype(np.int64)
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        new_s = new_user | np.r_[False, (tsi[1:] - tsi[:-1]) > gap_us]
+        # per-user session id = global running start count rebased per user
+        cs = np.cumsum(new_s)
+        ustarts = np.flatnonzero(new_user)
+        urun = np.diff(np.r_[ustarts, len(u)])
+        sid = cs - np.repeat(cs[ustarts] - 1, urun)
+        sstarts = np.flatnonzero(new_s)
+        srun = np.diff(np.r_[sstarts, len(u)])
+        ends = np.r_[sstarts[1:], len(u)] - 1
+        return pa.table({
+            "user_id": pa.array(u[sstarts], pa.int64()),
+            "session_id": pa.array(sid[sstarts], pa.int64()),
+            "n_events": pa.array(srun, pa.int64()),
+            "session_start": pa.array(ts[sstarts], pa.timestamp("us")),
+            "session_end": pa.array(ts[ends], pa.timestamp("us")),
+        })
 
     return per_key_blocks(ds, ["user_id"], sessions_block,
-                          batch_format="pandas",
                           num_partitions=auto_partitions(ev_path))
 
 
@@ -190,36 +203,48 @@ TOPK_PER_USER = 2
 
 
 def top_events_per_user(sf_dir: str) -> rd.Dataset:
-    from ocrautomator_ray.functions.exchange import (arrow_clean,
-                                                     auto_partitions,
+    from ocrautomator_ray.functions.exchange import (auto_partitions,
                                                      per_key_blocks)
 
     ev_path = f"{sf_dir}/events.parquet"
     ds = pruned_read(ev_path, ["user_id", "event_id", "value"])
 
-    def partial(df: pd.DataFrame):
-        # batch-local top-k per user — shrinks the shuffle to k rows/user/batch
-        return arrow_clean(
-            df.sort_values(["value", "event_id"], ascending=[False, True])
-            .groupby("user_id", as_index=False)
-            .head(TOPK_PER_USER)
-        )
+    _keys = [("user_id", "ascending"), ("value", "descending"),
+             ("event_id", "ascending")]
 
-    def topk_block(block: pd.DataFrame) -> pd.DataFrame:
+    def _ranked(block: pa.Table) -> tuple[pa.Table, np.ndarray]:
+        s = block.take(pc.sort_indices(block, sort_keys=_keys))
+        u = s["user_id"].to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return s, np.empty(0, np.int64)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        run = np.diff(np.r_[starts, len(u)])
+        rank = np.arange(len(u), dtype=np.int64) \
+            - np.repeat(starts, run) + 1
+        return s, rank
+
+    def partial(t: pa.Table) -> pa.Table:
+        # batch-local top-k per user — shrinks the shuffle to k rows/user/batch
+        s, rank = _ranked(t)
+        return s.take(pa.array(np.flatnonzero(rank <= TOPK_PER_USER)
+                               if len(rank) else np.empty(0, np.int64),
+                               pa.int64()))
+
+    def topk_block(block: pa.Table) -> pa.Table:
         # every surviving row of each user is in this block; rank vectorized
-        g = block.sort_values(["user_id", "value", "event_id"],
-                              ascending=[True, False, True])
-        rank = g.groupby("user_id").cumcount().to_numpy() + 1
-        keep = rank <= TOPK_PER_USER
-        return pd.DataFrame({
-            "user_id": g["user_id"].values[keep],
-            "event_id": g["event_id"].values[keep],
-            "rank": rank[keep].astype(np.int64),
+        s, rank = _ranked(block)
+        keep = np.flatnonzero(rank <= TOPK_PER_USER) \
+            if len(rank) else np.empty(0, np.int64)
+        g = s.take(pa.array(keep, pa.int64()))
+        return pa.table({
+            "user_id": g["user_id"], "event_id": g["event_id"],
+            "rank": pa.array(rank[keep], pa.int64()),
         })
 
-    return per_key_blocks(ds.map_batches(partial, batch_format="pandas"),
-                          ["user_id"], topk_block, batch_format="pandas",
-                          num_partitions=auto_partitions(ev_path))
+    return per_key_blocks(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], topk_block,
+        num_partitions=auto_partitions(ev_path))
 
 
 SQL_TOPK_PER_USER = f"""
@@ -301,36 +326,47 @@ def asof_last_order(sf_dir: str) -> rd.Dataset:
         orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    def asof_block(block: pd.DataFrame) -> pd.DataFrame:
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("last_order_date", pa.timestamp("us")),
+    ])
+
+    def asof_block(block: pa.Table) -> pa.Table:
         # every row of each key is in this block (hash exchange). One
         # vectorized pass: sort (key, ts, orders-before-events-at-equal-ts),
-        # forward-fill the latest order date within each key — each event row
-        # then carries max(o_orderdate <= ts), the backward-inclusive as-of.
-        empty = pd.DataFrame({
-            "event_id": pd.Series([], dtype=np.int64),
-            "user_id": pd.Series([], dtype=np.int64),
-            "last_order_date": pd.Series([], dtype="datetime64[us]"),
-        })
-        if block.empty:
-            return empty
-        is_event = (block["side"] == "e").to_numpy()
-        g = block.assign(_ev=is_event.astype(np.int8)) \
-            .sort_values(["key", "ts", "_ev"], kind="stable")
-        order_ts = g["ts"].where(g["_ev"].eq(0))
-        last_order = order_ts.groupby(g["key"].values).ffill()
-        ev = g["_ev"].eq(1) & last_order.notna()
-        if not ev.any():
-            return empty
-        return pd.DataFrame({
-            "event_id": g["event_id"].to_numpy()[ev.to_numpy()].astype(np.int64),
-            "user_id": g["key"].to_numpy()[ev.to_numpy()].astype(np.int64),
-            "last_order_date": last_order.to_numpy()[ev.to_numpy()],
+        # forward-fill the latest order ROW INDEX (maximum.accumulate) —
+        # each event row then carries max(o_orderdate <= ts), the
+        # backward-inclusive as-of; an index before the key's first row
+        # means "no order yet" and the event is dropped.
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        ev_flag = pc.cast(pc.equal(block["side"], "e"), pa.int8())
+        aug = block.append_column("_ev", ev_flag)
+        s = aug.take(pc.sort_indices(aug, sort_keys=[
+            ("key", "ascending"), ("ts", "ascending"), ("_ev", "ascending")]))
+        key = s["key"].to_numpy(zero_copy_only=False)
+        ts = s["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        is_event = s["_ev"].to_numpy(zero_copy_only=False).astype(bool)
+        n = len(key)
+        idx = np.arange(n, dtype=np.int64)
+        last_o = np.maximum.accumulate(np.where(is_event, -1, idx))
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        run = np.diff(np.r_[starts, n])
+        key_start = np.repeat(starts, run)
+        keep = is_event & (last_o >= key_start)
+        return pa.table({
+            "event_id": pa.array(
+                s["event_id"].to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+            "user_id": pa.array(key[keep], pa.int64()),
+            "last_order_date": pa.array(ts[last_o[keep]],
+                                        pa.timestamp("us")),
         })
 
     from ocrautomator_ray.functions.exchange import auto_partitions, per_key_blocks
 
     return per_key_blocks(
-        both, ["key"], asof_block, batch_format="pandas",
+        both, ["key"], asof_block,
         num_partitions=auto_partitions(f"{sf_dir}/events.parquet",
                                        f"{sf_dir}/orders.parquet"))
 
@@ -378,23 +414,42 @@ def quantiles_qty_by_flag(sf_dir: str) -> rd.Dataset:
         .aggregate(Sum("n", alias_name="n"))
     )
 
-    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("l_quantity")
-        n = int(g["n"].sum())
-        cum = g["n"].cumsum().to_numpy()
-        vals = g["l_quantity"].to_numpy()
+    out_schema = pa.schema([
+        ("l_returnflag", pa.string()), ("median_qty", pa.float64()),
+        ("p90_qty", pa.float64()), ("n", pa.int64()),
+    ])
 
-        def disc(num: int, den: int) -> float:
-            return float(disc_quantile(vals, cum, num, den))
-
-        return pd.DataFrame({
-            "l_returnflag": [g["l_returnflag"].iloc[0]],
-            "median_qty": [disc(1, 2)],
-            "p90_qty": [disc(9, 10)],
-            "n": np.array([n], dtype=np.int64),
+    def quantiles_block(block: pa.Table) -> pa.Table:
+        # (flag, value, count) rows for EVERY flag of this block's hash
+        # partition; the per-flag loop is bounded by distinct flags (3)
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        s = block.take(pc.sort_indices(block, sort_keys=[
+            ("l_returnflag", "ascending"), ("l_quantity", "ascending")]))
+        flags = s["l_returnflag"].to_numpy(zero_copy_only=False)
+        vals = s["l_quantity"].to_numpy(zero_copy_only=False)
+        cnt = s["n"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, flags[1:] != flags[:-1]])
+        bounds = np.r_[starts, len(flags)]
+        out = {"l_returnflag": [], "median_qty": [], "p90_qty": [], "n": []}
+        for i in range(len(starts)):
+            v = vals[bounds[i]: bounds[i + 1]]
+            cum = np.cumsum(cnt[bounds[i]: bounds[i + 1]])
+            out["l_returnflag"].append(flags[starts[i]])
+            out["median_qty"].append(float(disc_quantile(v, cum, 1, 2)))
+            out["p90_qty"].append(float(disc_quantile(v, cum, 9, 10)))
+            out["n"].append(int(cum[-1]))
+        return pa.table({
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "median_qty": pa.array(out["median_qty"], pa.float64()),
+            "p90_qty": pa.array(out["p90_qty"], pa.float64()),
+            "n": pa.array(out["n"], pa.int64()),
         })
 
-    return counts.groupby("l_returnflag", num_partitions=4).map_groups(quantiles, batch_format="pandas")
+    from ocrautomator_ray.functions.exchange import per_key_blocks
+
+    return per_key_blocks(counts, ["l_returnflag"], quantiles_block,
+                          num_partitions=4)
 
 
 SQL_QUANTILES = """
@@ -439,21 +494,32 @@ def sliding_window_activity(sf_dir: str) -> rd.Dataset:
             "user_id": pa.array(np.repeat(users, n_win), pa.int64()),
         })
 
-    def window_stats(block: pd.DataFrame) -> pd.DataFrame:
-        if block.empty:
-            return pd.DataFrame({
-                "window_start_s": pd.Series([], dtype=np.int64),
-                "n_events": pd.Series([], dtype=np.int64),
-                "n_users": pd.Series([], dtype=np.int64),
-            })
-        g = block.groupby("window_start_s")["user_id"]
-        out = g.agg(n_events="count", n_users="nunique").reset_index()
-        return out.astype({"window_start_s": np.int64, "n_events": np.int64,
-                           "n_users": np.int64})
+    win_schema = pa.schema([
+        ("window_start_s", pa.int64()), ("n_events", pa.int64()),
+        ("n_users", pa.int64()),
+    ])
+
+    def window_stats(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return win_schema.empty_table()
+        ws = block["window_start_s"].to_numpy(zero_copy_only=False)
+        us = block["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((us, ws))
+        ws, us = ws[order], us[order]
+        new_w = np.r_[True, ws[1:] != ws[:-1]]
+        starts = np.flatnonzero(new_w)
+        n_events = np.diff(np.r_[starts, len(ws)])
+        # distinct users per window = count of first-in-(window,user) rows
+        new_pair = new_w | np.r_[True, us[1:] != us[:-1]]
+        n_users = np.add.reduceat(new_pair.astype(np.int64), starts)
+        return pa.table({
+            "window_start_s": pa.array(ws[starts], pa.int64()),
+            "n_events": pa.array(n_events, pa.int64()),
+            "n_users": pa.array(n_users, pa.int64()),
+        })
 
     rows = ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
     return per_key_blocks(rows, ["window_start_s"], window_stats,
-                          batch_format="pandas",
                           num_partitions=auto_partitions(ev_path))
 
 

@@ -131,23 +131,32 @@ def cumulative_user_value(sf_dir: str) -> rd.Dataset:
     ev_path = f"{sf_dir}/events.parquet"
     ds = pruned_read(ev_path, ["event_id", "user_id", "ts", "value"])
 
-    def cum_block(block: pd.DataFrame) -> pd.DataFrame:
-        if block.empty:
-            return pd.DataFrame({
-                "event_id": pd.Series([], dtype=np.int64),
-                "user_id": pd.Series([], dtype=np.int64),
-                "cum_value_micros": pd.Series([], dtype=np.int64),
-            })
-        g = block.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        vint = np.floor(g["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
-        cum = pd.Series(vint).groupby(g["user_id"].to_numpy()).cumsum()
-        return pd.DataFrame({
-            "event_id": g["event_id"].to_numpy(),
-            "user_id": g["user_id"].to_numpy(),
-            "cum_value_micros": cum.to_numpy(),
+    cum_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("cum_value_micros", pa.int64()),
+    ])
+
+    def cum_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return cum_schema.empty_table()
+        s = block.take(pc.sort_indices(block, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")]))
+        u = s["user_id"].to_numpy(zero_copy_only=False)
+        vint = np.floor(s["value"].to_numpy(zero_copy_only=False) * 1e6
+                        + 0.5).astype(np.int64)
+        # grouped cumsum = global cumsum rebased at each user's first row
+        cs = np.cumsum(vint)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        run = np.diff(np.r_[starts, len(u)])
+        base = np.repeat(cs[starts] - vint[starts], run)
+        return pa.table({
+            "event_id": s["event_id"],
+            "user_id": s["user_id"],
+            "cum_value_micros": pa.array(cs - base, pa.int64()),
         })
 
-    return per_key_blocks(ds, ["user_id"], cum_block, batch_format="pandas",
+    return per_key_blocks(ds, ["user_id"], cum_block,
                           num_partitions=auto_partitions(ev_path))
 
 
@@ -219,20 +228,33 @@ def user_event_sequences(sf_dir: str) -> rd.Dataset:
     ds = pruned_read(ev_path, ["user_id", "ts", "event_id",
                                            "event_type"])
 
-    def seq_block(block: pd.DataFrame) -> pd.DataFrame:
-        if block.empty:
-            return pd.DataFrame({
-                "user_id": pd.Series([], dtype=np.int64),
-                "n_events": pd.Series([], dtype=np.int64),
-                "seq": pd.Series([], dtype=object),
-            })
-        g = block.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        out = g.groupby("user_id", as_index=False).agg(
-            n_events=("event_id", "count"), seq=("event_type", ",".join)
-        )
-        return out.astype({"user_id": np.int64, "n_events": np.int64})
+    seq_schema = pa.schema([
+        ("user_id", pa.int64()), ("n_events", pa.int64()),
+        ("seq", pa.string()),
+    ])
 
-    return per_key_blocks(ds, ["user_id"], seq_block, batch_format="pandas",
+    def seq_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return seq_schema.empty_table()
+        s = block.take(pc.sort_indices(block, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")]))
+        u = s["user_id"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        offsets = pa.array(np.r_[starts, len(u)], pa.int32())
+        types = s["event_type"].combine_chunks() \
+            if isinstance(s["event_type"], pa.ChunkedArray) \
+            else s["event_type"]
+        # per-user ordered join, fully in Arrow: list-wrap the sorted types
+        # at user boundaries, then binary_join
+        seqs = pc.binary_join(pa.ListArray.from_arrays(offsets, types), ",")
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "n_events": pa.array(np.diff(np.r_[starts, len(u)]), pa.int64()),
+            "seq": seqs,
+        })
+
+    return per_key_blocks(ds, ["user_id"], seq_block,
                           num_partitions=auto_partitions(ev_path))
 
 
@@ -252,25 +274,31 @@ def event_gaps(sf_dir: str) -> rd.Dataset:
     ev_path = f"{sf_dir}/events.parquet"
     ds = pruned_read(ev_path, ["event_id", "user_id", "ts"])
 
-    def gaps_block(block: pd.DataFrame) -> pd.DataFrame:
-        if block.empty:
-            return pd.DataFrame({
-                "event_id": pd.Series([], dtype=np.int64),
-                "user_id": pd.Series([], dtype=np.int64),
-                "gap_us": pd.Series([], dtype=np.int64),
-            })
-        g = block.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        same_user = g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
+    gaps_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("gap_us", pa.int64()),
+    ])
+
+    def gaps_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return gaps_schema.empty_table()
+        s = block.take(pc.sort_indices(block, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")]))
+        u = s["user_id"].to_numpy(zero_copy_only=False)
+        ts_us = s["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        keep = np.r_[False, u[1:] == u[:-1]]
         gap = np.diff(ts_us)
-        keep = np.concatenate(([False], same_user))
-        return pd.DataFrame({
-            "event_id": g["event_id"].to_numpy()[keep],
-            "user_id": g["user_id"].to_numpy()[keep],
-            "gap_us": gap[keep[1:]],
+        return pa.table({
+            "event_id": pa.array(
+                s["event_id"].to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+            "user_id": pa.array(u[keep], pa.int64()),
+            "gap_us": pa.array(gap[keep[1:]], pa.int64()),
         })
 
-    return per_key_blocks(ds, ["user_id"], gaps_block, batch_format="pandas",
+    return per_key_blocks(ds, ["user_id"], gaps_block,
                           num_partitions=auto_partitions(ev_path))
 
 
@@ -296,15 +324,32 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 def user_event_pivot(sf_dir: str) -> rd.Dataset:
     ds = pruned_read(f"{sf_dir}/events.parquet", ["user_id", "event_type"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ct = pd.crosstab(df["user_id"], df["event_type"])
-        ct = ct.reindex(columns=EVENT_TYPES, fill_value=0)
-        ct.columns = [f"n_{c}" for c in ct.columns]
-        return ct.reset_index().astype(np.int64)
+    types_sorted = np.array(sorted(EVENT_TYPES))
+    pivot_schema = pa.schema([("user_id", pa.int64())]
+                             + [(f"n_{c}", pa.int64()) for c in EVENT_TYPES])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pivot_schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        u = u[order]
+        tcode = np.searchsorted(types_sorted, et[order])
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        run = np.diff(np.r_[starts, len(u)])
+        row = np.repeat(np.arange(len(starts)), run)
+        counts = np.zeros((len(starts), len(types_sorted)), np.int64)
+        np.add.at(counts, (row, tcode), 1)
+        cols = {"user_id": pa.array(u[starts], pa.int64())}
+        for c in EVENT_TYPES:
+            j = int(np.searchsorted(types_sorted, c))
+            cols[f"n_{c}"] = pa.array(counts[:, j], pa.int64())
+        return pa.table(cols)
 
     aggs = [Sum(f"n_{c}", alias_name=f"n_{c}") for c in EVENT_TYPES]
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("user_id")
         .aggregate(*aggs)
     )
@@ -410,30 +455,39 @@ def rolling_value_sum(sf_dir: str) -> rd.Dataset:
     ds = pruned_read(ev_path, ["event_id", "user_id", "ts",
                                            "value"])
 
-    def roll_block(block: pd.DataFrame) -> pd.DataFrame:
-        if block.empty:
-            return pd.DataFrame({
-                "event_id": pd.Series([], dtype=np.int64),
-                "user_id": pd.Series([], dtype=np.int64),
-                "roll_value_micros": pd.Series([], dtype=np.int64),
-            })
-        g = block.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        vint = pd.Series(
-            np.floor(g["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
-        )
-        users = g["user_id"].to_numpy()
-        cum = vint.groupby(users).cumsum()
-        # fill_value=0 keeps the shift int64 end to end — a NaN round-trip
-        # through float64 would quietly lose exactness past 2^53
-        lag = cum.groupby(users).shift(ROLL_N, fill_value=0)
-        roll = cum.to_numpy() - lag.to_numpy()
-        return pd.DataFrame({
-            "event_id": g["event_id"].to_numpy(),
-            "user_id": g["user_id"].to_numpy(),
-            "roll_value_micros": roll,
+    roll_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("roll_value_micros", pa.int64()),
+    ])
+
+    def roll_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return roll_schema.empty_table()
+        s = block.take(pc.sort_indices(block, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")]))
+        u = s["user_id"].to_numpy(zero_copy_only=False)
+        vint = np.floor(s["value"].to_numpy(zero_copy_only=False) * 1e6
+                        + 0.5).astype(np.int64)
+        # all-int64 end to end — a NaN round-trip through float64 would
+        # quietly lose exactness past 2^53
+        n = len(u)
+        cs = np.cumsum(vint)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        run = np.diff(np.r_[starts, n])
+        group_base = np.repeat(cs[starts] - vint[starts], run)
+        cum = cs - group_base                       # grouped running sum
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, run)
+        lag = np.zeros(n, np.int64)
+        far = pos >= ROLL_N                         # ROWS n-1 PRECEDING frame
+        lag[far] = cum[np.flatnonzero(far) - ROLL_N]
+        return pa.table({
+            "event_id": s["event_id"],
+            "user_id": s["user_id"],
+            "roll_value_micros": pa.array(cum - lag, pa.int64()),
         })
 
-    return per_key_blocks(ds, ["user_id"], roll_block, batch_format="pandas",
+    return per_key_blocks(ds, ["user_id"], roll_block,
                           num_partitions=auto_partitions(ev_path))
 
 
@@ -527,17 +581,19 @@ def event_transitions(sf_dir: str) -> rd.Dataset:
     out_schema = pa.schema([("from_type", pa.string()),
                             ("to_type", pa.string()), ("n", pa.int64())])
 
-    def pairs_block(block: pd.DataFrame) -> pa.Table:
-        if block.empty:
+    def pairs_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
             return out_schema.empty_table()
-        g = block.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        et = g["event_type"].to_numpy()
-        uid = g["user_id"].to_numpy()
+        g = block.take(pc.sort_indices(block, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")]))
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
         keep = uid[1:] == uid[:-1]
         if not keep.any():
             return out_schema.empty_table()
         # factorize once, count pairs as a T×T bincount — no pair strings
-        codes, types = pd.factorize(et, sort=True)
+        types, codes = np.unique(et, return_inverse=True)
         t = len(types)
         pair = codes[:-1][keep] * t + codes[1:][keep]
         counts = np.bincount(pair, minlength=t * t)
@@ -549,7 +605,6 @@ def event_transitions(sf_dir: str) -> rd.Dataset:
         })
 
     partials = per_key_blocks(ds, ["user_id"], pairs_block,
-                              batch_format="pandas",
                               num_partitions=auto_partitions(ev_path))
     return (partials.groupby(["from_type", "to_type"], num_partitions=4)
                     .aggregate(Sum("n", alias_name="n")))
@@ -671,12 +726,14 @@ def user_behavior_vectors(sf_dir: str) -> rd.Dataset:
     ev_path = f"{sf_dir}/events.parquet"
     ds = pruned_read(ev_path, ["user_id", "ts", "event_id", "event_type"])
 
-    def vec_block(block: pd.DataFrame) -> pa.Table:
-        if block.empty:
+    def vec_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
             return _BEHAVIOR_SCHEMA.empty_table()
-        g = block.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        uid = g["user_id"].to_numpy()
-        et = g["event_type"].to_numpy()
+        g = block.take(pc.sort_indices(block, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")]))
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
         keep = uid[1:] == uid[:-1]
         if not keep.any():
             return _BEHAVIOR_SCHEMA.empty_table()
@@ -699,7 +756,6 @@ def user_behavior_vectors(sf_dir: str) -> rd.Dataset:
         return pa.table(res)
 
     return per_key_blocks(ds, ["user_id"], vec_block,
-                          batch_format="pandas",
                           num_partitions=auto_partitions(ev_path))
 
 

@@ -138,34 +138,35 @@ def customer_value_ntile(sf_dir: str) -> rd.Dataset:
     ds = pruned_read(path, ["o_orderkey", "o_custkey",
                                         "o_totalprice"])
 
-    def rank_block(block: pd.DataFrame) -> pd.DataFrame:
-        if block.empty:
-            return pd.DataFrame({
-                "o_orderkey": pd.Series([], dtype=np.int64),
-                "o_custkey": pd.Series([], dtype=np.int64),
-                "tile": pd.Series([], dtype=np.int64),
-                "pr_micros": pd.Series([], dtype=np.int64),
-            })
-        g = block.sort_values(
-            ["o_custkey", "o_totalprice", "o_orderkey"],
-            ascending=[True, False, True], kind="stable",
-        )
-        sizes = g.groupby("o_custkey", sort=False)["o_orderkey"].transform(
-            "size"
-        ).to_numpy()
-        rn0 = g.groupby("o_custkey", sort=False).cumcount().to_numpy()
+    rank_schema = pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("tile", pa.int64()), ("pr_micros", pa.int64()),
+    ])
+
+    def rank_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return rank_schema.empty_table()
+        g = block.take(pc.sort_indices(block, sort_keys=[
+            ("o_custkey", "ascending"), ("o_totalprice", "descending"),
+            ("o_orderkey", "ascending")]))
+        ck = g["o_custkey"].to_numpy(zero_copy_only=False)
+        n = len(ck)
+        starts = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+        run = np.diff(np.r_[starts, n])
+        sizes = np.repeat(run, run)
+        rn0 = np.arange(n, dtype=np.int64) - np.repeat(starts, run)
         pr = np.floor(
             rn0.astype(np.float64) / np.maximum(sizes - 1, 1) * 1e6 + 0.5
         ).astype(np.int64)
         pr[sizes == 1] = 0
-        return pd.DataFrame({
-            "o_orderkey": g["o_orderkey"].to_numpy(),
-            "o_custkey": g["o_custkey"].to_numpy(),
-            "tile": _ntile(rn0, sizes),
-            "pr_micros": pr,
+        return pa.table({
+            "o_orderkey": g["o_orderkey"],
+            "o_custkey": g["o_custkey"],
+            "tile": pa.array(_ntile(rn0, sizes), pa.int64()),
+            "pr_micros": pa.array(pr, pa.int64()),
         })
 
-    return per_key_blocks(ds, ["o_custkey"], rank_block, batch_format="pandas",
+    return per_key_blocks(ds, ["o_custkey"], rank_block,
                           num_partitions=auto_partitions(path))
 
 

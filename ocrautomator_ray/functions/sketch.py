@@ -78,26 +78,39 @@ def approx_distinct_users_per_type(sf_dir: str) -> rd.Dataset:
     the pytest oracle bounds the error vs the exact count."""
     ds = pruned_read(f"{sf_dir}/events.parquet", ["event_type", "user_id"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for etype, g in df.groupby("event_type", sort=True):
-            regs = hll_sketch(g["user_id"].to_numpy())
-            rows.append({"event_type": etype, "sketch": regs.tobytes()})
-        return pd.DataFrame(rows)
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("sketch", pa.binary())])
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(et, kind="stable")
+        et, uid = et[order], uid[order]
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        bounds = np.r_[starts, len(et)]
+        types, sketches = [], []
+        for i in range(len(starts)):  # bounded by distinct event types
+            types.append(et[starts[i]])
+            sketches.append(
+                hll_sketch(uid[bounds[i]: bounds[i + 1]]).tobytes())
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "sketch": pa.array(sketches, pa.binary())})
+
+    def merge(g: pa.Table) -> pa.Table:
         merged = np.zeros(HLL_M, dtype=np.uint8)
-        for b in g["sketch"]:
+        for b in g["sketch"].to_pylist():  # one buffer per upstream batch
             merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
-        return pd.DataFrame({
-            "event_type": [g["event_type"].iloc[0]],
-            "approx_users": np.array([hll_estimate(merged)], dtype=np.int64),
+        return pa.table({
+            "event_type": pa.array([g["event_type"][0].as_py()], pa.string()),
+            "approx_users": pa.array([hll_estimate(merged)], pa.int64()),
         })
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("event_type", num_partitions=4)
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 
@@ -296,29 +309,43 @@ def approx_quantiles_value(sf_dir: str) -> rd.Dataset:
         .aggregate(RSum("cnt", alias_name="cnt"))
     )
 
-    def finish(block: pd.DataFrame) -> pd.DataFrame:
-        cols = {"event_type": pd.Series([], dtype=object)}
+    fin_schema = pa.schema(
+        [("event_type", pa.string())]
+        + [(f"p{int(p*100)}_est_micros", pa.int64()) for p in QUANT_PS])
+
+    def finish(block: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if block.num_rows == 0:
+            return fin_schema.empty_table()
+        s = block.take(pc.sort_indices(block, sort_keys=[
+            ("event_type", "ascending"), ("bin", "ascending")]))
+        et = s["event_type"].to_numpy(zero_copy_only=False)
+        bins_all = s["bin"].to_numpy(zero_copy_only=False)
+        cnt = s["cnt"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        bounds = np.r_[starts, len(et)]
+        cols: dict[str, list] = {"event_type": []}
         for p in QUANT_PS:
-            cols[f"p{int(p*100)}_est_micros"] = pd.Series([], dtype=np.int64)
-        if block.empty:
-            return pd.DataFrame(cols)
-        out = []
-        for etype, g in block.sort_values(["event_type", "bin"]).groupby(
-            "event_type", sort=True
-        ):
-            bins = g["bin"].to_numpy()
-            cum = g["cnt"].to_numpy().cumsum()
+            cols[f"p{int(p*100)}_est_micros"] = []
+        for i in range(len(starts)):  # bounded by distinct event types
+            bins = bins_all[bounds[i]: bounds[i + 1]]
+            cum = np.cumsum(cnt[bounds[i]: bounds[i + 1]])
             n = int(cum[-1])
-            row = {"event_type": etype}
+            cols["event_type"].append(et[starts[i]])
             for p in QUANT_PS:
                 kth = int(np.ceil(p * n))
                 b = int(bins[np.searchsorted(cum, max(kth, 1))])
-                row[f"p{int(p*100)}_est_micros"] = lo + b * width_dom // QUANT_NBINS
-            out.append(row)
-        return pd.DataFrame(out)
+                cols[f"p{int(p*100)}_est_micros"].append(
+                    lo + b * width_dom // QUANT_NBINS)
+        return pa.table({
+            "event_type": pa.array(cols["event_type"], pa.string()),
+            **{f"p{int(p*100)}_est_micros": pa.array(
+                cols[f"p{int(p*100)}_est_micros"], pa.int64())
+               for p in QUANT_PS},
+        })
 
-    return per_key_blocks(hist, ["event_type"], finish, batch_format="pandas",
-                          num_partitions=4)
+    return per_key_blocks(hist, ["event_type"], finish, num_partitions=4)
 
 
 SQL_APPROX_QUANTILES = f"""

@@ -198,27 +198,48 @@ LANG_PROFILES: dict[str, frozenset[str]] = {
 
 
 class LangIdActor:
-    """Stateful language-ID stage: profiles + tokenizer compiled in __init__."""
+    """Stateful language-ID stage: profiles + tokenizer compiled in
+    __init__. Tokenization stays Python ``re`` (the oracle's
+    ``[^\\W\\d_]+`` Unicode semantics); SCORING is vectorized — one
+    np.isin over the batch's flat token array per language, reduced
+    per doc with bincount — no per-row membership loops."""
 
     def __init__(self) -> None:
         import re
 
         self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
         self.langs = sorted(LANG_PROFILES)  # deterministic tie-break order
-        self.profiles = [LANG_PROFILES[lang] for lang in self.langs]
+        self.profiles = [np.array(sorted(LANG_PROFILES[lang]), dtype=object)
+                         for lang in self.langs]
+        self.lang_arr = np.array(self.langs + ["und"], dtype=object)
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.lower().str.findall(self.word_re)
-        preds, scores = [], []
-        for words in toks:
-            ws = words or []
-            hits = [sum(w in prof for w in ws) for prof in self.profiles]
-            best = int(np.argmax(hits))  # first max wins → deterministic
-            preds.append(self.langs[best] if hits[best] > 0 else "und")
-            scores.append(hits[best] / max(1, len(ws)))
-        return pd.DataFrame(
-            {"doc_id": df["doc_id"].values, "pred_lang": preds, "stop_hit_ratio": scores}
-        )
+    def _predict(self, texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        """(pred_lang, stop_hit_ratio) numpy arrays for a batch."""
+        low = pc.utf8_lower(pc.fill_null(texts, "")).to_pylist()
+        toks = [self.word_re.findall(s) for s in low]
+        cnt = np.array([len(w) for w in toks], np.int64)
+        flat = np.array([w for ws in toks for w in ws], dtype=object)
+        doc = np.repeat(np.arange(len(toks), dtype=np.int64), cnt)
+        hits = np.zeros((len(self.langs), len(toks)), np.int64)
+        for i, prof in enumerate(self.profiles):
+            if len(flat):
+                hits[i] = np.bincount(doc, weights=np.isin(flat, prof),
+                                      minlength=len(toks)).astype(np.int64)
+        best = np.argmax(hits, axis=0)          # first max wins
+        top = hits[best, np.arange(len(toks))]
+        pred = self.lang_arr[np.where(top > 0, best, len(self.langs))]
+        return pred, top / np.maximum(1, cnt)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        pred, ratio = self._predict(texts)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "pred_lang": pa.array(pred, pa.string()),
+            "stop_hit_ratio": pa.array(ratio, pa.float64()),
+        })
 
 
 def lang_id(sf_dir: str) -> rd.Dataset:
@@ -230,7 +251,8 @@ def lang_id(sf_dir: str) -> rd.Dataset:
                    if ray.is_initialized() else 4) // 2)
     return pruned_read(f"{sf_dir}/documents.parquet",
                        ["doc_id", "text"]).map_batches(
-        LangIdActor, batch_format="pandas", concurrency=(2, pool))
+        LangIdActor, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(2, pool))
 
 
 # --------------------------------------------------------------------------
@@ -422,17 +444,26 @@ def lang_confusion(sf_dir: str) -> rd.Dataset:
                    if ray.is_initialized() else 4) // 2)
 
     class _ConfusionActor(LangIdActor):
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            out = super().__call__(df)
-            g = (pd.DataFrame({"lang": df["lang"].values,
-                               "pred_lang": out["pred_lang"].values,
-                               "n": 1})
-                 .groupby(["lang", "pred_lang"], as_index=False)["n"].sum())
-            return g
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            pred, _ = self._predict(texts)
+            lang = t["lang"].to_numpy(zero_copy_only=False)
+            pairs, counts = np.unique(
+                np.char.add(np.char.add(lang.astype(str), "\x1f"),
+                            pred.astype(str)), return_counts=True)
+            split = np.char.partition(pairs, "\x1f")
+            return pa.table({
+                "lang": pa.array(split[:, 0], pa.string()),
+                "pred_lang": pa.array(split[:, 2], pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            })
 
     preds = pruned_read(f"{sf_dir}/documents.parquet",
                         ["doc_id", "text", "lang"]).map_batches(
-        _ConfusionActor, batch_format="pandas", concurrency=(2, pool))
+        _ConfusionActor, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(2, pool))
     return preds.groupby(["lang", "pred_lang"], num_partitions=2).aggregate(
         Sum("n", alias_name="n_docs"))
 

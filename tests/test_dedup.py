@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -268,8 +269,8 @@ def test_lang_id_on_real_sentences():
     from ocrautomator_ray.functions.text import LangIdActor
 
     actor = LangIdActor()
-    df = pd.DataFrame({
-        "doc_id": [1, 2, 3, 4, 5],
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
         "text": [
             "the cat is on the mat and it is not happy",
             "der Hund ist nicht da und ich bin ein Mensch mit Zeit",
@@ -278,8 +279,8 @@ def test_lang_id_on_real_sentences():
             "我 是 一 个 人 在 中 国 的 大 学",
         ],
     })
-    out = actor(df)
-    assert out["pred_lang"].tolist() == ["en", "de", "es", "fr", "zh"]
+    out = actor(t)
+    assert out["pred_lang"].to_pylist() == ["en", "de", "es", "fr", "zh"]
 
 
 @pytest.mark.usefixtures("ray_session")

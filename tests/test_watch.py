@@ -202,3 +202,33 @@ def test_list_fragments_filters_and_sorts(tmp_path):
         open(os.path.join(d, name), "w").close()
     got = list_fragments(d)
     assert [os.path.basename(p) for p in got] == ["a.parquet", "b.parquet"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_watch_incremental_pipeline_resumes_and_matches_fresh(tmp_path):
+    """The composed incremental pipeline (arrivals → near-dup screen vs the
+    committed signature index → BM25 epoch appends): a rerun over the same
+    out_root must re-ingest NO epochs (watch-manifest resume) and the probe
+    answer must equal the fresh run's exactly."""
+    import pandas as pd
+
+    from ocrautomator_ray.pipelines.watch_incremental import (
+        query_watch_index,
+        run_watch_incremental,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    root = str(tmp_path / "w")
+    os.makedirs(root)
+    res1 = run_watch_incremental(SF, root)
+    assert len(res1["epochs"]) == 2
+    assert all(e["kept"] + e["dropped"] >= e["kept"] for e in res1["epochs"])
+    a = query_watch_index(SF, res1["bm25_index"]).to_pandas() \
+        .sort_values("rank").reset_index(drop=True)
+    assert len(a) > 0
+
+    res2 = run_watch_incremental(SF, root)
+    assert res2["epochs"] == []  # all epochs committed — nothing re-ingested
+    b = query_watch_index(SF, res2["bm25_index"]).to_pandas() \
+        .sort_values("rank").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
