@@ -271,6 +271,11 @@ def run_benchmarks() -> dict:
     )
     timed("embedding_curation_pipeline",
           lambda sf: run_embedding_curation_flagship(sf), consume="count")
+    from ocrautomator_ray.pipelines.watch_incremental import (
+        run_watch_incremental_flagship,
+    )
+    timed("watch_incremental_pipeline",
+          lambda sf: run_watch_incremental_flagship(sf), consume="count")
 
     ray.shutdown()
 
