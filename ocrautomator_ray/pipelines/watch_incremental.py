@@ -167,20 +167,27 @@ def run_watch_incremental(sf_dir: str, out_root: str,
     watch_dir = os.path.join(out_root, "watch")
     os.makedirs(watch_dir, exist_ok=True)
     manifest = _load_manifest(watch_dir)
-    seen = [f for ep in manifest["epochs"] for f in ep["fragments"]]
-    seen_paths = [_frag_path(f) for f in seen]
-    epochs = []
-    # one epoch per NEW fragment, in arrival (path) order — the watch
-    # manifest records each epoch before its work so a killed run resumes
+    # work list = every recorded epoch (committed AND pending — a pending
+    # epoch is a killed run's unfinished work and must be COMPLETED, not
+    # skipped) plus one new pending epoch per newly arrived fragment
+    work = [(ep["epoch"], _frag_path(ep["fragments"][0]), ep["status"])
+            for ep in manifest["epochs"]]
+    known = {p for _, p, _ in work}
     for path in list_fragments(arrivals_dir):
-        if path in seen_paths:
+        if path in known:
             continue
         epoch = len(manifest["epochs"])
         manifest["epochs"].append({"epoch": epoch,
                                    "fragments": [_frag_entry(path)],
                                    "status": "pending"})
         _store_manifest(watch_dir, manifest)
-        dropped = _screen_fragment(path, seen_paths, nd_idx, threshold)
+        work.append((epoch, path, "pending"))
+    epochs = []
+    for epoch, path, status in work:
+        if status == "committed":
+            continue
+        earlier = [p for e2, p, _ in work if e2 < epoch]
+        dropped = _screen_fragment(path, earlier, nd_idx, threshold)
         t = pq.read_table(path)
         if dropped:
             keep = ~np.isin(t["doc_id"].to_numpy(zero_copy_only=False),
@@ -200,7 +207,6 @@ def run_watch_incremental(sf_dir: str, out_root: str,
         manifest = _load_manifest(watch_dir)
         manifest["epochs"][epoch]["status"] = "committed"
         _store_manifest(watch_dir, manifest)
-        seen_paths.append(path)
         epochs.append({"epoch": epoch, "fragment": path,
                        "dropped": len(dropped), "kept": t.num_rows})
 

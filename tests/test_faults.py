@@ -443,3 +443,73 @@ def test_driver_sigkill_mid_training_resumes_from_round(tmp_path, family):
     got = got[cols].sort_values(cols).reset_index(drop=True)
     cold = cold[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, cold)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_driver_sigkill_mid_watch_incremental_resumes_without_duplicates(tmp_path):
+    """Kill the composed watch-incremental pipeline mid-run (after the
+    first epoch's survivors file lands, i.e. between screen and append or
+    mid-append): the rerun must complete from the watch manifest, the
+    retried append must NOT land a duplicate epoch (survivor fingerprints
+    are stable), and the final probe must equal a clean run's exactly."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import pandas as pd
+
+    SF = "/root/testdata/sf0.001"
+    root = str(tmp_path / "w")
+    marker = os.path.join(root, "survivors-000.parquet")
+    cmd = [sys.executable, "-c",
+           "import sys; "
+           "from ocrautomator_ray.pipelines.watch_incremental import "
+           "run_watch_incremental; "
+           "run_watch_incremental(sys.argv[1], sys.argv[2])",
+           SF, root]
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)  # subprocess owns its own local session
+
+    os.makedirs(root)
+    proc = subprocess.Popen(cmd, cwd="/root/repo", env=env,
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if os.path.exists(marker) or proc.poll() is not None:
+                break
+            time.sleep(0.001)
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGKILL)
+            proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    if proc.returncode == 0:
+        pytest.skip("run finished before the kill landed — nothing to resume")
+    assert os.path.exists(marker), "no epoch started before the kill"
+
+    r2 = subprocess.run(cmd, cwd="/root/repo", env=env, capture_output=True,
+                        text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+
+    # exactly the two arrival epochs appended, no duplicates from the retry
+    epochs_dir = os.path.join(root, "bm25_index", "epochs")
+    assert len(os.listdir(epochs_dir)) == 2
+
+    from ocrautomator_ray.pipelines.watch_incremental import (
+        query_watch_index,
+        run_watch_incremental,
+    )
+
+    got = query_watch_index(SF, os.path.join(root, "bm25_index")) \
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    clean_root = str(tmp_path / "clean")
+    os.makedirs(clean_root)
+    res = run_watch_incremental(SF, clean_root)
+    want = query_watch_index(SF, res["bm25_index"]) \
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
