@@ -32,6 +32,7 @@ from ocrautomator_ray.functions import relational3 as _relational3
 from ocrautomator_ray.functions import relational4 as _relational4
 from ocrautomator_ray.functions import sketch as _sketch
 from ocrautomator_ray.functions import snapshot as _snapshot
+from ocrautomator_ray.functions import streaming as _streaming
 from ocrautomator_ray.functions import text as _text
 from ocrautomator_ray.functions import topics as _topics
 from ocrautomator_ray.pipelines.assemble import SQL_ASSEMBLE, run_assemble_flagship
@@ -115,14 +116,16 @@ ROUND5_WINDOW: list[str] = [
     "sessionize_events", "asof_last_order", "quantiles_qty_by_flag",
     "sliding_window_activity", "user_event_sequences",
     "cumulative_user_value", "rolling_value_sum", "event_gaps",
-    "user_event_pivot", "customer_value_ntile", "first_event_per_user",
+    "user_event_pivot", "customer_value_ntile",
     "revenue_by_nation", "type_token_ratio",
     "lang_id", "ann_topk", "winsorize_values", "value_mad_by_type",
     # new in round 5: the watch-driven incremental composition (arrivals →
-    # near-dup vs committed index → BM25 epoch appends), oracled by the
-    # one-statement batch recompute (top_events_per_user yielded its slot
-    # to keep the prefix at 50; it joins the sweep-attested group)
-    "watch_incremental_pipeline",
+    # near-dup vs committed index → BM25 epoch appends) oracled by the
+    # one-statement batch recompute, and the streaming session-window
+    # operator with carried per-user state oracled by the batch window
+    # (top_events_per_user and first_event_per_user yielded their slots to
+    # keep the prefix at 50; they join the sweep-attested group)
+    "watch_incremental_pipeline", "incremental_sessionize",
 ]
 
 
@@ -143,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(_sketch.QUERIES)
     q.update(_lm.QUERIES)
     q.update(_snapshot.QUERIES)
+    q.update(_streaming.QUERIES)
     q.update(_kmeans.QUERIES)
     q.update(_moments.QUERIES)
     q.update(_pca.QUERIES)
@@ -187,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_lm.SQL)
     sql.update(_mix.SQL)
     sql.update(_snapshot.SQL)
+    sql.update(_streaming.SQL)
     sql["curate_pipeline"] = SQL_CURATE
     sql["assemble_pipeline"] = SQL_ASSEMBLE
     sql["full_corpus_pipeline"] = SQL_FULL_CORPUS

@@ -294,6 +294,8 @@ def run_benchmarks() -> dict:
     )
     timed("watch_incremental_pipeline",
           lambda sf: run_watch_incremental_flagship(sf), consume="count")
+    from ocrautomator_ray.functions.streaming import incremental_sessionize
+    timed("incremental_sessionize", incremental_sessionize, consume="count")
 
     ray.shutdown()
 
