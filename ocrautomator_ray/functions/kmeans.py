@@ -77,21 +77,55 @@ def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
     return np.floor(E * 1e6 + 0.5).astype(np.int64)
 
 
+_KM_MODEL_ROOT = "/tmp/ocrauto_kmeans_model"
+
+
+def _model_path(sf_dir: str, name: str) -> str:
+    """Persisted-model location for this embeddings table — the shared
+    index_fingerprint_dir rule (a changed input never reuses a stale
+    model; older fingerprints of the same source are evicted)."""
+    import os
+
+    from ocrautomator_ray.functions.exchange import (
+        evict_stale_index_dirs,
+        index_fingerprint_dir,
+    )
+
+    d = index_fingerprint_dir(_KM_MODEL_ROOT,
+                              f"{sf_dir}/embeddings.parquet")
+    evict_stale_index_dirs(d, _KM_MODEL_ROOT)
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, name)
+
+
 def _fit_centroids(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS,
                    checkpoint_dir: str | None = None,
                    ) -> tuple[np.ndarray, np.ndarray]:
     """Run the distributed Lloyd loop; returns the final (k, dim) int64
     micro-centroid matrix and the per-cluster sizes under the last
     assignment. Shared by kmeans_fit (which tabulates it) and the
-    assignment consumers (cluster_sample).
+    assignment consumers (cluster_sample, embedding_curation).
+
+    The trained model PERSISTS beside the other index families
+    (fingerprinted to the input): every consumer after the first reuses it
+    with zero Lloyd passes — train once, assign many — exactly the
+    ivf_index_build centroid discipline.
 
     ``checkpoint_dir`` makes the ITERATION restartable (state/rounds.py):
     every round commits the (k, dim) centroid matrix atomically — each
     round is a full table pass, the expensive thing a driver death loses —
     and a resumed driver continues from the last committed round."""
+    import os
+
     from ray.data.aggregate import Sum
 
     from ocrautomator_ray.state.rounds import RoundState, input_fingerprint
+
+    persist = os.environ.get("OCRA_KMEANS_PERSIST", "1") != "0"
+    model = _model_path(sf_dir, f"centroids-k{k}-i{iters}.npz")
+    if persist and os.path.exists(model):
+        with np.load(model) as z:
+            return z["C"], z["ns"]
 
     C = _init_centroids(sf_dir, k)
     dim = C.shape[1]
@@ -146,6 +180,11 @@ def _fit_centroids(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS,
         if rs is not None:
             rs.commit(rnd, C=C, ns=ns)
 
+    if persist:
+        tmp = f"{model}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.savez(f, C=C, ns=ns)
+        os.replace(tmp, model)
     return C, ns
 
 
@@ -352,12 +391,24 @@ def _fit_pq(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
             checkpoint_dir: str | None = None) -> np.ndarray:
     """(m, k, dsub) int64 micro sub-centroid codebook.
 
+    Persists beside the k-means model (same fingerprint rule): PQ encode /
+    search consumers after the first reuse the codebook with zero Lloyd
+    passes.
+
     ``checkpoint_dir``: per-round codebook checkpoints (state/rounds.py) —
     a killed driver resumes the fused-subspace Lloyd from its last
     committed round instead of round 0."""
+    import os
+
     from ray.data.aggregate import Sum
 
     from ocrautomator_ray.state.rounds import RoundState, input_fingerprint
+
+    persist = os.environ.get("OCRA_KMEANS_PERSIST", "1") != "0"
+    model = _model_path(sf_dir, f"pq-m{m}-k{k}-i{iters}.npz")
+    if persist and os.path.exists(model):
+        with np.load(model) as z:
+            return z["C"]
 
     seeds = _init_centroids(sf_dir, k)          # (k, d) int64 micros
     d = seeds.shape[1]
@@ -417,6 +468,11 @@ def _fit_pq(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
         C[nz] = sums[nz] // ns[nz, None]        # floor division, as in SQL
         if rs is not None:
             rs.commit(rnd, C=C)
+    if persist:
+        tmp = f"{model}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.savez(f, C=C)
+        os.replace(tmp, model)
     return C
 
 

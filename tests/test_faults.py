@@ -398,6 +398,9 @@ def test_driver_sigkill_mid_training_resumes_from_round(tmp_path, family):
     # pagerank rounds are dataset-sized and checkpoint adaptively; force the
     # every-round path so a marker exists to kill against at this scale
     env["OCRA_CKPT_MIN_ROUND_SEC"] = "0"
+    # disable the persisted k-means/PQ model so the drill actually trains
+    # (a cached model would end the run before the kill window opens)
+    env["OCRA_KMEANS_PERSIST"] = "0"
 
     proc = subprocess.Popen(cmd, cwd="/root/repo", env=env,
                             stdout=subprocess.DEVNULL,

@@ -222,3 +222,35 @@ def test_pq_ann_adist_matches_codebook_lookup():
     for v, a in zip(df["vec_id"], df["adist2"]):
         exp = sum(lut[s][code_map[(v, s)]] for s in range(KM.PQ_M))
         assert a == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_persisted_model_zero_retrain():
+    """The trained k-means model and PQ codebook persist beside the other
+    index families: a second consumer must reuse the model file unchanged
+    (zero Lloyd passes) and produce identical output — the ivf centroid
+    discipline."""
+    import os
+    import shutil
+
+    from ocrautomator_ray.functions import kmeans as km
+
+    shutil.rmtree(km._KM_MODEL_ROOT, ignore_errors=True)
+    a = km.kmeans_fit(SF).to_pandas()
+    model = km._model_path(SF, f"centroids-k{km.KM_K}-i{km.KM_ITERS}.npz")
+    assert os.path.exists(model)
+    mtime = os.stat(model).st_mtime_ns
+    b = km.kmeans_fit(SF).to_pandas()          # must reuse, not retrain
+    assert os.stat(model).st_mtime_ns == mtime
+    assert a.equals(b)
+
+    p1 = km.pq_codes(SF).to_pandas().sort_values(
+        ["vec_id", "sub"]).reset_index(drop=True)
+    pq_model = km._model_path(
+        SF, f"pq-m{km.PQ_M}-k{km.PQ_K}-i{km.PQ_ITERS}.npz")
+    assert os.path.exists(pq_model)
+    pq_mtime = os.stat(pq_model).st_mtime_ns
+    p2 = km.pq_codes(SF).to_pandas().sort_values(
+        ["vec_id", "sub"]).reset_index(drop=True)
+    assert os.stat(pq_model).st_mtime_ns == pq_mtime
+    assert p1.equals(p2)
