@@ -244,13 +244,49 @@ def _assign_topics(feats: rd.Dataset, C: np.ndarray) -> rd.Dataset:
                              zero_copy_batch=True)
 
 
+_TOPIC_MODEL_ROOT = "/tmp/ocrauto_topic_model"
+
+
+def _fit_topics_cached(sf_dir: str, feats: rd.Dataset, k: int,
+                       iters: int) -> np.ndarray:
+    """_fit_topics behind the shared persisted-model discipline (the
+    k-means `_model_path` rule, fingerprinted to the DOCUMENTS table):
+    topic_keywords and repeat doc_topics consumers reuse the trained
+    centroids with zero Lloyd passes. NOTE: distinct from the
+    topic_index_build model, which trains on the COMMITTED slice only for
+    the incremental-assignment path — this one is the full-table model."""
+    import os
+
+    from ocrautomator_ray.functions.exchange import (
+        evict_stale_index_dirs,
+        index_fingerprint_dir,
+    )
+
+    persist = os.environ.get("OCRA_KMEANS_PERSIST", "1") != "0"
+    d = index_fingerprint_dir(_TOPIC_MODEL_ROOT,
+                              f"{sf_dir}/documents.parquet")
+    evict_stale_index_dirs(d, _TOPIC_MODEL_ROOT)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"centroids-k{k}-i{iters}.npz")
+    if persist and os.path.exists(path):
+        with np.load(path) as z:
+            return z["C"]
+    C = _fit_topics(feats, k, iters)
+    if persist:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.savez(f, C=C)
+        os.replace(tmp, path)
+    return C
+
+
 def doc_topics(sf_dir: str, k: int = TOPIC_K,
                iters: int = TOPIC_ITERS) -> rd.Dataset:
     """(doc_id, topic): each tokened doc's final Lloyd cluster over the
     log₂-idf hashed features (argmin exact int dist², ties → smaller
     topic; empty topics carry their centroid)."""
     feats = _topic_features(sf_dir).materialize()
-    C = _fit_topics(feats, k, iters)
+    C = _fit_topics_cached(sf_dir, feats, k, iters)
     return _assign_topics(feats, C)
 
 

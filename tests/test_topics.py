@@ -141,3 +141,28 @@ def test_incremental_topics_deterministic():
     a = T.incremental_doc_topics(SF).to_pandas().sort_values("doc_id")
     b = T.incremental_doc_topics(SF).to_pandas().sort_values("doc_id")
     assert (a["topic"].to_numpy() == b["topic"].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_full_table_topic_model_zero_retrain():
+    """The FULL-TABLE topic centroids persist like the k-means model: a
+    repeat consumer (topic_keywords composes doc_topics) must reuse the
+    model file unchanged and produce identical assignments."""
+    import os
+    import shutil
+
+    from ocrautomator_ray.functions import topics as tp
+
+    shutil.rmtree(tp._TOPIC_MODEL_ROOT, ignore_errors=True)
+    a = tp.doc_topics(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    d = [f for f in os.listdir(tp._TOPIC_MODEL_ROOT)]
+    assert len(d) == 1
+    model = os.path.join(tp._TOPIC_MODEL_ROOT, d[0],
+                         f"centroids-k{tp.TOPIC_K}-i{tp.TOPIC_ITERS}.npz")
+    assert os.path.exists(model)
+    mtime = os.stat(model).st_mtime_ns
+    b = tp.doc_topics(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert os.stat(model).st_mtime_ns == mtime
+    assert a.equals(b)
