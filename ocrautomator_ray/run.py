@@ -30,7 +30,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline",
                    choices=["extract", "curate", "assemble", "full-corpus",
                             "training-mix", "value-rank",
-                            "embedding-curation"],
+                            "embedding-curation", "watch-incremental"],
                    default="extract",
                    help="extract: the OCR/span flagship; curate: normalize + "
                         "quality-filter + dedup + split over documents.parquet; "
@@ -133,6 +133,13 @@ def main(argv: list[str] | None = None) -> dict:
             return run_value_rank(args.input, args.out,
                                   num_partitions=args.partitions,
                                   resume=not args.no_resume)
+
+        if args.pipeline == "watch-incremental":
+            from ocrautomator_ray.pipelines.watch_incremental import (
+                run_watch_incremental,
+            )
+
+            return run_watch_incremental(args.input, args.out)
 
         from ocrautomator_ray.pipelines.extract import PipelineConfig, run_extraction
         from ocrautomator_ray.sources.io import read_docs

@@ -42,3 +42,22 @@ def test_cli_pipeline_runs_and_rerun_resumes(pipeline, tmp_path):
     _run_cli(pipeline, out)
     for f, m in stamp.items():
         assert os.stat(os.path.join(out, "data", f)).st_mtime_ns == m, f
+
+
+def test_cli_watch_incremental_runs_and_rerun_resumes(tmp_path):
+    """`--pipeline watch-incremental` end-to-end in a fresh process: both
+    arrival epochs ingested into the BM25 index, and an immediate rerun
+    re-ingests nothing (the watch-manifest resume)."""
+    out = str(tmp_path / "wi")
+    os.makedirs(out)
+    _run_cli("watch-incremental", out)
+    epochs = os.path.join(out, "bm25_index", "epochs")
+    assert len(os.listdir(epochs)) == 2
+    with open(os.path.join(out, "watch", "watch_manifest.json")) as f:
+        m = json.load(f)
+    assert [ep["status"] for ep in m["epochs"]] == ["committed", "committed"]
+    stamps = {e: os.stat(os.path.join(epochs, e)).st_mtime_ns
+              for e in os.listdir(epochs)}
+    _run_cli("watch-incremental", out)
+    assert {e: os.stat(os.path.join(epochs, e)).st_mtime_ns
+            for e in os.listdir(epochs)} == stamps
