@@ -117,15 +117,17 @@ ROUND5_WINDOW: list[str] = [
     "sliding_window_activity", "user_event_sequences",
     "cumulative_user_value", "rolling_value_sum", "event_gaps",
     "user_event_pivot", "customer_value_ntile",
-    "revenue_by_nation", "type_token_ratio",
+    "type_token_ratio",
     "lang_id", "ann_topk", "winsorize_values", "value_mad_by_type",
     # new in round 5: the watch-driven incremental composition (arrivals →
     # near-dup vs committed index → BM25 epoch appends) oracled by the
-    # one-statement batch recompute, and the streaming session-window
-    # operator with carried per-user state oracled by the batch window
-    # (top_events_per_user and first_event_per_user yielded their slots to
-    # keep the prefix at 50; they join the sweep-attested group)
+    # one-statement batch recompute, and the two streaming window
+    # operators with carried per-key state oracled by their batch windows
+    # (top_events_per_user, first_event_per_user and revenue_by_nation
+    # yielded their slots to keep the prefix at 50; they join the
+    # sweep-attested group)
     "watch_incremental_pipeline", "incremental_sessionize",
+    "incremental_hourly_activity",
 ]
 
 

@@ -294,8 +294,13 @@ def run_benchmarks() -> dict:
     )
     timed("watch_incremental_pipeline",
           lambda sf: run_watch_incremental_flagship(sf), consume="count")
-    from ocrautomator_ray.functions.streaming import incremental_sessionize
+    from ocrautomator_ray.functions.streaming import (
+        incremental_hourly_activity,
+        incremental_sessionize,
+    )
     timed("incremental_sessionize", incremental_sessionize, consume="count")
+    timed("incremental_hourly_activity", incremental_hourly_activity,
+          consume="count")
 
     ray.shutdown()
 

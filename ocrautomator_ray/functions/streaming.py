@@ -311,3 +311,150 @@ SQL_INCREMENTAL_SESSIONIZE = SQL_SESSIONIZE
 
 QUERIES = {"incremental_sessionize": incremental_sessionize}
 SQL = {"incremental_sessionize": SQL_INCREMENTAL_SESSIONIZE}
+
+
+# ---------------------------------------------------------------------------
+# incremental_hourly_activity — tumbling windows with WATERMARK finalization,
+# the second §2.9 streaming shape next to session windows: hourly (user,
+# bucket) counts accumulate as epochs arrive; when an epoch closes, every
+# bucket strictly below the epoch boundary's hour is FINAL (time-ordered
+# epochs mean no later event can land in it) and streams out, while the
+# boundary hour's partials carry as state. Counts are additive, so the
+# carried state is O(active users) partial rows — the tumbling analog of the
+# session operator's open-session state. Output must equal the batch
+# hourly_user_activity bit-for-bit (same SQL oracle).
+# ---------------------------------------------------------------------------
+
+_HOURLY_WORK_SCHEMA = pa.schema([
+    ("user_id", pa.int64()), ("hour_bucket", pa.int64()),
+    ("n_events", pa.int64()), ("kind", pa.int64()),
+])
+_HOURLY_OUT_SCHEMA = pa.schema([
+    ("user_id", pa.int64()), ("hour_bucket", pa.int64()),
+    ("n_events", pa.int64()),
+])
+_HOUR_US = 3_600_000_000
+
+
+def _ts_epoch_bounds(ev_path: str, n_epochs: int) -> list:
+    """Strict epoch boundaries (µs int64) at the ts quantiles."""
+    import pyarrow.parquet as pq
+
+    ts_all = pq.read_table(ev_path, columns=["ts"])["ts"] \
+        .to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+        .astype(np.int64)
+    qs = np.quantile(ts_all, [i / n_epochs for i in range(1, n_epochs)])
+    return [np.int64(q) for q in qs]
+
+
+def _hourly_step(watermark_hour):
+    """Sum partials per (user, hour); finalize (kind 2) every bucket
+    strictly below the watermark hour, carry (kind 1) the rest.
+    ``watermark_hour=None`` finalizes everything (last epoch)."""
+
+    def step(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _HOURLY_WORK_SCHEMA.empty_table()
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        live = t.filter(pa.array(kind != 2))
+        done = t.filter(pa.array(kind == 2))
+        parts = [done] if done.num_rows else []
+        if live.num_rows:
+            u = live["user_id"].to_numpy(zero_copy_only=False)
+            h = live["hour_bucket"].to_numpy(zero_copy_only=False)
+            n = live["n_events"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((h, u))
+            u, h, n = u[order], h[order], n[order]
+            first = np.r_[True, (u[1:] != u[:-1]) | (h[1:] != h[:-1])]
+            starts = np.flatnonzero(first)
+            sums = np.add.reduceat(n, starts)
+            uu, hh = u[starts], h[starts]
+            final = np.ones(len(uu), bool) if watermark_hour is None \
+                else hh < watermark_hour
+            parts.append(pa.table({
+                "user_id": pa.array(uu, pa.int64()),
+                "hour_bucket": pa.array(hh, pa.int64()),
+                "n_events": pa.array(sums, pa.int64()),
+                "kind": pa.array(np.where(final, 2, 1).astype(np.int64),
+                                 pa.int64()),
+            }))
+        if not parts:
+            return _HOURLY_WORK_SCHEMA.empty_table()
+        return pa.concat_tables(
+            [p.select(_HOURLY_WORK_SCHEMA.names) for p in parts]
+        ).cast(_HOURLY_WORK_SCHEMA)
+
+    return step
+
+
+def incremental_hourly_activity(sf_dir: str,
+                                n_epochs: int = N_EPOCHS) -> rd.Dataset:
+    """(user_id, hour_bucket, n_events) — identical to the batch
+    hourly_user_activity (same SQL oracle), computed over time-ordered
+    micro-batches with watermark-finalized buckets and carried partials."""
+    ev_path = f"{sf_dir}/events.parquet"
+    n_parts = auto_partitions(ev_path)
+    bounds = _ts_epoch_bounds(ev_path, n_epochs)
+    base = pruned_read(ev_path, ["user_id", "ts"])
+
+    def epoch_partials(i: int):
+        lo = bounds[i - 1] if i > 0 else None
+        hi = bounds[i] if i < n_epochs - 1 else None
+
+        def pick(t: pa.Table) -> pa.Table:
+            tsi = t["ts"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").astype(np.int64)
+            m = np.ones(len(tsi), bool)
+            if lo is not None:
+                m &= tsi >= lo
+            if hi is not None:
+                m &= tsi < hi
+            u = t["user_id"].to_numpy(zero_copy_only=False)[m].astype(
+                np.int64)
+            h = tsi[m] // _HOUR_US          # int64 floor division
+            order = np.lexsort((h, u))
+            u, h = u[order], h[order]
+            first = np.r_[True, (u[1:] != u[:-1]) | (h[1:] != h[:-1])] \
+                if len(u) else np.empty(0, bool)
+            starts = np.flatnonzero(first)
+            cnt = np.diff(np.r_[starts, len(u)]) if len(starts) \
+                else np.empty(0, np.int64)
+            return pa.table({
+                "user_id": pa.array(u[starts], pa.int64()),
+                "hour_bucket": pa.array(h[starts], pa.int64()),
+                "n_events": pa.array(cnt.astype(np.int64), pa.int64()),
+                "kind": pa.array(np.zeros(len(starts), np.int64),
+                                 pa.int64()),
+            })
+
+        return base.map_batches(pick, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    work = epoch_partials(0)
+    for i in range(n_epochs):
+        wm = (int(bounds[i]) // _HOUR_US) if i < n_epochs - 1 else None
+        work = per_key_blocks(work, ["user_id"], _hourly_step(wm),
+                              num_partitions=n_parts)
+        if i < n_epochs - 1:
+            work = work.materialize().union(epoch_partials(i + 1))
+
+    def project(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.equal(t["kind"], 2))
+        return pa.table({"user_id": s["user_id"],
+                         "hour_bucket": s["hour_bucket"],
+                         "n_events": s["n_events"]})
+
+    return work.map_batches(project, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def _sql_hourly() -> str:
+    from ocrautomator_ray.functions.relational import SQL_HOURLY_ACTIVITY
+
+    return SQL_HOURLY_ACTIVITY
+
+
+SQL_INCREMENTAL_HOURLY = _sql_hourly()
+
+QUERIES["incremental_hourly_activity"] = incremental_hourly_activity
+SQL["incremental_hourly_activity"] = SQL_INCREMENTAL_HOURLY

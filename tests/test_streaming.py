@@ -75,3 +75,50 @@ def test_boundary_straddle_and_state_classes(tmp_path):
     assert len(u2) == 2  # closed + reopened
     u5 = batch[batch.user_id == 5]
     assert len(u5) == 1 and int(u5.n_events.iloc[0]) == 2  # equal-ts run
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_epochs", [1, 2, 5])
+def test_hourly_matches_batch_for_any_epoch_count(n_epochs):
+    from ocrautomator_ray.functions.relational import hourly_user_activity
+    from ocrautomator_ray.functions.streaming import (
+        incremental_hourly_activity,
+    )
+
+    inc = _canon(incremental_hourly_activity(SF, n_epochs=n_epochs))
+    batch = _canon(hourly_user_activity(SF))
+    pd.testing.assert_frame_equal(inc, batch)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hourly_watermark_boundary_bucket(tmp_path):
+    """A bucket straddling the epoch boundary must stay OPEN (carried
+    partials) until the watermark passes it, then finalize with BOTH
+    epochs' counts — never emit twice."""
+    h = 3_600_000_000
+    base = np.datetime64("2024-03-01T00:00:00", "us").astype(np.int64)
+    # u1: three events inside ONE hour, positioned so a median split puts
+    # 1 event in epoch 0 and 2 in epoch 1
+    rows = [(1, 1, 10), (2, 1, 30), (3, 1, 50),
+            (4, 2, 0), (5, 2, 200)]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([base + r[2] * 60_000_000 for r in rows],
+                                "datetime64[us]"), pa.timestamp("us")),
+    })
+    os.makedirs(tmp_path / "d", exist_ok=True)
+    pq.write_table(t, str(tmp_path / "d" / "events.parquet"))
+    sf = str(tmp_path / "d")
+
+    from ocrautomator_ray.functions.relational import hourly_user_activity
+    from ocrautomator_ray.functions.streaming import (
+        incremental_hourly_activity,
+    )
+
+    batch = _canon(hourly_user_activity(sf))
+    for n in (2, 3):
+        inc = _canon(incremental_hourly_activity(sf, n_epochs=n))
+        pd.testing.assert_frame_equal(inc, batch)
+    u1 = batch[batch.user_id == 1]
+    assert len(u1) == 1 and int(u1.n_events.iloc[0]) == 3  # one merged bucket
